@@ -1,0 +1,90 @@
+"""Local DuckDB-oracle parity harness.
+
+Mirrors the driver's t2 check (/root/repo/__spark_entry__.py contract): run the
+Spark query and the DuckDB SQL over the same parquet tables, then compare
+row count + sorted-by-name schema + order-insensitive values. Used by
+tests/test_parity.py so every catalog entry is validated locally before the
+driver grades it.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from .queries import TABLES
+
+
+def duckdb_connection(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _norm_value(v):
+    if isinstance(v, decimal.Decimal):
+        return ("dec", str(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("f", "nan")
+        return ("f", repr(v))
+    if isinstance(v, datetime.datetime):
+        return ("ts", v.isoformat())
+    if isinstance(v, datetime.date):
+        return ("d", v.isoformat())
+    if isinstance(v, (list, tuple)):
+        return ("l", tuple(_norm_value(x) for x in v))
+    return (type(v).__name__, v)
+
+
+def _norm_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(_norm_value(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+@dataclass
+class ParityResult:
+    name: str
+    ok: bool
+    detail: str
+
+    def __bool__(self):
+        return self.ok
+
+
+def compare_to_oracle(name: str, df: DataFrame, oracle_sql: str, sf_dir: str) -> ParityResult:
+    spark_cols = list(df.columns)
+    spark_rows = [tuple(r) for r in df.collect()]
+
+    con = duckdb_connection(sf_dir)
+    try:
+        cur = con.execute(oracle_sql)
+        oracle_cols = [d[0] for d in cur.description]
+        oracle_rows = cur.fetchall()
+    finally:
+        con.close()
+
+    if sorted(spark_cols) != sorted(oracle_cols):
+        return ParityResult(
+            name, False, f"columns differ: spark={sorted(spark_cols)} oracle={sorted(oracle_cols)}"
+        )
+    if len(spark_rows) != len(oracle_rows):
+        return ParityResult(
+            name, False, f"row count differs: spark={len(spark_rows)} oracle={len(oracle_rows)}"
+        )
+
+    s = _norm_rows(spark_cols, spark_rows)
+    o = _norm_rows(oracle_cols, oracle_rows)
+    if s != o:
+        diffs = [(a, b) for a, b in zip(s, o) if a != b][:3]
+        return ParityResult(name, False, f"values differ; first mismatched (spark, oracle): {diffs}")
+    return ParityResult(name, True, f"{len(spark_rows)} rows match")

@@ -1,0 +1,91 @@
+"""Oracle-checked query catalog.
+
+Each entry pairs a PySpark DataFrame builder ``(spark, sf_dir) -> DataFrame``
+with an equivalent DuckDB SQL string run over the same parquet tables.
+Column names/types are aligned on both sides because the driver's compare
+sorts columns by name and hashes values (see /root/repo/__spark_entry__.py).
+
+Float convention: any aggregate over DOUBLE columns is rounded on BOTH sides
+(round(x, 2) for money-scale sums, round(x, 6) for averages/ratios) so that
+summation-order differences between engines cannot flip the hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+# Runtime-settable confs the catalog depends on, applied defensively so the
+# queries behave identically under the driver's own SparkSession:
+# - ansi off: plain CAST behaves like DuckDB TRY_CAST (SURVEY P2).
+# - UTC: DuckDB timestamps are timezone-naive.
+# - nanosAsLong: events.parquet carries TIMESTAMP(NANOS) which the Spark
+#   parquet reader rejects; read as int64 and convert (see ``load``).
+RUNTIME_CONFS = {
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def ensure_confs(spark: SparkSession) -> None:
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass  # static conf in this session; session factory already set it
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ensure_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) surfaced as int64 nanos; truncate to micros exactly
+        # like DuckDB's ns->us read path (integer div, not float).
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+    tags: tuple[str, ...] = field(default=())
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc, tags=tags)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    # Import side-effect registration.
+    from . import catalog_core, catalog_llm  # noqa: F401
+
+    return dict(REGISTRY)

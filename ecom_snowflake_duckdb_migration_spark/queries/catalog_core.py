@@ -1,0 +1,884 @@
+"""Core relational catalog: SURVEY §2 operator inventory ported onto the
+driver's TPC-H-ish testdata (see FIXTURES.md "Driver testdata mapping").
+
+Every query documents which SURVEY §2 operators it certifies and the
+reference model it mirrors (citations relative to /root/reference).
+
+Float-parity convention (SURVEY §7 "hard parts" #1): aggregates over DOUBLE
+columns are never compared as rounded double sums — summation order differs
+between engines and occasionally straddles a rounding boundary. Instead each
+element is cast to an exact DECIMAL before SUM, which both engines aggregate
+exactly (bit-identical), then the result is cast to a fixed output type:
+
+- ``dsum``: SUM(CAST(x AS DECIMAL(27,6))) -> DECIMAL(18,2)  (money totals)
+- ``davg``: exact decimal sum -> DOUBLE, / count, round 6    (averages)
+
+Source doubles carry <= 4 true decimal digits (prices/discounts are 2-decimal
+money values), so the DECIMAL(27,6) element cast is lossless; 27-6=21 integer
+digits holds 100 TB-scale sums without overflow.
+
+Scale notes:
+- Dimension tables (region, nation, derived lookups) are broadcast — no
+  shuffle for the dim side of J1-style joins at any scale.
+- Fact-fact joins (orders x lineitem) shuffle on the join key; AQE picks the
+  physical strategy + skew mitigation at real scale.
+- All expressions are built-in Catalyst functions: whole-stage codegen,
+  predicate pushdown, and column pruning stay intact (SURVEY §2.10: the
+  reference needs zero UDFs, so do we).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import load, register
+
+DEC_ELEM = "decimal(27,6)"
+
+
+def dsum(c: Column, out: str = "decimal(18,2)") -> Column:
+    """Exact decimal SUM of a double expression; see module docstring."""
+    return F.sum(c.cast(DEC_ELEM)).cast(out)
+
+
+def o_dsum(expr: str, out: str = "DECIMAL(18,2)") -> str:
+    # round() before CAST: DuckDB's decimal-downscale CAST truncates while
+    # Spark's rounds HALF_UP; round() is half-away-from-zero in both engines.
+    return f"CAST(round(sum(CAST({expr} AS DECIMAL(27,6))), 2) AS {out})"
+
+
+def davg(c: Column) -> Column:
+    """Average derived from the exact decimal sum (identical across engines)."""
+    return F.round(F.sum(c.cast(DEC_ELEM)).cast("double") / F.count(c), 6)
+
+
+def o_davg(expr: str) -> str:
+    return (
+        f"round(CAST(sum(CAST({expr} AS DECIMAL(27,6))) AS DOUBLE) / count({expr}), 6)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship + aggregation family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {o_dsum('l_quantity')}                                  AS sum_qty,
+           {o_dsum('l_extendedprice')}                             AS sum_base_price,
+           {o_dsum('l_extendedprice * (1 - l_discount)')}          AS sum_disc_price,
+           {o_davg('l_quantity')}                                  AS avg_qty,
+           {o_davg('l_extendedprice')}                             AS avg_price,
+           {o_davg('l_discount')}                                  AS avg_disc,
+           count(*)                                                AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Flagship. A2 sum/avg/count, A7 derived ratios, F16 round; mirrors "
+    "fct_sales_by_date.sql aggregate shape (dbt/dbt_duckdb/models/ecom_marts/"
+    "sales/fct_sales_by_date.sql:7-14). Filter pushes down to the parquet scan.",
+    tags=("A2", "A7", "F16", "P1"),
+)
+def q01_pricing_summary(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q02_revenue_by_nation",
+    oracle=f"""
+    SELECT r.r_name, n.n_name,
+           {o_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           count(DISTINCT c.c_custkey)                        AS n_customers
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    doc="J3 inner-join chain + A1 COUNT(DISTINCT) + broadcast dims; mirrors "
+    "fct_order_details join fan (dbt/dbt_duckdb/models/ecom_marts/sales/"
+    "fct_order_details.sql:40-51). nation/region broadcast — zero dim shuffle.",
+    tags=("J1", "J3", "A1", "A2"),
+)
+def q02_revenue_by_nation(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    r = F.broadcast(load(spark, sf_dir, "region"))
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "inner")
+        .join(l, l.l_orderkey == o.o_orderkey, "inner")
+        .join(n, n.n_nationkey == c.c_nationkey, "inner")
+        .join(r, r.r_regionkey == n.n_regionkey, "inner")
+        .groupBy("r_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+    )
+
+
+@register(
+    "q03_top_parts_by_revenue",
+    oracle=f"""
+    SELECT p.p_partkey, p.p_name,
+           {o_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           {o_dsum('l.l_quantity')}                           AS total_qty
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_partkey, p.p_name
+    ORDER BY revenue DESC, p_partkey
+    LIMIT 10
+    """,
+    doc="J6 fan-out join then aggregate + O1 deterministic top-k "
+    "(fct_product_performance.sql:15-17 join-then-groupBy shape). Ordering on "
+    "the exact decimal revenue makes the top-k fully deterministic.",
+    tags=("J6", "O1", "A2"),
+)
+def q03_top_parts_by_revenue(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return (
+        l.join(p, l.l_partkey == p.p_partkey, "inner")
+        .groupBy("p_partkey", "p_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            dsum(F.col("l_quantity")).alias("total_qty"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("p_partkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q04_semi_join_large_parts",
+    oracle=f"""
+    SELECT l_returnflag,
+           count(*)                     AS n_items,
+           {o_dsum('l_extendedprice')}  AS total_price
+    FROM lineitem
+    WHERE l_partkey IN (SELECT DISTINCT p_partkey FROM part WHERE p_size > 40)
+    GROUP BY l_returnflag
+    """,
+    doc="J4 existence check as LEFT SEMI join — exact equivalent of the "
+    "reference's DISTINCT+INNER validation join (dbt/dbt_duckdb/models/"
+    "ecom_intermediate/transactions/order_items.sql:13-25).",
+    tags=("J4",),
+)
+def q04_semi_join_large_parts(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") > 40).select("p_partkey").distinct()
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice")).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "q05_nation_trade_roles",
+    oracle=f"""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           count(*)                                           AS n_lines,
+           {o_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS volume
+    FROM lineitem l
+    JOIN orders o    ON o.o_orderkey = l.l_orderkey
+    JOIN customer c  ON c.c_custkey = o.o_custkey
+    JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+    JOIN nation cn   ON cn.n_nationkey = c.c_nationkey
+    JOIN nation sn   ON sn.n_nationkey = s.s_nationkey
+    GROUP BY cn.n_name, sn.n_name
+    """,
+    doc="J5 one dim joined twice under two roles (shipping vs billing "
+    "address double-join, dbt/dbt_duckdb/models/ecom_intermediate/"
+    "transactions/orders.sql:21-24).",
+    tags=("J5", "J3"),
+)
+def q05_nation_trade_roles(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    cn = F.broadcast(n.alias("cn"))
+    sn = F.broadcast(n.alias("sn"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(cn, c.c_nationkey == F.col("cn.n_nationkey"))
+        .join(sn, s.s_nationkey == F.col("sn.n_nationkey"))
+        .groupBy(
+            F.col("cn.n_name").alias("cust_nation"),
+            F.col("sn.n_name").alias("supp_nation"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+    )
+
+
+@register(
+    "q06_multikey_min_price_join",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey, min(l_extendedprice) AS min_price
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT l.l_suppkey,
+           count(*)                                                     AS n_lines,
+           count(CASE WHEN l.l_extendedprice = ps.min_price THEN 1 END) AS n_at_min
+    FROM lineitem l
+    JOIN ps ON ps.l_partkey = l.l_partkey AND ps.l_suppkey = l.l_suppkey
+    GROUP BY l.l_suppkey
+    """,
+    doc="J2 multi-key equi-join (USING (a,b)-style) — mirrors composite "
+    "category+subcategory join (dbt/dbt_duckdb/models/ecom_intermediate/"
+    "entities/products_enriched.sql:54-56) + A3 conditional count. MIN of a "
+    "double is an exact element copy, so the equality probe is engine-stable.",
+    tags=("J2", "A3"),
+)
+def q06_multikey_min_price_join(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem")
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(F.min("l_extendedprice").alias("min_price"))
+    return (
+        l.join(ps, ["l_partkey", "l_suppkey"], "inner")
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count(F.when(F.col("l_extendedprice") == F.col("min_price"), 1)).alias("n_at_min"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup / window family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q07_dedup_keep_newest",
+    oracle="""
+    SELECT user_id, event_id, event_type, value, ts
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    doc="A11 per-PK dedup keep-newest via row_number window — the ingest "
+    "dedup (src/pipeline/ingest_latest_synthetic_data.py:163-194). Raw "
+    "columns pass through bit-identically, no normalization needed.",
+    tags=("A11", "W1"),
+)
+def q07_dedup_keep_newest(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value", "ts")
+    )
+
+
+@register(
+    "q08_first_value_latest",
+    oracle="""
+    SELECT DISTINCT user_id,
+           first_value(value) OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+               AS latest_value
+    FROM events
+    """,
+    doc="W1 FIRST_VALUE(...) OVER (PARTITION BY ... ORDER BY ... DESC) + outer "
+    "DISTINCT — the reference's only window function (dbt/dbt_duckdb/models/"
+    "ecom_intermediate/transactions/order_items.sql:28-37).",
+    tags=("W1",),
+)
+def q08_first_value_latest(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("latest_value", F.first("value").over(w))
+        .select("user_id", "latest_value")
+        .distinct()
+    )
+
+
+@register(
+    "q09_upsert_delete_insert",
+    oracle=f"""
+    WITH updates AS (
+        SELECT event_id, ts, user_id, event_type, value * 2 AS value, props
+        FROM events WHERE event_id >= 7000 AND event_id < 9000
+    ),
+    target AS (SELECT * FROM events WHERE event_id < 8000),
+    merged AS (
+        SELECT * FROM target WHERE event_id NOT IN (SELECT event_id FROM updates)
+        UNION ALL
+        SELECT * FROM updates
+    )
+    SELECT event_type, count(*) AS n_rows, {o_dsum('value')} AS total_value
+    FROM merged GROUP BY event_type
+    """,
+    doc="S8 PK upsert (delete+insert) as anti-join + unionByName — the "
+    "reference's staged delete/insert load (src/pipeline/"
+    "ingest_latest_synthetic_data.py:536-575). At scale this becomes Delta "
+    "MERGE; the anti-join rewrite is the storage-agnostic equivalent.",
+    tags=("S8", "U3"),
+)
+def q09_upsert_delete_insert(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    updates = (
+        e.filter((F.col("event_id") >= 7000) & (F.col("event_id") < 9000))
+        .withColumn("value", F.col("value") * 2)
+    )
+    target = e.filter(F.col("event_id") < 8000)
+    merged = target.join(updates, "event_id", "left_anti").unionByName(updates)
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("value")).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations / unions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q10_union_distinct_dates",
+    oracle="""
+    SELECT CAST(o_orderdate AS DATE) AS activity_day FROM orders
+    UNION
+    SELECT CAST(ts AS DATE) AS activity_day FROM events
+    """,
+    doc="U2 UNION (distinct) of order dates + event dates — dim_dates "
+    "(dbt/dbt_duckdb/models/ecom_marts/core/dim_dates.sql:13-19).",
+    tags=("U2", "F13"),
+)
+def q10_union_distinct_dates(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").select(F.to_date("o_orderdate").alias("activity_day"))
+    e = load(spark, sf_dir, "events").select(F.to_date("ts").alias("activity_day"))
+    return o.union(e).distinct()
+
+
+@register(
+    "q11_schema_align_union",
+    oracle=f"""
+    WITH historic AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, NULL AS o_orderpriority
+        FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ),
+    latest AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    ),
+    unioned AS (SELECT * FROM historic UNION ALL SELECT * FROM latest)
+    SELECT coalesce(o_orderpriority, 'UNKNOWN') AS priority,
+           count(*) AS n_orders,
+           {o_dsum('o_totalprice')} AS total
+    FROM unioned GROUP BY 1
+    """,
+    doc="P8/U3 schema-align union (missing columns -> NULL) + A9 GROUP BY "
+    "ordinal in the oracle — historic+latest concat (src/pipeline/"
+    "ingest_latest_synthetic_data.py:810-821) via unionByName("
+    "allowMissingColumns=True).",
+    tags=("P8", "U3", "A9", "F3"),
+)
+def q11_schema_align_union(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    historic = o.filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    latest = o.filter(F.col("o_orderdate") >= cutoff).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    unioned = historic.unionByName(latest, allowMissingColumns=True)
+    return unioned.groupBy(
+        F.coalesce("o_orderpriority", F.lit("UNKNOWN")).alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("total"),
+    )
+
+
+@register(
+    "q12_string_agg_nations",
+    oracle="""
+    SELECT r.r_name,
+           string_agg(DISTINCT n.n_name, ', ' ORDER BY n.n_name) AS nations,
+           count(DISTINCT n.n_name)                              AS n_nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    doc="A6 ordered-distinct STRING_AGG via array_join(array_sort(collect_set)) "
+    "(dbt/dbt_duckdb/models/ecom_marts/core/dim_categories.sql:7-18).",
+    tags=("A6", "A1"),
+)
+def q12_string_agg_nations(spark, sf_dir):
+    from ..functions import string_agg_distinct_ordered
+
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            string_agg_distinct_ordered("n_name").alias("nations"),
+            F.countDistinct("n_name").alias("n_nations"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q13_conditional_activity",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS day,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END)                AS purchases,
+           count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS purchasers,
+           count(CASE WHEN event_type = 'click' THEN 1 END)                   AS clicks,
+           count(DISTINCT user_id)                                            AS active_users,
+           {o_dsum("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")}
+               AS purchase_value
+    FROM events GROUP BY 1
+    """,
+    doc="A3 conditional count + A4 conditional COUNT(DISTINCT CASE ...) — "
+    "fct_customer_activity (dbt/dbt_duckdb/models/ecom_marts/customer/"
+    "fct_customer_activity.sql:12-24) and fct_product_interactions:9-12.",
+    tags=("A3", "A4", "A1", "F13"),
+)
+def q13_conditional_activity(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    is_purchase = F.col("event_type") == "purchase"
+    return (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.when(is_purchase, 1)).alias("purchases"),
+            F.countDistinct(F.when(is_purchase, F.col("user_id"))).alias("purchasers"),
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+            F.countDistinct("user_id").alias("active_users"),
+            dsum(F.when(is_purchase, F.col("value")).otherwise(0)).alias("purchase_value"),
+        )
+    )
+
+
+@register(
+    "q14_bool_or_big_orders",
+    oracle="""
+    SELECT o_custkey,
+           bool_or(o_totalprice > 300000) AS has_big_order,
+           count(*)                       AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+    doc="A5 BOOL_OR aggregate (Snowflake BOOLOR_AGG -> DuckDB bool_or, "
+    "dbt/dbt_duckdb/models/ecom_intermediate/transactions/orders.sql:13).",
+    tags=("A5",),
+)
+def q14_bool_or_big_orders(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.bool_or(F.col("o_totalprice") > 300000).alias("has_big_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q15_surrogate_keys",
+    oracle="""
+    SELECT c_custkey,
+           md5(coalesce(CAST(c_custkey AS VARCHAR), '') || '-' ||
+               coalesce(c_mktsegment, '') || '-' ||
+               coalesce(CAST(c_nationkey AS VARCHAR), '')) AS customer_sk
+    FROM customer
+    """,
+    doc="F6 dbt_utils.generate_surrogate_key parity: md5 of '-'-joined "
+    "''-coalesced varchar casts (dbt/dbt_duckdb/models/ecom_intermediate/"
+    "entities/locations.sql:53; packages.yml:2-3).",
+    tags=("F6",),
+)
+def q15_surrogate_keys(spark, sf_dir):
+    from ..functions import surrogate_key
+
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        surrogate_key("c_custkey", "c_mktsegment", "c_nationkey").alias("customer_sk"),
+    )
+
+
+@register(
+    "q16_customer_status",
+    oracle="""
+    WITH last_orders AS (
+        SELECT o_custkey, CAST(max(o_orderdate) AS DATE) AS last_order_day
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, last_order_day,
+           CASE WHEN last_order_day >= DATE '2001-08-01' - INTERVAL 3 MONTH THEN 'Active'
+                WHEN last_order_day >= DATE '2001-08-01' - INTERVAL 12 MONTH THEN 'At Risk'
+                ELSE 'Churned' END AS customer_status,
+           CAST(date_diff('day', last_order_day, DATE '2001-08-01') AS INT) AS days_since_order
+    FROM last_orders
+    """,
+    doc="F5 CASE ladder + F11 add_months + F12 date_diff with injected run "
+    "date (F10 determinism) — dim_customers customer_status "
+    "(dbt/dbt_duckdb/models/ecom_marts/core/dim_customers.sql:29-34).",
+    tags=("F5", "F11", "F12", "F10"),
+)
+def q16_customer_status(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    run_date = F.lit("2001-08-01").cast("date")  # injectable run_ts (F10)
+    last = o.groupBy("o_custkey").agg(F.max("o_orderdate").cast("date").alias("last_order_day"))
+    return last.select(
+        "o_custkey",
+        "last_order_day",
+        F.when(F.col("last_order_day") >= F.add_months(run_date, -3), "Active")
+        .when(F.col("last_order_day") >= F.add_months(run_date, -12), "At Risk")
+        .otherwise("Churned")
+        .alias("customer_status"),
+        F.datediff(run_date, F.col("last_order_day")).alias("days_since_order"),
+    )
+
+
+@register(
+    "q17_date_dimension",
+    oracle="""
+    SELECT DISTINCT CAST(o_orderdate AS DATE)                AS day,
+           CAST(year(o_orderdate) AS INT)                    AS year,
+           CAST(month(o_orderdate) AS INT)                   AS month,
+           CAST(dayofweek(CAST(o_orderdate AS DATE)) AS INT) AS day_of_week,
+           last_day(CAST(o_orderdate AS DATE))               AS month_end,
+           dayofweek(CAST(o_orderdate AS DATE)) IN (0, 6)    AS is_weekend
+    FROM orders
+    """,
+    doc="F7/F8/F9/F13 date dimension with the DuckDB DOW convention "
+    "(Sunday=0): Spark dayofweek()-1 (dbt/dbt_duckdb/models/ecom_marts/"
+    "core/dim_dates.sql:8-12).",
+    tags=("F8", "F9", "F13", "U2"),
+)
+def q17_date_dimension(spark, sf_dir):
+    from ..functions import dow_sunday0
+
+    o = load(spark, sf_dir, "orders")
+    day = F.to_date("o_orderdate")
+    return o.select(
+        day.alias("day"),
+        F.year("o_orderdate").alias("year"),
+        F.month("o_orderdate").alias("month"),
+        dow_sunday0(day).alias("day_of_week"),
+        F.last_day(day).alias("month_end"),
+        dow_sunday0(day).isin(0, 6).alias("is_weekend"),
+    ).distinct()
+
+
+@register(
+    "q18_trim_filter_brands",
+    oracle=f"""
+    SELECT trim(p_brand) AS brand,
+           count(*)      AS n_parts,
+           {o_davg('p_retailprice')} AS avg_price
+    FROM part
+    WHERE p_brand IS NOT NULL AND trim(p_brand) != ''
+    GROUP BY trim(p_brand)
+    """,
+    doc="P3 NULL+empty-string predicates + F1 TRIM — brands model filter "
+    "(dbt/dbt_duckdb/models/ecom_intermediate/entities/brands.sql:3-6).",
+    tags=("P3", "F1"),
+)
+def q18_trim_filter_brands(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_brand").isNotNull() & (F.trim("p_brand") != ""))
+        .groupBy(F.trim("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            davg(F.col("p_retailprice")).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "q19_coalesce_nullif",
+    oracle=f"""
+    SELECT l_returnflag,
+           {o_davg('coalesce(nullif(l_discount, 0.0), 0.05)')}          AS avg_eff_discount,
+           count(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 END)  AS n_zero_discount
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="F3 COALESCE + F4 NULLIF (dbt/dbt_duckdb/models/ecom_marts/core/"
+    "dim_customers.sql:25; customers_enriched.sql:36-44).",
+    tags=("F3", "F4"),
+)
+def q19_coalesce_nullif(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem")
+    eff = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return l.groupBy("l_returnflag").agg(
+        davg(F.coalesce(eff, F.lit(0.05))).alias("avg_eff_discount"),
+        F.count(F.when(eff.isNull(), 1)).alias("n_zero_discount"),
+    )
+
+
+@register(
+    "q20_split_part_names",
+    oracle="""
+    SELECT split_part(p_name, ' ', 1)  AS first_word,
+           split_part(p_name, ' ', -1) AS last_word,
+           split_part(p_name, ' ', 5)  AS fifth_word,
+           count(*)                    AS n_parts
+    FROM part
+    GROUP BY 1, 2, 3
+    """,
+    doc="F2 SPLIT_PART incl. negative index and out-of-range -> '' "
+    "(dbt/dbt_duckdb/models/ecom_intermediate/entities/addresses.sql:4-8) "
+    "+ A9 GROUP BY ordinals in the oracle.",
+    tags=("F2", "A9"),
+)
+def q20_split_part_names(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    return (
+        p.select(
+            F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+            F.split_part(F.col("p_name"), F.lit(" "), F.lit(-1)).alias("last_word"),
+            F.split_part(F.col("p_name"), F.lit(" "), F.lit(5)).alias("fifth_word"),
+        )
+        .groupBy("first_word", "last_word", "fifth_word")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+@register(
+    "q21_group_by_ordinal",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*)                 AS n_orders,
+           {o_dsum('o_totalprice')} AS total
+    FROM orders GROUP BY 1, 2
+    """,
+    doc="A9 GROUP BY ordinal resolved to names at build time "
+    "(dbt/dbt_duckdb/models/ecom_intermediate/entities/"
+    "categories_enriched.sql:12).",
+    tags=("A9", "A2"),
+)
+def q21_group_by_ordinal(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("total"),
+    )
+
+
+@register(
+    "q22_count_distinct_quirk",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_quantity) AS review_count_quirk,
+           count(DISTINCT l_partkey)  AS n_parts,
+           count(DISTINCT l_suppkey)  AS n_suppliers
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="A10 the reference's COUNT(DISTINCT review_score)-as-review-count "
+    "quirk, replicated verbatim (dbt/dbt_duckdb/models/ecom_marts/sales/"
+    "fct_product_performance.sql:13) + A1 multiple distincts.",
+    tags=("A10", "A1"),
+)
+def q22_count_distinct_quirk(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_quantity").alias("review_count_quirk"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+
+
+@register(
+    "q23_limit_preview",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders ORDER BY o_orderkey LIMIT 5
+    """,
+    doc="O1 LIMIT preview with deterministic ordering "
+    "(src/sample_ecom_raw_query_duckdb.py:40).",
+    tags=("O1",),
+)
+def q23_limit_preview(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy("o_orderkey")
+        .limit(5)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+@register(
+    "q24_grouped_column_reuse",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice,
+           CAST(round(o.o_totalprice * 100, 0) AS BIGINT)
+               // nullif(count(DISTINCT l.l_partkey), 0) AS price_cents_per_part
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_totalprice
+    """,
+    doc="A8 grouped column reused inside the aggregate expression "
+    "(dbt/dbt_duckdb/models/ecom_marts/customer/fct_customer_orders.sql:13). "
+    "The ratio is computed in integer cents: double division rounded at a "
+    "half-way point diverges between engines (Spark rounds the shortest "
+    "decimal repr, DuckDB the true binary value).",
+    tags=("A8", "F4", "J3"),
+)
+def q24_grouped_column_reuse(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.expr(
+                "CAST(round(o_totalprice * 100, 0) AS BIGINT)"
+                " div nullif(count(DISTINCT l_partkey), 0)"
+            ).alias("price_cents_per_part")
+        )
+        .select("o_orderkey", "o_totalprice", "price_cents_per_part")
+    )
+
+
+@register(
+    "q25_json_flatten",
+    oracle=f"""
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           count(*)           AS n_events,
+           {o_dsum('value')}  AS total_value
+    FROM events GROUP BY 1
+    """,
+    doc="F15/S2 semi-structured JSON column flattening — the S3 JSON envelope "
+    "parse (src/pipeline/ingest_latest_synthetic_data.py:131-146, 246-276).",
+    tags=("F15", "S2"),
+)
+def q25_json_flatten(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return (
+        e.select(F.get_json_object("props", "$.k").cast("int").alias("k"), "value")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "q26_incremental_append",
+    oracle="""
+    WITH target AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-10-01 00:00:00'),
+    increment AS (
+        SELECT * FROM events WHERE ts > (SELECT max(ts) FROM target)
+    ),
+    merged AS (SELECT * FROM target UNION ALL SELECT * FROM increment)
+    SELECT event_type, count(*) AS n_rows, max(ts) AS latest_ts
+    FROM merged GROUP BY event_type
+    """,
+    doc="S11 incremental materialization semantics: filter source rows past "
+    "max(ts) of the sink, append (dbt/dbt_duckdb/models/ecom_marts/customer/"
+    "fct_customer_orders.sql:18-20).",
+    tags=("S11", "U3"),
+)
+def q26_incremental_append(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-10-01 00:00:00").cast("timestamp")
+    target = e.filter(F.col("ts") < cutoff)
+    # Driver-side scalar, exactly how the incremental materializer reads the
+    # sink's high-water mark (one tiny job, not a data-path collect).
+    max_ts = target.agg(F.max("ts")).collect()[0][0]
+    increment = e.filter(F.col("ts") > F.lit(max_ts))
+    merged = target.unionByName(increment)
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("ts").alias("latest_ts"),
+    )
+
+
+@register(
+    "q27_lineage_and_format",
+    oracle="""
+    SELECT o_orderkey,
+           'historic'                                    AS data_source,
+           'batch-0000'                                  AS batch_id,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')    AS order_date_str
+    FROM orders WHERE o_orderkey < 1000
+    """,
+    doc="P5 lineage metadata columns + P6/F14 datetime-to-string "
+    "normalization (src/pipeline/0_ingest_historic_synthetic_data.py:121-123; "
+    "ingest_latest_synthetic_data.py:213-220).",
+    tags=("P5", "P6", "F14"),
+)
+def q27_lineage_and_format(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") < 1000).select(
+        "o_orderkey",
+        F.lit("historic").alias("data_source"),
+        F.lit("batch-0000").alias("batch_id"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("order_date_str"),
+    )
+
+
+@register(
+    "q28_typed_projection",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR)                  AS customer_id,
+           CAST(c_name AS VARCHAR)                     AS customer_name,
+           CAST(c_nationkey AS INT)                    AS nation_key,
+           CAST(c_acctbal AS DECIMAL(12,2))            AS account_balance,
+           TRY_CAST(c_mktsegment AS INT)               AS segment_as_int
+    FROM customer
+    """,
+    doc="P1 typed projection + P2 TRY_CAST (error->NULL): the staging cast "
+    "contract — ids forced to VARCHAR (src/pipeline/"
+    "ingest_latest_synthetic_data.py:428-429; dbt/dbt_duckdb/models/"
+    "ecom_staging/stg_customers.sql:5-26).",
+    tags=("P1", "P2"),
+)
+def q28_typed_projection(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").cast("string").alias("customer_id"),
+        F.col("c_name").cast("string").alias("customer_name"),
+        F.col("c_nationkey").cast("int").alias("nation_key"),
+        F.col("c_acctbal").cast("decimal(12,2)").alias("account_balance"),
+        # explicit try_cast works under both ANSI modes: 'BUILDING' -> NULL
+        F.expr("try_cast(c_mktsegment AS INT)").alias("segment_as_int"),
+    )

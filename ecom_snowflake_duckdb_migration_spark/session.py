@@ -1,0 +1,62 @@
+"""SparkSession factory tuned for the engine.
+
+Reference parity notes (SURVEY §1.2, §4):
+- DuckDB staging models use TRY_CAST (malformed -> NULL); with
+  ``spark.sql.ansi.enabled=false`` plain CAST matches that semantics engine-wide
+  (Spark 4 defaults ANSI on, so we disable explicitly).
+- DuckDB TIMESTAMP is timezone-naive; pinning the session to UTC makes Spark's
+  TIMESTAMP_LTZ behave identically for parquet-borne microsecond timestamps.
+- AQE is enabled so runtime stats drive broadcast/skew decisions at scale; the
+  static broadcast threshold is raised because every reference dim table
+  (region/nation/lookups) is tiny relative to facts.
+
+Scale posture: shuffle partitions default to 2x local cores for local runs but
+should be overridden (``spark.sql.shuffle.partitions``) to ~2-3x total cluster
+cores on a real deployment; AQE coalesces small post-shuffle partitions either
+way, so over-provisioning is safe.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus and cpus.isdigit():
+        return int(cpus)
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "ecom-spark-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cores = default_parallelism()
+    master = master or f"local[{cores}]"
+    shuffle_partitions = shuffle_partitions or max(2 * cores, 32)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.caseSensitive", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()
