@@ -159,7 +159,9 @@ def q02_revenue_by_nation(spark, sf_dir):
 )
 def q03_top_parts_by_revenue(spark, sf_dir):
     l = load(spark, sf_dir, "lineitem")
-    p = load(spark, sf_dir, "part")
+    # part is a dimension (~1/30th of lineitem rows, narrow): broadcast keeps
+    # the fact scan shuffle-free; the only shuffle left is the final group.
+    p = F.broadcast(load(spark, sf_dir, "part"))
     return (
         l.join(p, l.l_partkey == p.p_partkey, "inner")
         .groupBy("p_partkey", "p_name")
@@ -261,14 +263,17 @@ def q05_nation_trade_roles(spark, sf_dir):
     doc="J2 multi-key equi-join (USING (a,b)-style) — mirrors composite "
     "category+subcategory join (dbt/dbt_duckdb/models/ecom_intermediate/"
     "entities/products_enriched.sql:54-56) + A3 conditional count. MIN of a "
-    "double is an exact element copy, so the equality probe is engine-stable.",
+    "double is an exact element copy, so the equality probe is engine-stable. "
+    "Spark plan: the oracle's aggregate+self-join is algebraically a window "
+    "MIN over the same keys — one shuffle instead of two plus a join; at "
+    "100 TB that halves the dominant cost.",
     tags=("J2", "A3"),
 )
 def q06_multikey_min_price_join(spark, sf_dir):
     l = load(spark, sf_dir, "lineitem")
-    ps = l.groupBy("l_partkey", "l_suppkey").agg(F.min("l_extendedprice").alias("min_price"))
+    w = Window.partitionBy("l_partkey", "l_suppkey")
     return (
-        l.join(ps, ["l_partkey", "l_suppkey"], "inner")
+        l.withColumn("min_price", F.min("l_extendedprice").over(w))
         .groupBy("l_suppkey")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),

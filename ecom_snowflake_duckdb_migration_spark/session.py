@@ -38,7 +38,10 @@ def get_spark(
 ) -> SparkSession:
     cores = default_parallelism()
     master = master or f"local[{cores}]"
-    shuffle_partitions = shuffle_partitions or max(2 * cores, 32)
+    # One shuffle partition per core locally; AQE coalesces further when
+    # post-shuffle data is small. On a real cluster override to ~2-3x total
+    # executor cores — AQE makes over-provisioning safe.
+    shuffle_partitions = shuffle_partitions or max(cores, 16)
 
     builder = (
         SparkSession.builder.appName(app_name)
