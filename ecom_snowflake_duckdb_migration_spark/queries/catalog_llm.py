@@ -3,15 +3,33 @@ search over the ``documents`` and ``embeddings`` tables.
 
 These are the scale-path operators a 100 TB pretraining pipeline needs
 (BASELINE.json north-star). Implementations live in
-``ecom_snowflake_duckdb_migration_spark.operators``; this module binds them to
-oracle-checked catalog entries. Filled in incrementally.
+``ecom_snowflake_duckdb_migration_spark.operators.text`` /
+``operators.similarity``; this module binds them to oracle-checked catalog
+entries.
+
+Parity conventions:
+- Ratios are fixed-point integers (``*_e6``): integer division is bit-stable
+  across engines, rounded double division is not.
+- Cosines are raw doubles: the left-to-right double fold is verified
+  bit-identical between Spark's ``F.aggregate`` and DuckDB's
+  ``list_sum(list_transform(...))``.
+- LSH/SimHash variants depend on xxhash64 (no DuckDB twin) -> registered
+  without oracle; tests/test_operators.py pins them against the exact
+  algorithms instead.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..operators import similarity as sim
+from ..operators import text as tx
 from . import load, register
+
+_EN = tx.LANG_STOPWORDS["en"]
+_FR = tx.LANG_STOPWORDS["fr"]
+_DE = tx.LANG_STOPWORDS["de"]
+_ES = tx.LANG_STOPWORDS["es"]
 
 
 @register(
@@ -22,13 +40,268 @@ from . import load, register
            count(*)     AS n_copies
     FROM documents GROUP BY md5(text)
     """,
-    doc="Exact dedup: hash-groupBy on content, keep lowest id as canonical. "
-    "Scale path: single shuffle on a 128-bit hash, no skew at 100 TB.",
+    doc="Exact dedup: hash-groupBy on content, keep lowest id as canonical "
+    "(operators.text.exact_dedup_groups). Scale: one shuffle on a 128-bit "
+    "hash — uniform keys, no skew at 100 TB.",
     tags=("LLM", "dedup"),
 )
 def q40_dedup_exact(spark, sf_dir):
+    return tx.exact_dedup_groups(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "q41_text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           length(text)                                            AS n_chars_calc,
+           len(string_split_regex(trim(text), '\\s+'))             AS n_tokens,
+           CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
+               * 1000000 // length(text)                           AS alpha_ratio_e6,
+           length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct_count,
+           CAST(length(text) AS BIGINT) * 1000000
+               // len(string_split_regex(trim(text), '\\s+'))      AS mean_token_len_e6,
+           len(regexp_extract_all(lower(text), '{_EN}'))           AS stopword_count_en,
+           length(text) >= 20
+             AND len(string_split_regex(trim(text), '\\s+')) >= 5
+             AND length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 2 > length(text)
+                                                                   AS quality_ok
+    FROM documents
+    """,
+    doc="Quality scoring: char/token counts, fixed-point alpha ratio, punct "
+    "count, mean token length, stopword density, boolean quality gate "
+    "(operators.text.quality_metrics). Pure regexp/length expressions — "
+    "codegen-friendly, trivially data-parallel at any scale.",
+    tags=("LLM", "text-analysis"),
+)
+def q41_text_quality(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
-    return d.groupBy(F.md5("text").alias("text_hash")).agg(
-        F.min("doc_id").alias("canonical_doc_id"),
-        F.count(F.lit(1)).alias("n_copies"),
+    return tx.quality_metrics(d).select(
+        "doc_id",
+        "n_chars_calc",
+        "n_tokens",
+        "alpha_ratio_e6",
+        "punct_count",
+        "mean_token_len_e6",
+        "stopword_count_en",
+        "quality_ok",
     )
+
+
+@register(
+    "q42_language_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(regexp_extract_all(lower(text), '{_EN}')) AS score_en,
+               len(regexp_extract_all(lower(text), '{_FR}')) AS score_fr,
+               len(regexp_extract_all(lower(text), '{_DE}')) AS score_de,
+               len(regexp_extract_all(lower(text), '{_ES}')) AS score_es,
+               length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) AS non_ascii,
+               length(text) AS n
+        FROM documents
+    )
+    SELECT doc_id, lang, score_en, score_fr, score_de, score_es,
+           CASE WHEN non_ascii * 4 > n THEN 'cjk'
+                WHEN greatest(score_en, score_fr, score_de, score_es) = 0 THEN 'und'
+                WHEN score_en = greatest(score_en, score_fr, score_de, score_es) THEN 'en'
+                WHEN score_fr = greatest(score_en, score_fr, score_de, score_es) THEN 'fr'
+                WHEN score_de = greatest(score_en, score_fr, score_de, score_es) THEN 'de'
+                ELSE 'es' END AS predicted_lang
+    FROM scored
+    """,
+    doc="Language ID: per-language stopword-count heuristic with fixed "
+    "argmax tie order + non-ASCII guard (operators.text.predict_language). "
+    "Word-boundary regexes behave identically in Java regex and RE2.",
+    tags=("LLM", "text-analysis"),
+)
+def q42_language_id(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return tx.predict_language(d).select(
+        "doc_id", "lang", "score_en", "score_fr", "score_de", "score_es", "predicted_lang"
+    )
+
+
+@register(
+    "q43_token_stats",
+    oracle=r"""
+    SELECT source,
+           count(*)                                                        AS n_docs,
+           CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+'))) AS BIGINT) AS word_tokens,
+           CAST(sum(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT)    AS number_tokens,
+           CAST(sum(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]'))) AS BIGINT)
+                                                                           AS mark_tokens
+    FROM documents GROUP BY source
+    """,
+    doc="BPE-ish pre-tokenization statistics per source: alphabetic runs, "
+    "digit runs, single marks (operators.text.bpe_like_tokens). DuckDB "
+    "sum(int) widens to HUGEINT, hence the BIGINT casts in the oracle.",
+    tags=("LLM", "text-analysis"),
+)
+def q43_token_stats(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.regexp_extract_all("text", F.lit(r"[a-zA-Z]+"), F.lit(0)))).alias(
+            "word_tokens"
+        ),
+        F.sum(F.size(F.regexp_extract_all("text", F.lit(r"[0-9]+"), F.lit(0)))).alias(
+            "number_tokens"
+        ),
+        F.sum(
+            F.size(F.regexp_extract_all("text", F.lit(r"[^a-zA-Z0-9\s]"), F.lit(0)))
+        ).alias("mark_tokens"),
+    )
+
+
+@register(
+    "q44_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           length(text) // 100                                      AS length_bucket
+    FROM documents
+    """,
+    doc="Document fingerprinting: md5 of whitespace-normalized lowercase "
+    "text + coarse length bucket (operators.text.fingerprint).",
+    tags=("LLM", "text-analysis", "dedup"),
+)
+def q44_fingerprint(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.fingerprint("text").alias("fingerprint"),
+        F.expr("length(text) div 100").alias("length_bucket"),
+    )
+
+
+@register(
+    "q45_ngram_jaccard_pairs",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct([substr(text, i, 3) for i in range(1, length(text) - 1)]))
+                   AS shingle
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           CAST(n_inter AS BIGINT) * 1000000 // (s1.sz + s2.sz - n_inter) AS jaccard_e6
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = d1
+    JOIN sizes s2 ON s2.doc_id = d2
+    WHERE CAST(n_inter AS BIGINT) * 1000000 // (s1.sz + s2.sz - n_inter) >= 800000
+    """,
+    doc="N-gram (3-shingle) Jaccard near-dup pairs, fully relational: "
+    "distinct-shingle self-join -> intersection counts -> fixed-point "
+    "Jaccard (operators.text.ngram_jaccard_pairs). Candidates are bounded "
+    "by shared shingles, not n^2; the 100 TB path swaps in MinHash-LSH "
+    "banding with the same output contract (q48).",
+    tags=("LLM", "dedup"),
+)
+def q45_ngram_jaccard_pairs(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return tx.ngram_jaccard_pairs(d, k=3, threshold_e6=800_000)
+
+
+@register(
+    "q46_ann_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           list_sum(list_transform(range(1, len(e.embedding) + 1),
+                                   i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               AS cosine
+    FROM embeddings e, q
+    ORDER BY cosine DESC, e.vec_id LIMIT 20
+    """,
+    doc="Brute-force cosine top-k against a query vector "
+    "(operators.similarity.ann_topk_bruteforce): broadcast query, "
+    "shuffle-free scan, TakeOrdered top-k. Cosine doubles are bit-identical "
+    "across engines (left-to-right fold), so no rounding is needed.",
+    tags=("LLM", "similarity"),
+)
+def q46_ann_cosine_topk(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    query = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    return sim.ann_topk_bruteforce(e, query, k=20)
+
+
+@register(
+    "q47_cosine_neardup_pairs",
+    oracle="""
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           list_sum(list_transform(range(1, len(a.embedding) + 1),
+                                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+                                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+          >= 0.4
+    """,
+    doc="Embedding-cosine near-dup pairs, exact O(n^2) baseline "
+    "(operators.similarity.cosine_pairs_bruteforce). The LSH-bucketed scale "
+    "path (q50) produces the same pairs without the cross join.",
+    tags=("LLM", "similarity", "dedup"),
+)
+def q47_cosine_neardup_pairs(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    return sim.cosine_pairs_bruteforce(e, threshold=0.4)
+
+
+# --- xxhash64-based scale-path variants: no DuckDB twin -> rows-only check;
+# --- tests/test_operators.py pins them against the exact algorithms.
+
+
+@register(
+    "q48_minhash_lsh_pairs",
+    oracle=None,
+    doc="MinHash(32 hashes) + LSH(8 bands x 4 rows) candidate generation, "
+    "exact-Jaccard verification (operators.text.minhash_lsh_pairs). "
+    "Candidate join is per band-bucket — bounded, shuffle-friendly, no n^2. "
+    "Pinned against q45's exact output in tests (recall 1.0 at J>=0.8 on "
+    "the planted near-dups).",
+    tags=("LLM", "dedup", "lsh"),
+)
+def q48_minhash_lsh_pairs(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return tx.minhash_lsh_pairs(d, k=3, num_hashes=32, bands=8, threshold_e6=800_000)
+
+
+@register(
+    "q49_simhash_near_pairs",
+    oracle=None,
+    doc="SimHash-64 fingerprints + pigeonhole-blocked Hamming<=3 pairs "
+    "(operators.text.simhash_near_pairs): 4 chunk equi-joins instead of a "
+    "cross join; bit_count on XOR for the distance.",
+    tags=("LLM", "dedup", "simhash"),
+)
+def q49_simhash_near_pairs(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return tx.simhash_near_pairs(d, max_hamming=3, blocks=4)
+
+
+@register(
+    "q50_ann_lsh_topk",
+    oracle=None,
+    doc="Approximate top-k via random-hyperplane LSH multi-probe "
+    "(operators.similarity.ann_topk_ivf): score only vectors whose "
+    "signature is within Hamming 1 of the query's — ~2^n_planes scan "
+    "reduction, exact re-rank inside probed buckets. Recall vs q46 pinned "
+    "in tests.",
+    tags=("LLM", "similarity", "lsh"),
+)
+def q50_ann_lsh_topk(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    query = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    return sim.ann_topk_ivf(e, query, k=20, dim=64, n_planes=8)

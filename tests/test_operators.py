@@ -1,0 +1,95 @@
+"""Pin the hash-based scale-path operators (no DuckDB oracle) against their
+exact counterparts, plus unit checks on the text/similarity libraries."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ecom_snowflake_duckdb_migration_spark.operators import similarity as sim
+from ecom_snowflake_duckdb_migration_spark.operators import text as tx
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    exact = {
+        (r.d1, r.d2): r.jaccard_e6
+        for r in tx.ngram_jaccard_pairs(d, threshold_e6=800_000).collect()
+    }
+    lsh = {
+        (r.d1, r.d2): r.jaccard_e6
+        for r in tx.minhash_lsh_pairs(d, threshold_e6=800_000).collect()
+    }
+    assert exact, "expected planted near-dup pairs in testdata"
+    # LSH candidates are verified with exact Jaccard -> no false positives;
+    # at J>=0.8 with 8x4 banding the miss probability is ~(1-J^4)^8 < 2%.
+    assert set(lsh) <= set(exact)
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.9, f"LSH recall too low: {recall} ({len(lsh)}/{len(exact)})"
+    for pair, j in lsh.items():
+        assert exact[pair] == j
+
+
+def test_simhash_blocking_is_exact(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    blocked = {
+        (r.d1, r.d2): r.hamming for r in tx.simhash_near_pairs(d, max_hamming=3).collect()
+    }
+    # Pigeonhole: hamming<=3 with 4 blocks guarantees a shared block, so the
+    # blocked join must equal the brute-force pair set exactly.
+    fp = tx.simhash64(d)
+    a = fp.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("sh1"))
+    b = fp.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("sh2"))
+    brute = {
+        (r.d1, r.d2): r.hamming
+        for r in a.join(b, F.col("d1") < F.col("d2"))
+        .withColumn("hamming", F.bit_count(F.expr("sh1 ^ sh2")))
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert blocked == brute
+
+
+def test_ann_lsh_results_are_true_cosines(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    query = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    full = {r.vec_id: r.cosine for r in sim.ann_topk_bruteforce(e, query, k=10**6).collect()}
+    approx = sim.ann_topk_ivf(e, query, k=20, dim=64, n_planes=8).collect()
+    assert approx, "multi-probe returned nothing"
+    for r in approx:
+        assert full[r.vec_id] == r.cosine  # exact re-rank inside buckets
+    # The query vector itself (cosine 1.0) must always be found.
+    assert approx[0].vec_id == 0
+
+
+def test_cosine_pairs_lsh_subset_of_bruteforce(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    brute = {
+        (r.id1, r.id2): r.cosine
+        for r in sim.cosine_pairs_bruteforce(e, threshold=0.35).collect()
+    }
+    lsh = {
+        (r.id1, r.id2): r.cosine
+        for r in sim.cosine_pairs_lsh(e, threshold=0.35, dim=64).collect()
+    }
+    assert set(lsh) <= set(brute)
+    for pair, c in lsh.items():
+        assert brute[pair] == c
+
+
+def test_quality_and_language_columns(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    q = tx.quality_metrics(d).limit(50).collect()
+    for r in q:
+        assert r.n_chars_calc == len(r.text)
+        assert 0 <= r.alpha_ratio_e6 <= 1_000_000
+        assert r.n_tokens >= 1
+    langs = {r.predicted_lang for r in tx.predict_language(d).collect()}
+    assert langs <= {"en", "fr", "de", "es", "cjk", "und"}
