@@ -1,0 +1,147 @@
+"""Tests for sources/: readers (S1-S3), writers (S4-S7, S9-S12), upsert (S8,
+S11, A11). Round-trips run on real driver parquet at sf0.001."""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+from ecom_snowflake_duckdb_migration_spark import sources
+from ecom_snowflake_duckdb_migration_spark.queries import load
+
+ROW_SCHEMA = StructType(
+    [StructField("id", IntegerType()), StructField("name", StringType())]
+)
+
+
+def test_envelope_json_roundtrip(spark, sf_dir, tmp_path):
+    nation = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("id"), F.col("n_name").alias("name")
+    )
+    path = str(tmp_path / "envelope")
+    sources.write_envelope_json(
+        nation, path, "nation", run_ts=datetime.datetime(2026, 1, 1)
+    )
+    back = sources.read_envelope_json(
+        spark, path + "/*.txt", data_schema=ROW_SCHEMA, validate_count=True
+    )
+    assert sorted(r.id for r in back.collect()) == sorted(
+        r.id for r in nation.collect()
+    )
+    meta = sources.read_envelope_metadata(spark, path + "/*.txt", data_schema=ROW_SCHEMA)
+    rows = meta.collect()
+    assert all(m.table == "nation" for m in rows)
+    assert sum(m.recordCount for m in rows) == nation.count()
+
+
+def test_envelope_validate_count_rejects_corrupt(spark, tmp_path):
+    bad = {
+        "metadata": {"table": "t", "recordCount": 99, "generatedAt": "x", "version": "1"},
+        "data": [{"id": 1, "name": "a"}],
+    }
+    p = tmp_path / "bad.json"
+    p.write_text(json.dumps(bad))
+    with pytest.raises(ValueError, match="recordCount"):
+        sources.read_envelope_json(
+            spark, str(p), data_schema=ROW_SCHEMA, validate_count=True
+        )
+
+
+def test_csv_sink_and_scan_with_schema(spark, sf_dir, tmp_path):
+    region = load(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("int").alias("id"), F.col("r_name").alias("name")
+    )
+    path = str(tmp_path / "csv")
+    meta = sources.write_csv_with_metadata(
+        region, path, "region", single_file=True, run_ts=datetime.datetime(2026, 1, 1)
+    )
+    assert meta["recordCount"] == 5
+    assert json.load(open(os.path.join(path, "_metadata.json")))["table"] == "region"
+    back = sources.read_csv(spark, path, schema=ROW_SCHEMA, uppercase=True)
+    assert back.columns == ["ID", "NAME"]
+    assert back.count() == 5
+    assert dict(back.dtypes)["ID"] == "int"
+
+
+def test_flatten_json_columns(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, addr=Row(city="x", state="y"), tags=["a", "b"])]
+    )
+    flat = sources.flatten_json_columns(df)
+    assert flat.columns == ["id", "addr_city", "addr_state", "tags"]
+    row = flat.first()
+    assert row.addr_city == "x" and json.loads(row.tags) == ["a", "b"]
+
+
+def test_upsert_delete_insert_semantics(spark):
+    target = spark.createDataFrame(
+        [(1, "old", "2024-01-01"), (2, "keep", "2024-01-01")], ["id", "v", "loaded_at"]
+    )
+    batch = spark.createDataFrame(
+        [(1, "new", "2024-02-01"), (3, "ins", "2024-02-01")], ["id", "v", "loaded_at"]
+    )
+    out = sources.upsert_delete_insert(target, batch, ["id"])
+    got = {r.id: r.v for r in out.collect()}
+    assert got == {1: "new", 2: "keep", 3: "ins"}
+
+
+def test_upsert_parquet_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    first = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    sources.upsert_parquet(spark, path, first, ["id"])
+    second = spark.createDataFrame([(2, "B"), (3, "c")], ["id", "v"])
+    sources.upsert_parquet(spark, path, second, ["id"])
+    got = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_dedup_keep_newest(spark):
+    df = spark.createDataFrame(
+        [(1, "old", 1), (1, "new", 2), (2, "only", 1)], ["id", "v", "loaded_at"]
+    )
+    out = sources.dedup_keep_newest(df, ["id"], "loaded_at")
+    assert {r.id: r.v for r in out.collect()} == {1: "new", 2: "only"}
+
+
+def test_align_union_fills_missing(spark):
+    a = spark.createDataFrame([(1, "x")], ["id", "only_a"])
+    b = spark.createDataFrame([(2, "y")], ["id", "only_b"])
+    out = sources.align_union(a, b)
+    assert set(out.columns) == {"id", "only_a", "only_b"}
+    assert out.count() == 2
+    assert out.filter(F.col("only_a").isNull()).count() == 1
+
+
+def test_incremental_filter(spark):
+    sink = spark.createDataFrame([(1, 10)], ["id", "ts"])
+    source = spark.createDataFrame([(2, 5), (3, 10), (4, 11)], ["id", "ts"])
+    out = sources.incremental_filter(source, sink, "ts")
+    assert [r.id for r in out.collect()] == [4]
+    # Empty sink -> NULL high-water mark lets everything through.
+    empty = sink.filter(F.lit(False))
+    assert sources.incremental_filter(source, empty, "ts").count() == 3
+
+
+def test_relationships_check(spark):
+    parent = spark.createDataFrame([(1,), (2,)], ["k"])
+    child = spark.createDataFrame([(1,), (3,), (None,)], ["fk"])
+    bad = sources.relationships_check(child, parent, "fk", "k")
+    assert [r.fk for r in bad.collect()] == [3]  # NULLs are not violations
+
+
+def test_typed_table_and_catalog(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a")], ["id", "name"])
+    df.write.mode("overwrite").parquet(str(tmp_path / "ext"))
+    sources.create_typed_table(spark, "t_sources_ext", ROW_SCHEMA, str(tmp_path / "ext"))
+    try:
+        infos = sources.describe_catalog(spark, "default")
+        mine = [i for i in infos if i.table == "t_sources_ext"]
+        assert mine and mine[0].row_count == 1 and mine[0].columns == ("id", "name")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_sources_ext")
