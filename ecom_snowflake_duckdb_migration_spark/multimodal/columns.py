@@ -1,0 +1,263 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Design for a 100 TB training-data pipeline: media travels as opaque
+``binary`` payload columns with a typed metadata struct alongside; all
+decode/feature work runs in Arrow-batched Pandas UDFs (``mapInPandas``) so
+bytes never round-trip through row-at-a-time Python, and partitioning is
+preserved (no shuffle is introduced by any operator here).
+
+The real decoders (PIL/librosa/ffmpeg) are NOT available in this container,
+so decoding is STUBBED: payloads use a deterministic toy codec (``SIMG`` /
+``SAUD`` / ``SVID`` headers + raw samples) that the UDFs actually parse —
+schema, UDF signatures, batch shapes, and null handling are real and tested;
+swapping in a real codec is a per-row function change inside the same
+``mapInPandas`` plumbing. Attempting to decode a payload that is not in the
+toy format raises ``NotImplementedError`` naming the missing library.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_METADATA_SCHEMA = StructType(
+    [
+        StructField("modality", StringType()),  # image | audio | video
+        StructField("format", StringType()),  # simg | saud | svid | jpeg | ...
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+_IMG_MAGIC, _AUD_MAGIC, _VID_MAGIC = b"SIMG", b"SAUD", b"SVID"
+
+
+# ---- toy codec (deterministic fake standing in for PIL/librosa/ffmpeg) ----
+
+def encode_image(width: int, height: int, seed: int) -> bytes:
+    rng = np.random.default_rng(seed)
+    pixels = rng.integers(0, 256, size=width * height, dtype=np.uint8)
+    return _IMG_MAGIC + struct.pack("<II", width, height) + pixels.tobytes()
+
+
+def _decode_payload(payload: bytes) -> tuple[str, dict]:
+    if payload is None:
+        return None, None
+    magic = bytes(payload[:4])
+    if magic == _IMG_MAGIC:
+        w, h = struct.unpack("<II", bytes(payload[4:12]))
+        px = np.frombuffer(payload, dtype=np.uint8, offset=12, count=w * h)
+        return "image", {"width": w, "height": h, "pixels": px}
+    if magic == _AUD_MAGIC:
+        sr, n = struct.unpack("<II", bytes(payload[4:12]))
+        samples = np.frombuffer(payload, dtype=np.int16, offset=12, count=n)
+        return "audio", {"sample_rate": sr, "samples": samples}
+    if magic == _VID_MAGIC:
+        (nf,) = struct.unpack("<I", bytes(payload[4:8]))
+        return "video", {"n_frames": nf, "frames": bytes(payload[8:])}
+    # A real payload (JPEG/PNG/WAV/...) would be handled here:
+    raise NotImplementedError(
+        "real media decoding requires PIL/librosa/ffmpeg, which are not "
+        f"installed; unknown magic {magic!r}"
+    )
+
+
+# ---- Spark-side operators ----
+
+DECODED_IMAGE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_pixel", FloatType()),
+        StructField("ok", StringType()),  # 'ok' | error class name
+    ]
+)
+
+
+def decode_images(df: DataFrame, id_col: str = "media_id", payload_col: str = "payload") -> DataFrame:
+    """Decode image payloads to (dims, mean pixel) via mapInPandas.
+
+    Errors are captured per row (column ``ok``), never thrown across the
+    batch — one corrupt file must not kill a 100 TB job."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "mean_pixel": [], "ok": []}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    kind, d = _decode_payload(payload)
+                    if kind != "image":
+                        raise ValueError(f"not an image: {kind}")
+                    out["width"].append(d["width"])
+                    out["height"].append(d["height"])
+                    out["mean_pixel"].append(float(d["pixels"].mean()))
+                    out["ok"].append("ok")
+                except Exception as e:  # captured, not raised
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["mean_pixel"].append(None)
+                    out["ok"].append(type(e).__name__)
+                out["media_id"].append(mid)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, DECODED_IMAGE_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame, new_width: int, new_height: int, payload_col: str = "payload"
+) -> DataFrame:
+    """Re-encode every image payload at new dimensions (nearest-neighbor on
+    the toy codec; a real pipeline swaps in PIL.Image.resize here)."""
+    out_schema = StructType(
+        [f for f in df.schema.fields if f.name != payload_col]
+        + [StructField(payload_col, BinaryType())]
+    )
+    other_cols = [f.name for f in df.schema.fields if f.name != payload_col]
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = []
+            for payload in pdf[payload_col]:
+                kind, d = _decode_payload(payload)
+                if kind != "image":
+                    raise ValueError(f"not an image: {kind}")
+                px = d["pixels"].reshape(d["height"], d["width"])
+                ys = (np.linspace(0, d["height"] - 1, new_height)).astype(int)
+                xs = (np.linspace(0, d["width"] - 1, new_width)).astype(int)
+                small = px[np.ix_(ys, xs)].ravel()
+                resized.append(
+                    _IMG_MAGIC + struct.pack("<II", new_width, new_height) + small.tobytes()
+                )
+            out = pdf[other_cols].copy()
+            out[payload_col] = resized
+            yield out
+
+    return df.mapInPandas(_batches, out_schema)
+
+
+def extract_byte_features(
+    df: DataFrame, payload_col: str = "payload", n_bins: int = 16
+) -> DataFrame:
+    """Append a normalized byte-histogram feature vector (array<float>) —
+    a real feature extractor (CLIP/wav2vec) drops into the same shape."""
+    out_schema = StructType(
+        df.schema.fields + [StructField("features", ArrayType(FloatType()))]
+    )
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf[payload_col]:
+                if payload is None:
+                    feats.append(None)
+                    continue
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                hist, _ = np.histogram(arr, bins=n_bins, range=(0, 256))
+                total = hist.sum() or 1
+                feats.append((hist / total).astype(np.float32).tolist())
+            out = pdf.copy()
+            out["features"] = feats
+            yield out
+
+    return df.mapInPandas(_batches, out_schema)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_nth: int,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    frame_bytes: int = 64,
+) -> DataFrame:
+    """Explode video payloads into sampled frame rows (one row per kept
+    frame) — the fan-out shape of real frame extraction, with deterministic
+    fixed-size toy frames."""
+    out_schema = StructType(
+        [
+            StructField(id_col, StringType()),
+            StructField("frame_index", IntegerType()),
+            StructField("frame", BinaryType()),
+        ]
+    )
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                kind, d = _decode_payload(payload)
+                if kind != "video":
+                    raise ValueError(f"not a video: {kind}")
+                for i in range(0, d["n_frames"], every_nth):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(d["frames"][i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame({id_col: ids, "frame_index": idxs, "frame": frames})
+
+    return df.mapInPandas(_batches, out_schema)
+
+
+def generate_media(
+    spark, n: int, modality: str = "image", seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Deterministic toy media table: (media_id, metadata struct, payload).
+    Distributed via mapInPandas over spark.range — no driver-side bytes."""
+    rng_base = seed
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "metadata": [], "payload": []}
+            for i in pdf["id"]:
+                i = int(i)
+                if modality == "image":
+                    w, h = 16 + (i % 17), 16 + (i % 13)
+                    payload = encode_image(w, h, rng_base + i)
+                    meta = {"modality": "image", "format": "simg", "width": w,
+                            "height": h, "sample_rate": None, "n_frames": None}
+                elif modality == "audio":
+                    sr, ns = 16000, 256 + (i % 64)
+                    rng = np.random.default_rng(rng_base + i)
+                    samples = rng.integers(-32768, 32767, size=ns, dtype=np.int16)
+                    payload = _AUD_MAGIC + struct.pack("<II", sr, ns) + samples.tobytes()
+                    meta = {"modality": "audio", "format": "saud", "width": None,
+                            "height": None, "sample_rate": sr, "n_frames": None}
+                else:
+                    nf = 4 + (i % 9)
+                    rng = np.random.default_rng(rng_base + i)
+                    frames = rng.integers(0, 256, size=nf * 64, dtype=np.uint8).tobytes()
+                    payload = _VID_MAGIC + struct.pack("<I", nf) + frames
+                    meta = {"modality": "video", "format": "svid", "width": None,
+                            "height": None, "sample_rate": None, "n_frames": nf}
+                rows["media_id"].append(f"{modality}-{i}")
+                rows["metadata"].append(meta)
+                rows["payload"].append(payload)
+            yield pd.DataFrame(rows)
+
+    schema = StructType(
+        [
+            StructField("media_id", StringType()),
+            StructField("metadata", MEDIA_METADATA_SCHEMA),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    base = spark.range(n)
+    if partitions:
+        base = base.repartition(partitions)
+    return base.mapInPandas(_gen, schema)

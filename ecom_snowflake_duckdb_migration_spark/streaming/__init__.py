@@ -1,0 +1,18 @@
+"""Structured Streaming operators: event-stream ingest, watermark dedup,
+tumbling-window aggregation, foreachBatch upsert sink."""
+
+from .ingest import (
+    dedup_stream,
+    foreach_batch_pipeline,
+    read_event_stream,
+    upsert_stream_sink,
+    windowed_event_counts,
+)
+
+__all__ = [
+    "dedup_stream",
+    "foreach_batch_pipeline",
+    "read_event_stream",
+    "upsert_stream_sink",
+    "windowed_event_counts",
+]

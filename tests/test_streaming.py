@@ -1,0 +1,104 @@
+"""Streaming operator tests: availableNow micro-batch runs over real driver
+events parquet, checked against the equivalent batch computation."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecom_snowflake_duckdb_migration_spark import streaming
+from ecom_snowflake_duckdb_migration_spark.queries import load
+
+
+@pytest.fixture(scope="module")
+def event_source(spark, sf_dir, tmp_path_factory):
+    """Events re-encoded as micro-batch files (ts normalized to micros)."""
+    root = tmp_path_factory.mktemp("stream")
+    src = str(root / "source")
+    events = load(spark, sf_dir, "events")
+    # Two files = two micro-batches under maxFilesPerTrigger=1.
+    events.repartition(2).write.mode("overwrite").parquet(src)
+    return src, events.schema, root
+
+
+def test_windowed_counts_match_batch(spark, event_source):
+    src, schema, root = event_source
+    stream = streaming.read_event_stream(spark, src, schema, max_files_per_trigger=1)
+    agg = streaming.windowed_event_counts(
+        stream, ts_col="ts", key_col="event_type", window_size="1 day",
+        lateness="1 hour", distinct_col="user_id",
+    )
+    out = str(root / "agg_out")
+    ckpt = str(root / "agg_ckpt")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out)
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("events"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "events", "total_value")
+    )
+    # Append mode emits only watermark-closed windows; every emitted window
+    # must match the batch result exactly (counts + sums).
+    joined = got.alias("g").join(batch.alias("b"), ["window_start", "event_type"], "inner")
+    n_got = got.count()
+    assert n_got > 0, "no windows emitted"
+    assert joined.count() == n_got
+    bad = joined.filter(
+        (F.col("g.events") != F.col("b.events"))
+        | (F.abs(F.col("g.total_value") - F.col("b.total_value")) > 1e-6)
+    )
+    assert bad.count() == 0
+
+
+def test_stream_dedup_bounded(spark, event_source):
+    src, schema, root = event_source
+    stream = streaming.read_event_stream(spark, src, schema)
+    deduped = streaming.dedup_stream(stream, ["event_id"], "ts", "1 hour")
+    out = str(root / "dedup_out")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(root / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    assert got.count() == got.select("event_id").distinct().count()
+
+
+def test_upsert_stream_sink(spark, event_source):
+    src, schema, root = event_source
+    target = str(root / "upsert_target")
+    stream = streaming.read_event_stream(spark, src, schema, max_files_per_trigger=1)
+    q = streaming.upsert_stream_sink(
+        stream, target, ["event_id"], str(root / "upsert_ckpt")
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(target)
+    want = spark.read.parquet(src)
+    assert got.count() == want.count()
+    assert got.select("event_id").distinct().count() == want.count()
+
+    # Replaying the same stream from a fresh checkpoint re-upserts the same
+    # keys — the sink must stay idempotent (delete+insert semantics).
+    shutil.rmtree(str(root / "upsert_ckpt2"), ignore_errors=True)
+    q2 = streaming.upsert_stream_sink(
+        streaming.read_event_stream(spark, src, schema),
+        target, ["event_id"], str(root / "upsert_ckpt2"),
+    )
+    q2.awaitTermination(300)
+    assert spark.read.parquet(target).count() == want.count()
