@@ -1,0 +1,168 @@
+"""Extension catalog: sources / streaming / multimodal operators surfaced
+through the driver gate.
+
+Oracled where DuckDB can express the semantics; the genuinely non-SQL paths
+(Structured Streaming execution, binary media decode) are registered without
+an oracle — the driver records the weaker rows-only check for those, and
+their exact semantics are pinned by tests (tests/test_streaming.py,
+tests/test_multimodal.py).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from . import load, register
+
+
+@register(
+    "q29_event_daily_windows",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           count(*)                                 AS events,
+           CAST(count(DISTINCT user_id) AS BIGINT)  AS unique_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 1-day event windows (F.window) — the batch twin of the "
+    "streaming fct_product_interactions rollup (dbt/dbt_duckdb/models/"
+    "ecom_marts/sales/fct_product_interactions.sql:6-14); window.start == "
+    "date_trunc('day') for aligned tumbling windows.",
+    tags=("streaming", "F7", "A1"),
+)
+def q29_event_daily_windows(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.countDistinct("user_id").alias("unique_users"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "events", "unique_users")
+    )
+
+
+@register(
+    "q30_catalog_rowcounts",
+    oracle="""
+    SELECT 'customer' AS table_name, count(*) AS n_rows FROM customer
+    UNION ALL SELECT 'orders', count(*) FROM orders
+    UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+    UNION ALL SELECT 'part', count(*) FROM part
+    UNION ALL SELECT 'supplier', count(*) FROM supplier
+    UNION ALL SELECT 'nation', count(*) FROM nation
+    UNION ALL SELECT 'region', count(*) FROM region
+    """,
+    doc="S12 catalog introspection with row counts — the reference's "
+    "information_schema walk (src/sample_ecom_raw_query_duckdb.py:8-27).",
+    tags=("S12",),
+)
+def q30_catalog_rowcounts(spark, sf_dir):
+    from functools import reduce
+
+    tables = ["customer", "orders", "lineitem", "part", "supplier", "nation", "region"]
+    counts = [
+        load(spark, sf_dir, t)
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.lit(t).alias("table_name"), "n_rows")
+        for t in tables
+    ]
+    return reduce(lambda a, b: a.unionByName(b), counts)
+
+
+@register(
+    "q31_envelope_roundtrip",
+    oracle="""
+    SELECT n_regionkey, count(*) AS n_nations,
+           string_agg(DISTINCT n_name, ', ' ORDER BY n_name) AS nations
+    FROM nation GROUP BY 1
+    """,
+    doc="S2/S5 envelope JSON round-trip: write {metadata, data:[...]} "
+    "envelopes (src/pipeline/0_generate_historic_synthetic_data.py:429-461), "
+    "read them back with the declared schema + explode "
+    "(ingest_latest_synthetic_data.py:131-146), aggregate. The oracle runs "
+    "on the original table — round-trip must be lossless.",
+    tags=("S2", "S5", "A6"),
+)
+def q31_envelope_roundtrip(spark, sf_dir):
+    import datetime
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ..functions.core import string_agg_distinct_ordered
+    from ..sources import read_envelope_json, write_envelope_json
+
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    out = tempfile.mkdtemp(prefix="envelope_rt_")
+    write_envelope_json(nation, out, "nation", run_ts=datetime.datetime(2026, 1, 1))
+    schema = StructType(
+        [
+            StructField("n_nationkey", LongType()),
+            StructField("n_name", StringType()),
+            StructField("n_regionkey", LongType()),
+        ]
+    )
+    back = read_envelope_json(spark, out + "/*.txt", data_schema=schema, validate_count=True)
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        string_agg_distinct_ordered("n_name").alias("nations"),
+    )
+
+
+@register(
+    "q32_streaming_daily_windows",
+    oracle=None,  # Structured Streaming execution path — rows-only check;
+    # semantics pinned vs batch in tests/test_streaming.py.
+    doc="Watermarked tumbling-window aggregation executed through Structured "
+    "Streaming (availableNow) over the same events data as "
+    "q29_event_daily_windows — §2.9 stretch mapped per SURVEY (watermark + "
+    "1-day window ≙ daily fct_product_interactions).",
+    tags=("streaming",),
+)
+def q32_streaming_daily_windows(spark, sf_dir):
+    from ..streaming import read_event_stream, windowed_event_counts
+
+    events = load(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="stream_q32_")
+    src = f"{work}/src"
+    events.write.mode("overwrite").parquet(src)
+    stream = read_event_stream(spark, src, spark.read.parquet(src).schema)
+    agg = windowed_event_counts(stream, ts_col="ts", key_col="event_type")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(f"{work}/out").select(
+        "window_start", "event_type", "events"
+    )
+
+
+@register(
+    "q33_media_decode_stats",
+    oracle=None,  # binary media decode (mapInPandas) — rows-only check;
+    # decode semantics pinned in tests/test_multimodal.py.
+    doc="Multimodal plumbing through the driver gate: deterministic media "
+    "generation -> Arrow-batched image decode -> per-dimension stats.",
+    tags=("multimodal",),
+)
+def q33_media_decode_stats(spark, sf_dir):
+    from ..multimodal import decode_images, generate_media
+
+    imgs = generate_media(spark, 200, "image", seed=7, partitions=8)
+    return (
+        decode_images(imgs)
+        .groupBy("width")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.round(F.avg("mean_pixel"), 2).alias("avg_mean_pixel"),
+        )
+    )
