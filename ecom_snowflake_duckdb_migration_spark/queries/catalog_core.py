@@ -124,17 +124,27 @@ def q01_pricing_summary(spark, sf_dir):
 def q02_revenue_by_nation(spark, sf_dir):
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
-    l = load(spark, sf_dir, "lineitem")
+    # Partial aggregation pushed below the join: lineitem collapses to one
+    # row per order before touching orders/customer, shrinking the join input
+    # ~4x. Decimal sums are exact and associative, so the two-level sum is
+    # bit-identical to the single-pass dsum the oracle computes.
+    lrev = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC_ELEM)).alias("_rev")
+        )
+    )
     n = F.broadcast(load(spark, sf_dir, "nation"))
     r = F.broadcast(load(spark, sf_dir, "region"))
     return (
         c.join(o, o.o_custkey == c.c_custkey, "inner")
-        .join(l, l.l_orderkey == o.o_orderkey, "inner")
+        .join(lrev, lrev.l_orderkey == o.o_orderkey, "inner")
         .join(n, n.n_nationkey == c.c_nationkey, "inner")
         .join(r, r.r_regionkey == n.n_regionkey, "inner")
         .groupBy("r_name", "n_name")
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.sum("_rev").cast("decimal(18,2)").alias("revenue"),
             F.countDistinct("c_custkey").alias("n_customers"),
         )
     )
@@ -767,7 +777,10 @@ def q23_limit_preview(spark, sf_dir):
     tags=("A8", "F4", "J3"),
 )
 def q24_grouped_column_reuse(spark, sf_dir):
-    o = load(spark, sf_dir, "orders")
+    # shuffle_hash: orders is too big to broadcast cheaply (the single-thread
+    # hash build costs more than a parallel shuffle at bench scale, and at
+    # real scale broadcasting a fact side is impossible anyway).
+    o = load(spark, sf_dir, "orders").hint("shuffle_hash")
     l = load(spark, sf_dir, "lineitem")
     return (
         o.join(l, l.l_orderkey == o.o_orderkey)
