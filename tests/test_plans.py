@@ -1,0 +1,91 @@
+"""Plan-shape regression tests: the properties that keep the engine fast at
+scale must hold in the optimized physical plan, not just in intent."""
+
+from __future__ import annotations
+
+import pytest
+
+from ecom_snowflake_duckdb_migration_spark import plans
+from ecom_snowflake_duckdb_migration_spark.queries import all_queries
+
+SQL_EXPRESSIBLE_HEADLINE = [
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_top_parts_by_revenue",
+    "q05_nation_trade_roles",
+    "q06_multikey_min_price_join",
+    "q07_dedup_keep_newest",
+    "q13_conditional_activity",
+    "q22_count_distinct_quirk",
+    "q24_grouped_column_reuse",
+    "q40_dedup_exact",
+]
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return all_queries()
+
+
+def test_q01_filter_pushed_and_pruned(spark, sf_dir, specs):
+    df = specs["q01_pricing_summary"].fn(spark, sf_dir)
+    plans.assert_filter_pushed(df, "l_shipdate")
+    # lineitem has 16 columns; the flagship reads only the 6 it needs.
+    plans.assert_columns_pruned(df, {"l_quantity": 6})
+
+
+def test_q02_preagg_keeps_joins_broadcast(spark, sf_dir, specs):
+    df = specs["q02_revenue_by_nation"].fn(spark, sf_dir)
+    stats = plans.plan_stats(df)
+    # nation + region are explicitly broadcast; the lineitem pre-agg and the
+    # final group are the only required repartitions (AQE may add none extra
+    # statically). countDistinct adds one more exchange.
+    assert stats.broadcast_joins >= 2
+    assert stats.scans == 5
+    plans.assert_columns_pruned(df, {"l_discount": 3, "o_custkey": 2, "c_nationkey": 2})
+
+
+def test_q03_broadcasts_dimension(spark, sf_dir, specs):
+    df = specs["q03_top_parts_by_revenue"].fn(spark, sf_dir)
+    stats = plans.plan_stats(df)
+    assert stats.broadcast_joins == 1
+    assert stats.sort_merge_joins == 0
+    # one shuffle for the final group-by only
+    assert stats.shuffles <= 1
+    plans.assert_columns_pruned(df, {"p_name": 2})
+
+
+def test_q24_uses_parallel_join_not_broadcast(spark, sf_dir, specs):
+    df = specs["q24_grouped_column_reuse"].fn(spark, sf_dir)
+    stats = plans.plan_stats(df)
+    assert stats.shuffled_hash_joins == 1
+    assert stats.broadcast_joins == 0
+
+
+def test_dedup_window_single_shuffle(spark, sf_dir, specs):
+    df = specs["q07_dedup_keep_newest"].fn(spark, sf_dir)
+    stats = plans.plan_stats(df)
+    assert stats.shuffles <= 1  # partitionBy(pk) is the only exchange
+
+
+@pytest.mark.parametrize("name", SQL_EXPRESSIBLE_HEADLINE)
+def test_no_python_in_sql_paths(spark, sf_dir, specs, name):
+    plans.assert_no_python_in_plan(specs[name].fn(spark, sf_dir))
+
+
+@pytest.mark.parametrize("name", SQL_EXPRESSIBLE_HEADLINE)
+def test_codegen_present(spark, sf_dir, specs, name):
+    # Post-AQE executed plan: every SQL path must run inside whole-stage
+    # codegen (a span count of 0 means an interpreted/fallback path crept in).
+    assert plans.executed_codegen_spans(specs[name].fn(spark, sf_dir)) >= 1
+
+
+def test_ecom_mart_plan_is_jvm_only(spark, specs):
+    from ecom_snowflake_duckdb_migration_spark.ecom import PipelineRunner
+    from ecom_snowflake_duckdb_migration_spark.ecom.generate import generate_all
+
+    runner = PipelineRunner(spark, generate_all(spark, n_customers=50))
+    df = runner.ref("fct_order_details")
+    plans.assert_no_python_in_plan(df)
+    stats = plans.plan_stats(df)
+    assert stats.broadcast_joins >= 4  # lookups/brands/categories broadcast
