@@ -17,11 +17,12 @@ Reference behaviors replicated (paths relative to /root/reference):
   list columns are serialized to JSON strings
   (ingest_latest_synthetic_data.py:246-276, 0_ingest_historic_synthetic_data.py:141-171).
 
-Scale notes: envelope JSON files are one-object-per-file, so ``multiLine=True``
-is required; at 100 TB the envelope format itself is the bottleneck (a single
-JSON document cannot be split) — ``read_envelope_json`` therefore accepts a
-glob of many envelope files and parallelizes across files, which matches the
-reference's per-table-per-day object layout.
+Scale notes: our envelope sink emits one envelope per LINE (JSON-Lines —
+splittable, any number of envelopes per file), which is the default read
+mode; reference-style S3 objects (one pretty-printed envelope per file,
+unsplittable) are read with ``multi_line=True`` across a glob of files, which
+parallelizes per file — the envelope-per-object format itself is the 100 TB
+bottleneck, which is why the sink side normalizes to JSON-Lines.
 """
 
 from __future__ import annotations
@@ -61,11 +62,14 @@ def read_envelope_json(
     path: str,
     data_schema: StructType | None = None,
     validate_count: bool = False,
+    multi_line: bool = False,
 ) -> DataFrame:
     """S2: read ``{metadata, data: [...]}`` envelope JSON into one row per
-    data element. ``path`` may be a glob of many envelope objects; each file
-    is one envelope (multiLine)."""
-    reader = spark.read.option("multiLine", "true")
+    data element. Default is JSON-Lines (one envelope per line — what
+    ``write_envelope_json`` emits; a file may hold many envelopes).
+    ``multi_line=True`` reads reference-style S3 objects where one file IS
+    one pretty-printed envelope document."""
+    reader = spark.read.option("multiLine", "true" if multi_line else "false")
     if data_schema is not None:
         reader = reader.schema(envelope_schema(data_schema))
     raw = reader.json(path)
@@ -82,10 +86,13 @@ def read_envelope_json(
 
 
 def read_envelope_metadata(
-    spark: SparkSession, path: str, data_schema: StructType | None = None
+    spark: SparkSession,
+    path: str,
+    data_schema: StructType | None = None,
+    multi_line: bool = False,
 ) -> DataFrame:
-    """Envelope metadata records (one per file) without materializing rows."""
-    reader = spark.read.option("multiLine", "true")
+    """Envelope metadata records (one per envelope) without materializing rows."""
+    reader = spark.read.option("multiLine", "true" if multi_line else "false")
     if data_schema is not None:
         reader = reader.schema(envelope_schema(data_schema))
     return reader.json(path).select("metadata.*")

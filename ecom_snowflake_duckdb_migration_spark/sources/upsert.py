@@ -52,9 +52,18 @@ def upsert_delete_insert(
 
     Rows of ``target`` whose key appears in ``batch`` are dropped (DELETE),
     then the whole batch is appended (INSERT). Exactly the reference's
-    two-statement transaction, in one anti-join + union.
+    two-statement transaction, in one anti-join + union. Key comparison is
+    null-safe: a NULL key component matches a NULL (the reference's
+    ``pk IN (SELECT pk ...)`` would silently never delete NULL-keyed rows —
+    reviews carry NULL review_ids — and re-runs would duplicate them).
     """
-    kept = target.join(batch.select(*keys).distinct(), keys, "left_anti")
+    from functools import reduce
+
+    new_keys = batch.select(*keys).distinct()
+    cond = reduce(
+        lambda a, b: a & b, [target[k].eqNullSafe(new_keys[k]) for k in keys]
+    )
+    kept = target.join(new_keys, cond, "left_anti")
     return kept.unionByName(batch, allowMissingColumns=True)
 
 
