@@ -189,3 +189,88 @@ def ann_topk_ivf(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ---- centroid IVF (inverted-file) index ----
+
+
+def train_centroids(
+    df: DataFrame,
+    n_centroids: int,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> list[list[float]]:
+    """KMeans coarse quantizer (the IVF codebook). Training is a distributed
+    MLlib job; the returned codebook is tiny (n_centroids x dim floats) and
+    ships to queries as literals. At 100 TB you train on a sample
+    (``df.sample``) — centroids converge long before full data."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feats)
+    return [c.tolist() for c in model.clusterCenters()]
+
+
+def assign_cell(vec_col: Column | str, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid id (by cosine) as a pure Catalyst expression —
+    the codebook is inlined as literals, so assignment is a scan-side map
+    with no shuffle and no Python."""
+    best_id = F.lit(0)
+    best_sim = cosine(vec_col, F.array(*[F.lit(float(x)) for x in centroids[0]]))
+    for i, c in enumerate(centroids[1:], start=1):
+        sim = cosine(vec_col, F.array(*[F.lit(float(x)) for x in c]))
+        improved = sim > best_sim
+        best_id = F.when(improved, F.lit(i)).otherwise(best_id)
+        best_sim = F.when(improved, sim).otherwise(best_sim)
+    return best_id
+
+
+def ivf_partition(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach the IVF cell id. Persisting the result partitioned/bucketed by
+    ``ivf_cell`` turns every probe into partition pruning at scale."""
+    return df.withColumn("ivf_cell", assign_cell(vec_col, centroids))
+
+
+def ann_topk_ivf_centroids(
+    df: DataFrame,
+    query: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search: score only the ``nprobe`` cells nearest the query vector,
+    exact cosine re-rank inside them. Scored fraction ~ nprobe/n_centroids.
+
+    ``query`` is a 1-row DataFrame with column ``qe``. The probe-cell set is
+    computed as a Catalyst expression on the broadcast query row — no
+    driver-side vector math, so the same plan works when ``query`` is a
+    parameter table of many queries... with one row here for the top-k
+    contract."""
+    sims = F.array(
+        *[
+            F.struct(
+                cosine("qe", F.array(*[F.lit(float(x)) for x in c])).alias("sim"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probe_cells = F.slice(F.reverse(F.array_sort(sims)), 1, nprobe)
+    q = query.select(F.col("qe"), F.transform(probe_cells, lambda s: s["cell"]).alias("cells"))
+    celled = ivf_partition(df, centroids, vec_col)
+    probed = celled.join(
+        F.broadcast(q), F.array_contains(F.col("cells"), F.col("ivf_cell"))
+    )
+    return (
+        probed.select(F.col(id_col), cosine(vec_col, "qe").alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

@@ -305,3 +305,21 @@ def q50_ann_lsh_topk(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     query = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
     return sim.ann_topk_ivf(e, query, k=20, dim=64, n_planes=8)
+
+
+@register(
+    "q51_ann_ivf_topk",
+    oracle=None,  # KMeans codebook training is not SQL-expressible; recall
+    # and rank order vs the exact q46 are pinned in tests/test_operators.py.
+    doc="Approximate top-k via a centroid IVF index "
+    "(operators.similarity.train_centroids + ann_topk_ivf_centroids): KMeans "
+    "coarse quantizer, nprobe nearest cells scored, exact cosine re-rank. "
+    "The scale path: persist ivf_partition output bucketed by cell and "
+    "probes become partition pruning.",
+    tags=("LLM", "similarity", "ivf"),
+)
+def q51_ann_ivf_topk(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    centroids = sim.train_centroids(e, n_centroids=8, seed=42)
+    query = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    return sim.ann_topk_ivf_centroids(e, query, centroids, k=20, nprobe=4)

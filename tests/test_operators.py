@@ -93,3 +93,33 @@ def test_quality_and_language_columns(spark, sf_dir):
         assert r.n_tokens >= 1
     langs = {r.predicted_lang for r in tx.predict_language(d).collect()}
     assert langs <= {"en", "fr", "de", "es", "cjk", "und"}
+
+
+def test_ivf_centroids_recall_vs_bruteforce(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    centroids = sim.train_centroids(e, n_centroids=8, seed=42)
+    assert len(centroids) == 8 and len(centroids[0]) == 64
+    query = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    exact = [r.vec_id for r in sim.ann_topk_bruteforce(e, query, k=10).collect()]
+    approx = [
+        r.vec_id
+        for r in sim.ann_topk_ivf_centroids(e, query, centroids, k=10, nprobe=4).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    # nprobe=4 of 8 cells scores ~half the vectors; planted-cluster data puts
+    # true neighbors in the query's cell, so recall should be near-perfect.
+    assert recall >= 0.8, f"IVF recall too low: {recall}"
+    # the overlap must preserve the exact ranking order (re-rank is exact)
+    common = set(exact) & set(approx)
+    assert [v for v in approx if v in common] == [v for v in exact if v in common]
+
+
+def test_ivf_partition_prunes_scored_fraction(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    centroids = sim.train_centroids(e, n_centroids=8, seed=42)
+    celled = sim.ivf_partition(e, centroids)
+    total = celled.count()
+    n_cells = celled.select("ivf_cell").distinct().count()
+    assert n_cells > 1, "degenerate codebook"
+    per_cell = celled.groupBy("ivf_cell").count().agg(F.max("count")).first()[0]
+    assert per_cell < total, "all vectors in one cell"
