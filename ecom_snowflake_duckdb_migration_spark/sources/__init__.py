@@ -10,6 +10,7 @@ from .readers import (
 )
 from .upsert import (
     align_union,
+    backfill_id_column,
     dedup_keep_newest,
     incremental_filter,
     relationships_check,
@@ -28,6 +29,7 @@ from .writers import (
 
 __all__ = [
     "align_union",
+    "backfill_id_column",
     "create_typed_table",
     "create_view",
     "dedup_keep_newest",

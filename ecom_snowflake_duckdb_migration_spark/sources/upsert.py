@@ -108,6 +108,28 @@ def incremental_filter(
     )
 
 
+def backfill_id_column(
+    df: DataFrame, col: str, offset: int = 0, order_by: list[str] | None = None
+) -> DataFrame:
+    """P9: add a synthetic id column only if it is absent from the schema
+    (the reference backfills REVIEW_ID when an extract lacks it,
+    src/pipeline/ingest_latest_synthetic_data.py:205-207).
+
+    With ``order_by`` the ids are a deterministic dense sequence via
+    row_number (one shuffle); without it, ``monotonically_increasing_id`` —
+    unique and order-preserving per partition, shuffle-free, but not dense —
+    the right trade at 100 TB when only uniqueness matters.
+    """
+    if col in df.columns:
+        return df
+    if order_by:
+        w = Window.orderBy(*[F.col(c) for c in order_by])
+        new_id = F.row_number().over(w) + F.lit(offset)
+    else:
+        new_id = F.monotonically_increasing_id() + F.lit(offset)
+    return df.withColumn(col, new_id.cast("string"))
+
+
 def relationships_check(
     child: DataFrame, parent: DataFrame, child_key: str | Column, parent_key: str | Column
 ) -> DataFrame:

@@ -145,3 +145,17 @@ def test_typed_table_and_catalog(spark, tmp_path):
         assert mine and mine[0].row_count == 1 and mine[0].columns == ("id", "name")
     finally:
         spark.sql("DROP TABLE IF EXISTS t_sources_ext")
+
+
+def test_backfill_id_column(spark):
+    df = spark.createDataFrame([("a",), ("b",), ("c",)], ["v"])
+    out = sources.backfill_id_column(df, "review_id", offset=1_000_000, order_by=["v"])
+    ids = [r.review_id for r in out.orderBy("v").collect()]
+    assert ids == ["1000001", "1000002", "1000003"]
+    # column already present -> untouched (the schema guard)
+    again = sources.backfill_id_column(out, "review_id")
+    assert again is out
+    # shuffle-free variant: unique, not necessarily dense
+    fast = sources.backfill_id_column(df, "rid")
+    vals = [r.rid for r in fast.collect()]
+    assert len(set(vals)) == 3
