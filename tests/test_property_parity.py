@@ -1,0 +1,133 @@
+"""Property-based cross-engine parity for the SURVEY §7 hard parts.
+
+Hypothesis generates adversarial inputs; each batch runs through BOTH Spark
+and DuckDB and must agree value-for-value:
+- F6 surrogate_key == dbt_utils md5/concat expansion (any strings, NULLs,
+  unicode, embedded separators);
+- P2 TRY_CAST(ts) over the reference's timestamp shapes and corruptions;
+- F2 SPLIT_PART with negative/out-of-range indexes.
+
+Examples are kept small (each costs a Spark job) but each example is a whole
+batch of generated rows.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ecom_snowflake_duckdb_migration_spark.functions.core import surrogate_key
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+text_or_null = st.one_of(
+    st.none(),
+    st.text(min_size=0, max_size=30),  # full unicode incl. '-' and quotes
+)
+
+
+import datetime as _dt
+
+# 4-digit-year domain: the reference's raw layer never carries pre-1000
+# years, and the engines genuinely diverge outside it (see
+# test_known_try_cast_divergences).
+_dts = st.datetimes(min_value=_dt.datetime(1000, 1, 1))
+
+
+@st.composite
+def timestampish(draw):
+    """Strings in the shapes the reference's raw layer actually carries
+    (normalized, ISO-with-millis) plus corruptions of them."""
+    base = draw(
+        st.one_of(
+            _dts.map(lambda d: d.strftime("%Y-%m-%d %H:%M:%S")),
+            _dts.map(lambda d: d.strftime("%Y-%m-%dT%H:%M:%S.") + "123"),
+            st.sampled_from(["", "not-a-date", "2024-13-45 99:99:99", "0000-00-00"]),
+        )
+    )
+    if draw(st.booleans()):
+        # corrupt: truncate or inject a character
+        cut = draw(st.integers(0, max(len(base) - 1, 0)))
+        base = base[:cut] + draw(st.sampled_from(["", "x", " ", "-"])) + base[cut:]
+    return base
+
+
+def _duck(rows, cols, sql):
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    placeholders = ", ".join(["(" + ", ".join(["?"] * len(cols)) + ")"] * len(rows))
+    colnames = ", ".join(cols)
+    flat = [v for r in rows for v in r]
+    return con.execute(
+        f"WITH t({colnames}) AS (VALUES {placeholders}) {sql}", flat
+    ).fetchall()
+
+
+@given(st.lists(st.tuples(text_or_null, text_or_null), min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_surrogate_key_matches_dbt_utils_md5(spark, vals):
+    df = spark.createDataFrame(vals, "a string, b string")
+    got = [r.k for r in df.select(surrogate_key("a", "b").alias("k")).collect()]
+    want = [
+        r[0]
+        for r in _duck(
+            vals,
+            ["a", "b"],
+            "SELECT md5(concat_ws('-', coalesce(cast(a as varchar), ''), "
+            "coalesce(cast(b as varchar), ''))) FROM t",
+        )
+    ]
+    assert got == want
+
+
+@given(st.lists(st.tuples(timestampish()), min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_try_cast_timestamp_parity(spark, vals):
+    df = spark.createDataFrame(vals, "s string")
+    got = [
+        r.ts for r in df.select(F.expr("try_cast(s as timestamp)").alias("ts")).collect()
+    ]
+    want = [r[0] for r in _duck(vals, ["s"], "SELECT TRY_CAST(s AS TIMESTAMP) FROM t")]
+    assert got == want, f"inputs: {[v[0] for v in vals]}"
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=25),
+            st.integers(-6, 6).filter(lambda i: i != 0),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_split_part_negative_index_parity(spark, vals):
+    df = spark.createDataFrame(vals, "s string, n int")
+    got = [
+        r.p
+        for r in df.select(
+            F.split_part(F.col("s"), F.lit(","), F.col("n")).alias("p")
+        ).collect()
+    ]
+    want = [r[0] for r in _duck(vals, ["s", "n"], "SELECT SPLIT_PART(s, ',', n) FROM t")]
+    assert got == want, f"inputs: {vals}"
+
+
+def test_known_try_cast_divergences(spark):
+    """Documented cross-engine differences OUTSIDE the reference's data
+    domain (found by hypothesis, pinned here so a behavior change is
+    noticed): DuckDB parses 1-3 digit years; Spark's cast requires 4."""
+    cases = ["999-01-01 00:00:00", "5-01-01 00:00:00"]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = [r.ts for r in df.select(F.expr("try_cast(s as timestamp)").alias("ts")).collect()]
+    assert got == [None, None]  # Spark: NULL
+    want = [r[0] for r in _duck([(c,) for c in cases], ["s"], "SELECT TRY_CAST(s AS TIMESTAMP) FROM t")]
+    assert all(w is not None for w in want)  # DuckDB: parsed
