@@ -89,3 +89,35 @@ def test_ecom_mart_plan_is_jvm_only(spark, specs):
     plans.assert_no_python_in_plan(df)
     stats = plans.plan_stats(df)
     assert stats.broadcast_joins >= 4  # lookups/brands/categories broadcast
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, specs):
+    """The 100 TB co-location lever: two tables bucketed on the join key by
+    sources.write_table join with ZERO exchanges (pre-shuffled layout)."""
+    from pyspark.sql import functions as F
+
+    from ecom_snowflake_duckdb_migration_spark.queries import load
+    from ecom_snowflake_duckdb_migration_spark.sources import write_table
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    lineitem = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    try:
+        write_table(orders, "t_orders_b", bucket_by=(8, ["o_orderkey"]))
+        write_table(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "t_lineitem_b",
+            bucket_by=(8, ["o_orderkey"]),
+        )
+        joined = (
+            spark.table("t_orders_b")
+            .hint("merge")
+            .join(spark.table("t_lineitem_b"), "o_orderkey")
+            .groupBy("o_orderkey")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        stats = plans.plan_stats(joined)
+        assert stats.shuffles == 0, f"bucketed join still shuffles: {stats}"
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
