@@ -166,3 +166,21 @@ def q33_media_decode_stats(spark, sf_dir):
             F.round(F.avg("mean_pixel"), 2).alias("avg_mean_pixel"),
         )
     )
+
+
+@register(
+    "q34_ecom_pipeline_smoke",
+    oracle=None,  # runs on generated ecom data, not the driver tables; all
+    # 37 models are row-for-row oracle-checked against the reference SQL in
+    # tests/test_ecom_pipeline.py.
+    doc="The reference's whole product through the driver gate: seeded "
+    "generator -> 8 staging views -> 15 intermediate -> 14 marts "
+    "(ecom.PipelineRunner), returning the fct_sales_by_date mart.",
+    tags=("pipeline", "E1"),
+)
+def q34_ecom_pipeline_smoke(spark, sf_dir):
+    from ..ecom import PipelineRunner
+    from ..ecom.generate import generate_all
+
+    runner = PipelineRunner(spark, generate_all(spark, n_customers=100))
+    return runner.ref("fct_sales_by_date").drop("updated_at")
