@@ -122,12 +122,12 @@ def q01_pricing_summary(spark, sf_dir):
     tags=("J1", "J3", "A1", "A2"),
 )
 def q02_revenue_by_nation(spark, sf_dir):
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
-    # Partial aggregation pushed below the join: lineitem collapses to one
-    # row per order before touching orders/customer, shrinking the join input
-    # ~4x. Decimal sums are exact and associative, so the two-level sum is
-    # bit-identical to the single-pass dsum the oracle computes.
+    # Aggregates cascade BELOW every join (the 100 TB plan shape): lineitem
+    # collapses to one row per order, then to one row per customer, before
+    # the dimension joins — each join input shrinks ~4x/5x, and the oracle's
+    # COUNT(DISTINCT c_custkey) becomes a plain COUNT over the per-customer
+    # rollup (no distinct-aggregate state). Decimal sums are associative, so
+    # the cascade is bit-identical to the single-pass dsum the oracle runs.
     lrev = (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
@@ -135,17 +135,23 @@ def q02_revenue_by_nation(spark, sf_dir):
             F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC_ELEM)).alias("_rev")
         )
     )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        o.join(lrev, lrev.l_orderkey == o.o_orderkey, "inner")
+        .groupBy("o_custkey")
+        .agg(F.sum("_rev").alias("_crev"))
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = F.broadcast(load(spark, sf_dir, "nation"))
     r = F.broadcast(load(spark, sf_dir, "region"))
     return (
-        c.join(o, o.o_custkey == c.c_custkey, "inner")
-        .join(lrev, lrev.l_orderkey == o.o_orderkey, "inner")
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey, "inner")
         .join(n, n.n_nationkey == c.c_nationkey, "inner")
         .join(r, r.r_regionkey == n.n_regionkey, "inner")
         .groupBy("r_name", "n_name")
         .agg(
-            F.sum("_rev").cast("decimal(18,2)").alias("revenue"),
-            F.countDistinct("c_custkey").alias("n_customers"),
+            F.sum("_crev").cast("decimal(18,2)").alias("revenue"),
+            F.count(F.lit(1)).alias("n_customers"),
         )
     )
 
