@@ -159,3 +159,29 @@ def test_backfill_id_column(spark):
     fast = sources.backfill_id_column(df, "rid")
     vals = [r.rid for r in fast.collect()]
     assert len(set(vals)) == 3
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, sf_dir):
+    """S1/S6 against a real JDBC database (Derby ships with Spark): write a
+    driver table out, read it back plain and with a partitioned scan."""
+    url = "jdbc:derby:memory:srcjdbc;create=true"
+    drv = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    region = load(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("int").alias("id"), F.col("r_name").alias("name")
+    )
+    sources.write_jdbc(region, url, "regions", **drv)
+    back = sources.read_jdbc(spark, url, "regions", **drv)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in region.collect()
+    )
+    # Partitioned extraction: same rows, parallel connections (S1 scale path).
+    part = sources.read_jdbc(
+        spark, url, "regions",
+        partition_column="id", num_partitions=3, lower_bound=0, upper_bound=5,
+        **drv,
+    )
+    assert part.rdd.getNumPartitions() == 3
+    assert part.count() == region.count()
+    # Append mode stacks a second batch (the daily-feed sink path).
+    sources.write_jdbc(region, url, "regions", mode="append", **drv)
+    assert sources.read_jdbc(spark, url, "regions", **drv).count() == 2 * region.count()
