@@ -184,3 +184,49 @@ def q34_ecom_pipeline_smoke(spark, sf_dir):
 
     runner = PipelineRunner(spark, generate_all(spark, n_customers=100))
     return runner.ref("fct_sales_by_date").drop("updated_at")
+
+
+@register(
+    "q35_user_sessions",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+    ),
+    sess AS (
+        SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, value) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           min(ts)                          AS session_start,
+           max(ts) + INTERVAL 30 MINUTE     AS session_end,
+           count(*)                         AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(27,6))), 2) AS DECIMAL(18,2))
+                                            AS total_value
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="Gap-based session derivation (session_window, 30-min gap) — the "
+    "engine derives what the reference's generator precomputes as "
+    "session_id (0_generate_historic_synthetic_data.py:242-272). Oracle "
+    "expresses the same half-open [first, last+gap) semantics via "
+    "lag/cumsum (break on diff >= gap).",
+    tags=("streaming", "session"),
+)
+def q35_user_sessions(spark, sf_dir):
+    from ..streaming import sessionize
+
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = sessionize(e, gap="30 minutes", ts_col="ts", key_cols=["user_id"])
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.expr("CAST(round(CAST(total_value AS DECIMAL(27,6)), 2) AS DECIMAL(18,2))").alias(
+            "total_value"
+        ),
+    )

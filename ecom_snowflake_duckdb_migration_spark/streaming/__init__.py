@@ -8,11 +8,14 @@ from .ingest import (
     upsert_stream_sink,
     windowed_event_counts,
 )
+from .sessionize import running_counts_stateful, sessionize
 
 __all__ = [
     "dedup_stream",
     "foreach_batch_pipeline",
     "read_event_stream",
+    "running_counts_stateful",
+    "sessionize",
     "upsert_stream_sink",
     "windowed_event_counts",
 ]

@@ -102,3 +102,67 @@ def test_upsert_stream_sink(spark, event_source):
     )
     q2.awaitTermination(300)
     assert spark.read.parquet(target).count() == want.count()
+
+
+def test_streaming_sessionize_matches_batch(spark, event_source):
+    src, schema, root = event_source
+    stream = streaming.read_event_stream(spark, src, schema, max_files_per_trigger=1)
+    sess = streaming.sessionize(
+        stream, gap="30 minutes", ts_col="ts", key_cols=["user_id"], watermark="1 hour"
+    )
+    out = str(root / "sess_out")
+    q = (
+        sess.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(root / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    batch = streaming.sessionize(
+        spark.read.parquet(src), gap="30 minutes", ts_col="ts", key_cols=["user_id"]
+    )
+    # Append mode emits watermark-closed sessions; each must exist in the
+    # batch result with identical bounds and counts.
+    joined = got.alias("g").join(
+        batch.alias("b"), ["user_id", "session_start", "session_end"], "inner"
+    )
+    n = got.count()
+    assert n > 0
+    assert joined.count() == n
+    assert joined.filter(F.col("g.n_events") != F.col("b.n_events")).count() == 0
+
+
+def test_running_counts_stateful_across_batches(spark, event_source):
+    src, schema, root = event_source
+    stream = streaming.read_event_stream(spark, src, schema, max_files_per_trigger=1)
+    counts = streaming.running_counts_stateful(stream, "event_type")
+    out = str(root / "state_out")
+
+    # parquet sinks reject update mode; foreachBatch appends each batch's
+    # emissions (exactly what a real update-mode sink would consume).
+    def sink(batch, batch_id):
+        batch.write.mode("append").parquet(out)
+
+    q = (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(root / "state_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    # Multiple emissions per key (one per micro-batch that saw it); the MAX
+    # is the final running total and must equal the batch count — state
+    # really accumulated across the two files.
+    final = {r.key: r.total for r in got.groupBy("key").agg(F.max("total").alias("total")).collect()}
+    want = {
+        r.event_type: r.n
+        for r in spark.read.parquet(src).groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert final == want
+    emissions_per_key = got.groupBy("key").count().agg(F.max("count")).first()[0]
+    assert emissions_per_key == 2  # two micro-batches -> state carried over
