@@ -41,8 +41,12 @@ def main() -> None:
     # scale-correct 128 MB default split puts the whole scan on one core.
     # 4 MB splits engage multiple cores at this file size; a real cluster at
     # real scale keeps the factory default.
+    # 8 shuffle partitions: at sf0.1 every shuffle is <50 MB, so fewer,
+    # larger tasks beat 32-way scheduling overhead (~15% on the join-heavy
+    # queries). A real cluster keeps the factory default (2-3x total cores).
     spark = get_spark(
         app_name="bench",
+        shuffle_partitions=8,
         extra_conf={
             "spark.sql.files.maxPartitionBytes": "4194304",
             "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8388608",
