@@ -323,3 +323,59 @@ def q51_ann_ivf_topk(spark, sf_dir):
     centroids = sim.train_centroids(e, n_centroids=8, seed=42)
     query = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
     return sim.ann_topk_ivf_centroids(e, query, centroids, k=20, nprobe=4)
+
+
+@register(
+    "q52_dedup_canonical_docs",
+    oracle="""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id,
+               unnest(list_distinct([substr(text, i, 3) for i in range(1, length(text) - 1)]))
+                   AS shingle
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT d1, d2 FROM inter
+        JOIN sizes s1 ON s1.doc_id = d1
+        JOIN sizes s2 ON s2.doc_id = d2
+        WHERE CAST(n_inter AS BIGINT) * 1000000 // (s1.sz + s2.sz - n_inter) >= 800000
+    ),
+    edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+    walk(node, reach) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        UNION
+        SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a
+    ),
+    comp AS (SELECT node, min(reach) AS component FROM walk GROUP BY node),
+    keep AS (
+        SELECT d.doc_id FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
+        WHERE comp.node IS NULL OR d.doc_id = comp.component
+    )
+    SELECT count(*) AS n_docs_kept,
+           (SELECT count(*) FROM documents) - count(*) AS n_dropped
+    FROM keep
+    """,
+    doc="Full dedup pipeline last stage: near-dup pairs (3-gram Jaccard >= "
+    "0.8, the exact q45 pair set) -> connected components (distributed "
+    "min-label propagation, operators.dedup_groups.connected_components) -> "
+    "one canonical doc per cluster + all singletons. Oracle resolves "
+    "components with a recursive transitive-closure CTE.",
+    tags=("LLM", "dedup", "graph"),
+)
+def q52_dedup_canonical_docs(spark, sf_dir):
+    from ..operators.dedup_groups import select_canonical
+
+    d = load(spark, sf_dir, "documents")
+    pairs = tx.ngram_jaccard_pairs(d, k=3, threshold_e6=800_000)
+    kept = select_canonical(d, pairs, id_col="doc_id")
+    total = d.count()
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        (F.lit(total) - F.count(F.lit(1))).alias("n_dropped"),
+    )

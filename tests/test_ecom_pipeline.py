@@ -119,3 +119,25 @@ def test_generator_is_deterministic(spark):
     a = generate_all(spark, n_customers=50)["orders"].collect()
     b = generate_all(spark, n_customers=50)["orders"].collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pipeline_handles_tiny_and_empty_inputs(spark):
+    """Degenerate scales must not break any of the 37 models: n_customers=1,
+    and fully-empty raw tables (0 rows everywhere)."""
+    from pyspark.sql import functions as F
+
+    from ecom_snowflake_duckdb_migration_spark.ecom import PipelineRunner
+    from ecom_snowflake_duckdb_migration_spark.ecom.generate import generate_all
+
+    tiny = PipelineRunner(spark, generate_all(spark, n_customers=1))
+    out = tiny.run()
+    assert len(out) == 37
+    for name, df in out.items():
+        df.count()  # must evaluate without error
+
+    empty_raw = {
+        name: df.filter(F.lit(False)) for name, df in generate_all(spark, 5).items()
+    }
+    empty = PipelineRunner(spark, empty_raw)
+    out2 = empty.run()
+    assert all(df.count() == 0 for df in out2.values())

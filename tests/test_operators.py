@@ -123,3 +123,34 @@ def test_ivf_partition_prunes_scored_fraction(spark, sf_dir):
     assert n_cells > 1, "degenerate codebook"
     per_cell = celled.groupBy("ivf_cell").count().agg(F.max("count")).first()[0]
     assert per_cell < total, "all vectors in one cell"
+
+
+def test_connected_components_chain_and_clique(spark):
+    from ecom_snowflake_duckdb_migration_spark.operators.dedup_groups import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4 (diameter 3), clique 10-11-12, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["d1", "d2"],
+    )
+    comp = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_select_canonical_with_preference(spark):
+    from ecom_snowflake_duckdb_migration_spark.operators.dedup_groups import (
+        select_canonical,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 1.0), (7, 2.0)], ["doc_id", "score"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["d1", "d2"])
+    # default: min id wins; singleton 7 always kept
+    kept = {r.doc_id for r in select_canonical(docs, pairs).collect()}
+    assert kept == {1, 7}
+    # preference: highest score wins within the cluster
+    best = {r.doc_id for r in select_canonical(docs, pairs, prefer=F.desc("score")).collect()}
+    assert best == {2, 7}
