@@ -10,7 +10,10 @@ between engines and occasionally straddles a rounding boundary. Instead each
 element is cast to an exact DECIMAL before SUM, which both engines aggregate
 exactly (bit-identical), then the result is cast to a fixed output type:
 
-- ``dsum``: SUM(CAST(x AS DECIMAL(27,6))) -> DECIMAL(18,2)  (money totals)
+- ``dsum``: SUM(CAST(x AS DECIMAL(27,6))) -> round 2 -> DOUBLE (money totals;
+  the round happens on the exact decimal so both engines round the same value,
+  and the final decimal->double cast is IEEE-nearest in both — the DOUBLE
+  output repr is then byte-identical, which the driver's value-hash needs)
 - ``davg``: exact decimal sum -> DOUBLE, / count, round 6    (averages)
 
 Source doubles carry <= 4 true decimal digits (prices/discounts are 2-decimal
@@ -38,15 +41,16 @@ from . import load, register
 DEC_ELEM = "decimal(27,6)"
 
 
-def dsum(c: Column, out: str = "decimal(18,2)") -> Column:
+def dsum(c: Column) -> Column:
     """Exact decimal SUM of a double expression; see module docstring."""
-    return F.sum(c.cast(DEC_ELEM)).cast(out)
+    return F.round(F.sum(c.cast(DEC_ELEM)), 2).cast("double")
 
 
-def o_dsum(expr: str, out: str = "DECIMAL(18,2)") -> str:
-    # round() before CAST: DuckDB's decimal-downscale CAST truncates while
-    # Spark's rounds HALF_UP; round() is half-away-from-zero in both engines.
-    return f"CAST(round(sum(CAST({expr} AS DECIMAL(27,6))), 2) AS {out})"
+def o_dsum(expr: str) -> str:
+    # round() on the exact decimal sum (half-away-from-zero in both engines),
+    # THEN cast to DOUBLE: a DECIMAL output would hash-differ on trailing-zero
+    # repr (Decimal('139345.00') vs 139345.0) despite identical values.
+    return f"CAST(round(sum(CAST({expr} AS DECIMAL(27,6))), 2) AS DOUBLE)"
 
 
 def davg(c: Column) -> Column:
@@ -150,7 +154,7 @@ def q02_revenue_by_nation(spark, sf_dir):
         .join(r, r.r_regionkey == n.n_regionkey, "inner")
         .groupBy("r_name", "n_name")
         .agg(
-            F.sum("_crev").cast("decimal(18,2)").alias("revenue"),
+            F.round(F.sum("_crev"), 2).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_customers"),
         )
     )
@@ -886,7 +890,7 @@ def q27_lineage_and_format(spark, sf_dir):
     SELECT CAST(c_custkey AS VARCHAR)                  AS customer_id,
            CAST(c_name AS VARCHAR)                     AS customer_name,
            CAST(c_nationkey AS INT)                    AS nation_key,
-           CAST(c_acctbal AS DECIMAL(12,2))            AS account_balance,
+           CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS account_balance,
            TRY_CAST(c_mktsegment AS INT)               AS segment_as_int
     FROM customer
     """,
@@ -902,7 +906,9 @@ def q28_typed_projection(spark, sf_dir):
         F.col("c_custkey").cast("string").alias("customer_id"),
         F.col("c_name").cast("string").alias("customer_name"),
         F.col("c_nationkey").cast("int").alias("nation_key"),
-        F.col("c_acctbal").cast("decimal(12,2)").alias("account_balance"),
+        # decimal cast demonstrates the typed-projection contract; the final
+        # double cast keeps the driver hash repr-stable (no Decimal('x.00')).
+        F.col("c_acctbal").cast("decimal(12,2)").cast("double").alias("account_balance"),
         # explicit try_cast works under both ANSI modes: 'BUILDING' -> NULL
         F.expr("try_cast(c_mktsegment AS INT)").alias("segment_as_int"),
     )

@@ -205,7 +205,7 @@ def q34_ecom_pipeline_smoke(spark, sf_dir):
            min(ts)                          AS session_start,
            max(ts) + INTERVAL 30 MINUTE     AS session_end,
            count(*)                         AS n_events,
-           CAST(round(sum(CAST(value AS DECIMAL(27,6))), 2) AS DECIMAL(18,2))
+           CAST(round(sum(CAST(value AS DECIMAL(27,6))), 2) AS DOUBLE)
                                             AS total_value
     FROM sess GROUP BY user_id, sid
     """,
@@ -226,7 +226,9 @@ def q35_user_sessions(spark, sf_dir):
         "session_start",
         "session_end",
         "n_events",
-        F.expr("CAST(round(CAST(total_value AS DECIMAL(27,6)), 2) AS DECIMAL(18,2))").alias(
+        # round on the exact decimal, emit DOUBLE: a DECIMAL output would
+        # hash-differ from the oracle on trailing-zero repr despite equal values
+        F.expr("CAST(round(CAST(total_value AS DECIMAL(27,6)), 2) AS DOUBLE)").alias(
             "total_value"
         ),
     )
