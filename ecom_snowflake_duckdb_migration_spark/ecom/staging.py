@@ -3,9 +3,10 @@
 Each spec mirrors one model in
 /root/reference/dbt/dbt_duckdb/models/ecom_staging/stg_*.sql 1:1 — the
 reference's de-facto schema contract: plain CAST for safe conversions,
-TRY_CAST (malformed -> NULL) for string-borne timestamps. ``try_to_timestamp``
-is expressed with Spark's ``try_cast`` so the semantics hold even under an
-ANSI-enabled session.
+TRY_CAST (malformed -> NULL) for string-borne timestamps via
+``functions.core.try_to_timestamp`` (non-ANSI cast bounded to years 1..9999,
+so the semantics hold even under an ANSI-enabled session and out-of-range
+years never cross the Python datetime boundary).
 
 Materialization: views (dbt/dbt_duckdb/dbt_project.yml:19-20) — staging stays
 lazy, so Catalyst fuses these casts into downstream plans and column pruning
@@ -16,6 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.core import try_to_timestamp
 
 _LINEAGE = [("data_source", "string"), ("batch_id", "string"), ("loaded_at", "try_timestamp")]
 
@@ -84,7 +87,8 @@ RAW_FOR_STAGING = {name: name.removeprefix("stg_") for name in STAGING_SPECS}
 
 def _cast(col: str, target: str) -> F.Column:
     if target == "try_timestamp":
-        return F.expr(f"try_cast({col} as timestamp)").alias(col)
+        # bounded to years 1..9999 — see functions.core.try_to_timestamp
+        return try_to_timestamp(col).alias(col)
     return F.col(col).cast(target).alias(col)
 
 

@@ -48,10 +48,16 @@ def try_to_timestamp(c: Column | str, fmt: str | None = None) -> Column:
 
     With ANSI off a plain cast already yields NULL on error; this helper keeps
     the intent explicit and supports an optional pattern.
+
+    Range contract: only years 1..9999 are accepted; anything outside (BC
+    years from a leading '-', 5-digit years) yields NULL. Spark's raw cast
+    parses e.g. '-2000-01-01' to a negative-year timestamp that cannot cross
+    the Python datetime boundary, and DuckDB parses it to a BC timestamp —
+    both outside the reference's raw-layer domain, so the engine rejects
+    them deterministically instead of inheriting either quirk.
     """
-    if fmt is None:
-        return _col(c).cast("timestamp")
-    return F.try_to_timestamp(_col(c), F.lit(fmt))
+    ts = _col(c).cast("timestamp") if fmt is None else F.try_to_timestamp(_col(c), F.lit(fmt))
+    return F.when(F.year(ts).between(1, 9999), ts)
 
 
 def with_lineage_columns(

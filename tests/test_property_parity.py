@@ -19,7 +19,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
-from ecom_snowflake_duckdb_migration_spark.functions.core import surrogate_key
+from ecom_snowflake_duckdb_migration_spark.functions.core import surrogate_key, try_to_timestamp
 
 SETTINGS = dict(
     max_examples=8,
@@ -90,11 +90,21 @@ def test_surrogate_key_matches_dbt_utils_md5(spark, vals):
 @given(st.lists(st.tuples(timestampish()), min_size=1, max_size=40))
 @settings(**SETTINGS)
 def test_try_cast_timestamp_parity(spark, vals):
+    # The engine contract (functions.core.try_to_timestamp) bounds accepted
+    # years to 1..9999; the oracle applies the same bound, since raw TRY_CAST
+    # diverges outside it (DuckDB parses '-2000-...' as BC, Spark's cast
+    # yields a negative-year timestamp no Python datetime can carry).
     df = spark.createDataFrame(vals, "s string")
-    got = [
-        r.ts for r in df.select(F.expr("try_cast(s as timestamp)").alias("ts")).collect()
+    got = [r.ts for r in df.select(try_to_timestamp("s").alias("ts")).collect()]
+    want = [
+        r[0]
+        for r in _duck(
+            vals,
+            ["s"],
+            "SELECT CASE WHEN year(TRY_CAST(s AS TIMESTAMP)) BETWEEN 1 AND 9999 "
+            "THEN TRY_CAST(s AS TIMESTAMP) END FROM t",
+        )
     ]
-    want = [r[0] for r in _duck(vals, ["s"], "SELECT TRY_CAST(s AS TIMESTAMP) FROM t")]
     assert got == want, f"inputs: {[v[0] for v in vals]}"
 
 
@@ -131,3 +141,15 @@ def test_known_try_cast_divergences(spark):
     assert got == [None, None]  # Spark: NULL
     want = [r[0] for r in _duck([(c,) for c in cases], ["s"], "SELECT TRY_CAST(s AS TIMESTAMP) FROM t")]
     assert all(w is not None for w in want)  # DuckDB: parsed
+
+
+def test_try_to_timestamp_rejects_out_of_range_years(spark):
+    """The engine's range contract: BC years (leading '-') and 5-digit years
+    -> NULL, even though both raw engines parse them (Spark to a
+    negative-year timestamp that breaks Python conversion, DuckDB to BC /
+    far-future timestamps its client returns as strings)."""
+    cases = ["-2000-01-01 00:00:00", "10000-01-01 00:00:00", "2024-06-01 12:00:00"]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = [r.ts for r in df.select(try_to_timestamp("s").alias("ts")).collect()]
+    assert got[0] is None and got[1] is None
+    assert got[2] is not None and got[2].year == 2024
