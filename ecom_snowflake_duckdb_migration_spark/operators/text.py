@@ -240,6 +240,8 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    # (computed below) candidates: LSH band-bucket equi-join, then exact
+    # Jaccard for THOSE pairs only — never the all-shared-shingle-pairs join.
     band_cols = []
     for band in range(bands):
         cols = [F.col(f"mh_{seed}") for seed in range(band * rows_per_band, (band + 1) * rows_per_band)]
@@ -266,9 +268,24 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, text_col, id_col, k, threshold_e6=0)
+    # Exact-Jaccard verification restricted to the candidate pairs: explode
+    # each candidate by d1's shingles, keep the ones d2 also has (equi-join on
+    # (d2, shingle)), count -> |A∩B|; |A∪B| = |A|+|B|-|A∩B|. Cost is linear
+    # in (candidates x doc shingle count) — NOT the all-shared-shingle-pairs
+    # self-join ngram_jaccard_pairs runs, which would defeat LSH at scale.
+    # Candidate pairs sharing zero shingles simply drop out (Jaccard 0).
+    sh = char_shingles(df, text_col, id_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        candidates.join(sh.select(F.col(id_col).alias("d1"), "shingle"), "d1")
+        .join(sh.select(F.col(id_col).alias("d2"), "shingle"), ["d2", "shingle"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
     return (
-        candidates.join(exact, ["d1", "d2"], "inner")
+        inter.join(sizes.select(F.col(id_col).alias("d1"), F.col("sz").alias("sz1")), "d1")
+        .join(sizes.select(F.col(id_col).alias("d2"), F.col("sz").alias("sz2")), "d2")
+        .withColumn("jaccard_e6", F.expr(f"n_inter * {SCALE} div (sz1 + sz2 - n_inter)"))
         .filter(F.col("jaccard_e6") >= threshold_e6)
         .select("d1", "d2", "jaccard_e6")
     )

@@ -37,6 +37,25 @@ def test_minhash_lsh_matches_exact_jaccard(spark, sf_dir):
         assert exact[pair] == j
 
 
+def test_minhash_verify_scores_candidates_only(spark, sf_dir):
+    """The LSH verify stage must never degenerate into the all-shared-shingle
+    self-join (ngram_jaccard_pairs' shape): a join keyed on `shingle` with an
+    id-inequality condition. Candidates-only scoring joins shingles as pure
+    equi-joins on (doc, shingle), so any shingle-keyed join carrying a `<`
+    condition is the O(n^2)-ish full pair join sneaking back in."""
+    import re
+
+    from ecom_snowflake_duckdb_migration_spark.plans import formatted_plan
+
+    plan = formatted_plan(tx.minhash_lsh_pairs(_docs(spark, sf_dir), threshold_e6=800_000))
+    for section in re.split(r"\n\s*\n", plan):
+        keys = " ".join(re.findall(r"(?:Left|Right) keys \[\d+\]: \[([^\]]*)\]", section))
+        cond = " ".join(re.findall(r"Join condition: ([^\n]*)", section))
+        assert not ("shingle" in keys and "<" in cond), (
+            f"full shingle-pair join in verify path:\n{section}"
+        )
+
+
 def test_simhash_blocking_is_exact(spark, sf_dir):
     d = _docs(spark, sf_dir)
     blocked = {
