@@ -55,15 +55,14 @@ def sessionize(
         F.count(F.lit(1)).alias("n_events"),
         F.sum("value").alias("total_value"),
     ]
-    return (
-        df.groupBy(F.session_window(ts_col, gap).alias("w"), *key_cols)
-        .agg(*aggs)
-        .select(
-            *key_cols,
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
-            *[c for c in ("n_events", "total_value")],
-        )
+    agged = df.groupBy(F.session_window(ts_col, gap).alias("w"), *key_cols).agg(*aggs)
+    # project the caller's actual agg output names, not a hardcoded tuple
+    agg_names = [c for c in agged.columns if c != "w" and c not in key_cols]
+    return agged.select(
+        *key_cols,
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        *agg_names,
     )
 
 

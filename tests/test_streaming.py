@@ -104,6 +104,27 @@ def test_upsert_stream_sink(spark, event_source):
     assert spark.read.parquet(target).count() == want.count()
 
 
+def test_sessionize_custom_aggs(spark, event_source):
+    """The projection must carry the caller's agg aliases, not a hardcoded
+    (n_events, total_value) tuple."""
+    src, schema, root = event_source
+    out = streaming.sessionize(
+        spark.read.parquet(src),
+        gap="30 minutes",
+        ts_col="ts",
+        key_cols=["user_id"],
+        aggs=[
+            F.max("value").alias("peak_value"),
+            F.count_distinct(F.col("event_type")).alias("n_event_types"),
+        ],
+    )
+    assert set(out.columns) == {
+        "user_id", "session_start", "session_end", "peak_value", "n_event_types",
+    }
+    row = out.orderBy("user_id", "session_start").first()
+    assert row.n_event_types >= 1 and row.peak_value is not None
+
+
 def test_streaming_sessionize_matches_batch(spark, event_source):
     src, schema, root = event_source
     stream = streaming.read_event_stream(spark, src, schema, max_files_per_trigger=1)
