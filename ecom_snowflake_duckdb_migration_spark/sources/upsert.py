@@ -115,19 +115,45 @@ def backfill_id_column(
     (the reference backfills REVIEW_ID when an extract lacks it,
     src/pipeline/ingest_latest_synthetic_data.py:205-207).
 
-    With ``order_by`` the ids are a deterministic dense sequence via
-    row_number (one shuffle); without it, ``monotonically_increasing_id`` —
-    unique and order-preserving per partition, shuffle-free, but not dense —
-    the right trade at 100 TB when only uniqueness matters.
+    With ``order_by`` the ids are a deterministic dense sequence assigned
+    distributively: range-partition on the sort keys (globally ordered
+    partitions), row_number within each partition, then add per-partition
+    row-count prefix offsets. A naive ``Window.orderBy`` without partitioning
+    would collapse the whole table into one task; here the only global window
+    runs over ONE ROW PER PARTITION (the count rollup), broadcast back.
+    Without ``order_by``: ``monotonically_increasing_id`` — unique and
+    order-preserving per partition, shuffle-free, but not dense — the right
+    trade at 100 TB when only uniqueness matters.
     """
     if col in df.columns:
         return df
-    if order_by:
-        w = Window.orderBy(*[F.col(c) for c in order_by])
-        new_id = F.row_number().over(w) + F.lit(offset)
-    else:
+    if not order_by:
         new_id = F.monotonically_increasing_id() + F.lit(offset)
-    return df.withColumn(col, new_id.cast("string"))
+        return df.withColumn(col, new_id.cast("string"))
+    cols = [F.col(c) for c in order_by]
+    parts = df.repartitionByRange(*cols).withColumn("_pid", F.spark_partition_id())
+    # one row per partition; the range exchange below parts is reused for
+    # both subtrees, so _pid assignment is consistent across them
+    offsets = (
+        parts.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("_cnt")
+    )
+    local_rn = F.row_number().over(Window.partitionBy("_pid").orderBy(*cols))
+    return (
+        parts.join(F.broadcast(offsets), "_pid")
+        .withColumn(col, (local_rn + F.col("_off") + F.lit(offset)).cast("string"))
+        .drop("_pid", "_off")
+    )
 
 
 def relationships_check(

@@ -161,6 +161,31 @@ def test_backfill_id_column(spark):
     assert len(set(vals)) == 3
 
 
+def test_backfill_id_ordered_is_dense_and_distributed(spark):
+    """order_by ids must be a dense 1..N sequence in sort order WITHOUT
+    collapsing the table into a single task (the old Window.orderBy shape):
+    the result must still live in multiple partitions."""
+    n = 10_000
+    df = spark.range(n).select(
+        (F.col("id") * 2_654_435_761 % 1_000_003).alias("k"), F.col("id").alias("orig")
+    )
+    out = sources.backfill_id_column(df, "rid", order_by=["k", "orig"])
+    rows = out.select("k", "orig", "rid").collect()
+    assert len(rows) == n
+    by_sort = sorted(rows, key=lambda r: (r.k, r.orig))
+    assert [int(r.rid) for r in by_sort] == list(range(1, n + 1))
+    # AQE legitimately coalesces this tiny shuffle to one partition; disable
+    # coalescing so the underlying range-partitioned shape is observable.
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key)
+    try:
+        spark.conf.set(coalesce_key, "false")
+        npart = out.select(F.spark_partition_id().alias("p")).distinct().count()
+        assert npart > 1, "ordered backfill collapsed to a single partition"
+    finally:
+        spark.conf.set(coalesce_key, prev)
+
+
 def test_jdbc_roundtrip_embedded_derby(spark, sf_dir):
     """S1/S6 against a real JDBC database (Derby ships with Spark): write a
     driver table out, read it back plain and with a partitioned scan."""
