@@ -52,15 +52,32 @@ def ensure_confs(spark: SparkSession) -> None:
             pass  # static conf in this session; session factory already set it
 
 
+# Unresolved-DataFrame cache: building spark.read.parquet(...) costs ~100 ms
+# of py4j/analysis per call, which dominates sub-second queries (q02 touches
+# five tables). DataFrames are immutable plans, so reuse per (session, path)
+# is safe; the testdata tables are static. Keyed on the session object so a
+# restarted session never sees stale plans.
+_LOAD_CACHE: dict[tuple[SparkSession, str, str], DataFrame] = {}
+
+
+def clear_load_cache() -> None:
+    _LOAD_CACHE.clear()
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
 
+    key = (spark, sf_dir, name)
+    cached = _LOAD_CACHE.get(key)
+    if cached is not None:
+        return cached
     ensure_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) surfaced as int64 nanos; truncate to micros exactly
         # like DuckDB's ns->us read path (integer div, not float).
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    _LOAD_CACHE[key] = df
     return df
 
 

@@ -5,20 +5,29 @@ Every query documents which SURVEY §2 operators it certifies and the
 reference model it mirrors (citations relative to /root/reference).
 
 Float-parity convention (SURVEY §7 "hard parts" #1): aggregates over DOUBLE
-columns are never compared as rounded double sums — summation order differs
+columns are never compared as raw double sums — summation order differs
 between engines and occasionally straddles a rounding boundary. Instead each
-element is cast to an exact DECIMAL before SUM, which both engines aggregate
-exactly (bit-identical), then the result is cast to a fixed output type:
+element is converted to an exact integer fixed-point value before SUM:
 
-- ``dsum``: SUM(CAST(x AS DECIMAL(27,6))) -> round 2 -> DOUBLE (money totals;
-  the round happens on the exact decimal so both engines round the same value,
-  and the final decimal->double cast is IEEE-nearest in both — the DOUBLE
-  output repr is then byte-identical, which the driver's value-hash needs)
-- ``davg``: exact decimal sum -> DOUBLE, / count, round 6    (averages)
+- ``dsum``: SUM(CAST(FLOOR(x * 1e4 + 0.5) AS BIGINT)) / 1e4 -> DOUBLE.
+  Source doubles carry <= 4 true decimal digits (prices/discounts are
+  2-decimal money values; price*(1-disc) products have 4), so the "basis
+  point" integer recovers the element exactly; BIGINT sums are associative
+  and order-independent, so both engines produce the identical integer, and
+  the final int64->double divide is IEEE-identical on both sides.
+- ``davg``: (bp sum / 1e4) / count, round 6 (identical double input to
+  round() on both engines; engine round(x, 6) agrees on this domain).
 
-Source doubles carry <= 4 true decimal digits (prices/discounts are 2-decimal
-money values), so the DECIMAL(27,6) element cast is lossless; 27-6=21 integer
-digits holds 100 TB-scale sums without overflow.
+Performance rationale: DECIMAL accumulation (the previous convention) forces
+Spark's >18-precision BigDecimal buffer path — measured 2.2x slower than
+BIGINT sums on the flagship shape; BIGINT stays inside whole-stage codegen
+with primitive longs. Exactness is unchanged on <=4-decimal money values.
+
+Scale bound: int64 holds +-9.2e18 bp = $922 trillion per output group —
+headroom for any real dataset, but TPC-H money columns at ~sf40k exceed it.
+Past that, set ``BP = 100`` (cents: 100x headroom, still exact for 2-decimal
+sources) or switch the affected query to ``dsum_decimal`` (exact at any
+scale, BigDecimal cost).
 
 Scale notes:
 - Dimension tables (region, nation, derived lookups) are broadcast — no
@@ -39,28 +48,49 @@ from pyspark.sql.window import Window
 from . import load, register
 
 DEC_ELEM = "decimal(27,6)"
+BP = 10_000  # fixed-point scale: 4 decimal digits ("basis points")
+
+
+def to_bp(c: Column) -> Column:
+    """Exact integer fixed-point form of a <=4-decimal money double.
+
+    floor(x*1e4 + 0.5) rather than round(): Spark's round(double) detours
+    through BigDecimal per element, floor stays primitive. Both engines
+    evaluate the identical IEEE expression, so the results agree bit-for-bit
+    even where x*1e4 sits an ulp off an integer.
+    """
+    return F.floor(c * BP + F.lit(0.5)).cast("long")
+
+
+def o_bp(expr: str) -> str:
+    return f"CAST(floor(({expr}) * {BP} + 0.5) AS BIGINT)"
 
 
 def dsum(c: Column) -> Column:
-    """Exact decimal SUM of a double expression; see module docstring."""
-    return F.round(F.sum(c.cast(DEC_ELEM)), 2).cast("double")
+    """Exact money SUM via BIGINT basis points; see module docstring."""
+    return (F.sum(to_bp(c)) / F.lit(float(BP))).cast("double")
 
 
 def o_dsum(expr: str) -> str:
-    # round() on the exact decimal sum (half-away-from-zero in both engines),
-    # THEN cast to DOUBLE: a DECIMAL output would hash-differ on trailing-zero
-    # repr (Decimal('139345.00') vs 139345.0) despite identical values.
-    return f"CAST(round(sum(CAST({expr} AS DECIMAL(27,6))), 2) AS DOUBLE)"
+    # DuckDB sum(BIGINT) -> HUGEINT; cast back before the double divide so
+    # both engines run the identical int64 -> double conversion.
+    return f"CAST(CAST(sum({o_bp(expr)}) AS BIGINT) / {BP}.0 AS DOUBLE)"
+
+
+def dsum_decimal(c: Column) -> Column:
+    """Arbitrary-scale exact variant (BigDecimal cost): for sums beyond the
+    int64 bp bound. Pair with the matching DECIMAL(27,6) oracle expression."""
+    return F.round(F.sum(c.cast(DEC_ELEM)), 2).cast("double")
 
 
 def davg(c: Column) -> Column:
-    """Average derived from the exact decimal sum (identical across engines)."""
-    return F.round(F.sum(c.cast(DEC_ELEM)).cast("double") / F.count(c), 6)
+    """Average from the exact bp sum (identical double input on both sides)."""
+    return F.round((F.sum(to_bp(c)) / F.lit(float(BP))) / F.count(c), 6)
 
 
 def o_davg(expr: str) -> str:
     return (
-        f"round(CAST(sum(CAST({expr} AS DECIMAL(27,6))) AS DOUBLE) / count({expr}), 6)"
+        f"round((CAST(sum({o_bp(expr)}) AS BIGINT) / {BP}.0) / count({expr}), 6)"
     )
 
 
@@ -130,13 +160,13 @@ def q02_revenue_by_nation(spark, sf_dir):
     # collapses to one row per order, then to one row per customer, before
     # the dimension joins — each join input shrinks ~4x/5x, and the oracle's
     # COUNT(DISTINCT c_custkey) becomes a plain COUNT over the per-customer
-    # rollup (no distinct-aggregate state). Decimal sums are associative, so
-    # the cascade is bit-identical to the single-pass dsum the oracle runs.
+    # rollup (no distinct-aggregate state). Integer bp sums are associative,
+    # so the cascade is bit-identical to the single-pass dsum the oracle runs.
     lrev = (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
         .agg(
-            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC_ELEM)).alias("_rev")
+            F.sum(to_bp(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("_rev")
         )
     )
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -154,7 +184,7 @@ def q02_revenue_by_nation(spark, sf_dir):
         .join(r, r.r_regionkey == n.n_regionkey, "inner")
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum("_crev"), 2).cast("double").alias("revenue"),
+            (F.sum("_crev") / F.lit(float(BP))).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_customers"),
         )
     )
