@@ -56,11 +56,14 @@ def main() -> None:
 
     # Warm up JVM/codegen on the same query shapes at the smallest scale so
     # per-query timings measure steady-state engine throughput, not one-time
-    # JIT/class-loading cost.
+    # JIT/class-loading cost; then one untimed pass at the bench scale so the
+    # OS page cache holds the parquet files (the DuckDB baseline is likewise
+    # measured warm, min-of-N).
     for name in HEADLINE:
         spec = specs.get(name)
         if spec is not None:
             spec.fn(spark, "/root/testdata/sf0.001").toPandas()
+            spec.fn(spark, sf_dir).toPandas()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -68,7 +71,7 @@ def main() -> None:
         if spec is None:
             continue
         best = None
-        for _ in range(2):  # min-of-2: shields against GC/compile-storm noise
+        for _ in range(3):  # min-of-3: shields against GC/compile-storm noise
             start = time.perf_counter()
             df = spec.fn(spark, sf_dir)
             df.toPandas()  # Arrow-path materialization to the driver
