@@ -8,6 +8,7 @@ from .readers import (
     read_envelope_metadata,
     read_jdbc,
 )
+from .snapshot import CommitConflict, Snapshot, SnapshotTable
 from .upsert import (
     align_union,
     backfill_id_column,
@@ -28,6 +29,9 @@ from .writers import (
 )
 
 __all__ = [
+    "CommitConflict",
+    "Snapshot",
+    "SnapshotTable",
     "align_union",
     "backfill_id_column",
     "create_typed_table",
