@@ -115,12 +115,26 @@ def q31_envelope_roundtrip(spark, sf_dir):
 
 @register(
     "q32_streaming_daily_windows",
-    oracle=None,  # Structured Streaming execution path — rows-only check;
-    # semantics pinned vs batch in tests/test_streaming.py.
+    # Append-mode emission is deterministic, hence SQL-expressible: after the
+    # availableNow run drains (plus the final no-data batch that advances the
+    # watermark to global-max - lateness), the emitted set is exactly the
+    # windows whose end <= max(ts) - 1 hour. The last (never-closed) window
+    # stays in state and is NOT emitted — the oracle reproduces that rule.
+    oracle="""
+    SELECT window_start, event_type, events FROM (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+               event_type,
+               count(*) AS events
+        FROM events GROUP BY 1, 2
+    )
+    WHERE window_start + INTERVAL 1 DAY
+          <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+    """,
     doc="Watermarked tumbling-window aggregation executed through Structured "
     "Streaming (availableNow) over the same events data as "
     "q29_event_daily_windows — §2.9 stretch mapped per SURVEY (watermark + "
-    "1-day window ≙ daily fct_product_interactions).",
+    "1-day window ≙ daily fct_product_interactions). Oracled: append-mode "
+    "output == batch windows closed by the final watermark.",
     tags=("streaming",),
 )
 def q32_streaming_daily_windows(spark, sf_dir):
