@@ -1,12 +1,15 @@
 """Multimodal binary-column operators: typed media metadata, Arrow-batched
-decode/resize/feature-extraction/frame-sampling over mapInPandas (decode
-backends stubbed with a deterministic toy codec; plumbing is real)."""
+decode/resize/feature-extraction/frame-sampling over mapInPandas. BMP and
+PCM16 WAV decode natively (numpy); compressed formats are stubbed behind
+NotImplementedError (PIL/librosa/ffmpeg absent here)."""
 
 from .columns import (
     DECODED_IMAGE_SCHEMA,
     MEDIA_METADATA_SCHEMA,
     decode_images,
+    encode_bmp,
     encode_image,
+    encode_wav,
     extract_byte_features,
     generate_media,
     resize_images,
@@ -17,7 +20,9 @@ __all__ = [
     "DECODED_IMAGE_SCHEMA",
     "MEDIA_METADATA_SCHEMA",
     "decode_images",
+    "encode_bmp",
     "encode_image",
+    "encode_wav",
     "extract_byte_features",
     "generate_media",
     "resize_images",

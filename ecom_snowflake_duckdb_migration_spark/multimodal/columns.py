@@ -6,13 +6,14 @@ decode/feature work runs in Arrow-batched Pandas UDFs (``mapInPandas``) so
 bytes never round-trip through row-at-a-time Python, and partitioning is
 preserved (no shuffle is introduced by any operator here).
 
-The real decoders (PIL/librosa/ffmpeg) are NOT available in this container,
-so decoding is STUBBED: payloads use a deterministic toy codec (``SIMG`` /
-``SAUD`` / ``SVID`` headers + raw samples) that the UDFs actually parse —
-schema, UDF signatures, batch shapes, and null handling are real and tested;
-swapping in a real codec is a per-row function change inside the same
-``mapInPandas`` plumbing. Attempting to decode a payload that is not in the
-toy format raises ``NotImplementedError`` naming the missing library.
+Two genuine standard formats decode natively (struct + numpy, no external
+libs): **BMP** (Windows bitmap, uncompressed BI_RGB, 8-bit-palette and
+24-bit) and **WAV** (RIFF PCM, 16-bit). Compressed formats (JPEG/PNG/MP3/
+H.264) need PIL/librosa/ffmpeg, which are NOT in this container — those
+payloads raise ``NotImplementedError`` naming the missing library; swapping
+a real codec in is a per-row function change inside the same ``mapInPandas``
+plumbing. A deterministic toy codec (``SIMG``/``SAUD``/``SVID`` headers +
+raw samples) remains for high-volume synthetic tests.
 """
 
 from __future__ import annotations
@@ -57,6 +58,94 @@ def encode_image(width: int, height: int, seed: int) -> bytes:
     return _IMG_MAGIC + struct.pack("<II", width, height) + pixels.tobytes()
 
 
+# ---- real codecs: BMP (uncompressed BI_RGB) and WAV (RIFF PCM16) ----
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """8-bit-palette grayscale BMP (spec-conformant: BITMAPFILEHEADER +
+    BITMAPINFOHEADER + 256-entry BGRA palette, bottom-up rows padded to 4
+    bytes). ``pixels`` is (height, width) uint8."""
+    h, w = pixels.shape
+    row_bytes = (w + 3) & ~3
+    data_offset = 14 + 40 + 256 * 4
+    image_size = row_bytes * h
+    header = b"BM" + struct.pack("<IHHI", data_offset + image_size, 0, 0, data_offset)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, image_size, 2835, 2835, 256, 0)
+    palette = np.zeros((256, 4), dtype=np.uint8)
+    palette[:, 0] = palette[:, 1] = palette[:, 2] = np.arange(256)
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, :w] = pixels[::-1]  # bottom-up
+    return header + info + palette.tobytes() + rows.tobytes()
+
+
+def _decode_bmp(payload: bytes) -> tuple[str, dict]:
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bits, compression = struct.unpack_from("<HHI", payload, 26)
+    if compression != 0:
+        raise NotImplementedError(
+            f"compressed BMP (BI_ code {compression}) needs PIL; only BI_RGB "
+            "is decoded natively"
+        )
+    if bits not in (8, 24):
+        raise NotImplementedError(f"{bits}-bit BMP unsupported (8/24 only)")
+    top_down = h < 0
+    h = abs(h)
+    if bits == 8:
+        row_bytes = (w + 3) & ~3
+        pal_off = 14 + hdr_size
+        palette = np.frombuffer(payload, np.uint8, 256 * 4, pal_off).reshape(256, 4)
+        gray_lut = palette[:, :3].mean(axis=1).round().astype(np.uint8)
+        rows = np.frombuffer(payload, np.uint8, row_bytes * h, data_offset)
+        px = gray_lut[rows.reshape(h, row_bytes)[:, :w]]
+    else:
+        row_bytes = (w * 3 + 3) & ~3
+        rows = np.frombuffer(payload, np.uint8, row_bytes * h, data_offset)
+        bgr = rows.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+        px = bgr.mean(axis=2).round().astype(np.uint8)  # luminance as channel mean
+    if not top_down:
+        px = px[::-1]
+    return "image", {"width": w, "height": h, "pixels": px.ravel()}
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Mono 16-bit PCM RIFF/WAVE. ``samples`` is int16."""
+    samples = np.asarray(samples, dtype="<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_wav(payload: bytes) -> tuple[str, dict]:
+    pos, end = 12, 8 + struct.unpack_from("<I", payload, 4)[0]
+    sample_rate = n_channels = None
+    samples = None
+    while pos + 8 <= min(end, len(payload)):
+        chunk_id = bytes(payload[pos : pos + 4])
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if chunk_id == b"fmt ":
+            audio_format, n_channels, sample_rate = struct.unpack_from("<HHI", payload, pos + 8)
+            bits = struct.unpack_from("<H", payload, pos + 22)[0]
+            if audio_format != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"WAV format {audio_format}/{bits}-bit needs librosa; "
+                    "only 16-bit PCM is decoded natively"
+                )
+        elif chunk_id == b"data":
+            if n_channels is None:
+                raise ValueError("WAV data chunk before fmt chunk")
+            raw = np.frombuffer(payload, "<i2", size // 2, pos + 8)
+            if n_channels > 1:  # downmix interleaved channels to mono
+                raw = raw[: size // 2 // n_channels * n_channels]
+                raw = raw.reshape(-1, n_channels).mean(axis=1).round().astype(np.int16)
+            samples = raw
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if samples is None:
+        raise ValueError("WAV without a data chunk")
+    return "audio", {"sample_rate": sample_rate, "samples": samples}
+
+
 def _decode_payload(payload: bytes) -> tuple[str, dict]:
     if payload is None:
         return None, None
@@ -72,10 +161,14 @@ def _decode_payload(payload: bytes) -> tuple[str, dict]:
     if magic == _VID_MAGIC:
         (nf,) = struct.unpack("<I", bytes(payload[4:8]))
         return "video", {"n_frames": nf, "frames": bytes(payload[8:])}
-    # A real payload (JPEG/PNG/WAV/...) would be handled here:
+    if magic[:2] == b"BM":
+        return _decode_bmp(bytes(payload))
+    if magic == b"RIFF" and bytes(payload[8:12]) == b"WAVE":
+        return _decode_wav(bytes(payload))
+    # Compressed real formats (JPEG/PNG/MP3/H.264) would be handled here:
     raise NotImplementedError(
-        "real media decoding requires PIL/librosa/ffmpeg, which are not "
-        f"installed; unknown magic {magic!r}"
+        "decoding compressed media requires PIL/librosa/ffmpeg, which are "
+        f"not installed; unknown magic {magic!r}"
     )
 
 
@@ -142,10 +235,15 @@ def resize_images(
                 px = d["pixels"].reshape(d["height"], d["width"])
                 ys = (np.linspace(0, d["height"] - 1, new_height)).astype(int)
                 xs = (np.linspace(0, d["width"] - 1, new_width)).astype(int)
-                small = px[np.ix_(ys, xs)].ravel()
-                resized.append(
-                    _IMG_MAGIC + struct.pack("<II", new_width, new_height) + small.tobytes()
-                )
+                small = px[np.ix_(ys, xs)]
+                if bytes(payload[:2]) == b"BM":  # format-preserving
+                    resized.append(encode_bmp(small))
+                else:
+                    resized.append(
+                        _IMG_MAGIC
+                        + struct.pack("<II", new_width, new_height)
+                        + small.ravel().tobytes()
+                    )
             out = pdf[other_cols].copy()
             out[payload_col] = resized
             yield out
@@ -215,10 +313,17 @@ def sample_video_frames(
 
 
 def generate_media(
-    spark, n: int, modality: str = "image", seed: int = 42, partitions: int | None = None
+    spark,
+    n: int,
+    modality: str = "image",
+    seed: int = 42,
+    partitions: int | None = None,
+    media_format: str | None = None,
 ) -> DataFrame:
-    """Deterministic toy media table: (media_id, metadata struct, payload).
-    Distributed via mapInPandas over spark.range — no driver-side bytes."""
+    """Deterministic media table: (media_id, metadata struct, payload).
+    Distributed via mapInPandas over spark.range — no driver-side bytes.
+    ``media_format``: image -> ``simg`` (toy, default) or ``bmp`` (real
+    8-bit BMP); audio -> ``saud`` (toy, default) or ``wav`` (real PCM16)."""
     rng_base = seed
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -228,15 +333,24 @@ def generate_media(
                 i = int(i)
                 if modality == "image":
                     w, h = 16 + (i % 17), 16 + (i % 13)
-                    payload = encode_image(w, h, rng_base + i)
-                    meta = {"modality": "image", "format": "simg", "width": w,
+                    if media_format == "bmp":
+                        rng = np.random.default_rng(rng_base + i)
+                        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+                        payload, fmt = encode_bmp(px), "bmp"
+                    else:
+                        payload, fmt = encode_image(w, h, rng_base + i), "simg"
+                    meta = {"modality": "image", "format": fmt, "width": w,
                             "height": h, "sample_rate": None, "n_frames": None}
                 elif modality == "audio":
                     sr, ns = 16000, 256 + (i % 64)
                     rng = np.random.default_rng(rng_base + i)
                     samples = rng.integers(-32768, 32767, size=ns, dtype=np.int16)
-                    payload = _AUD_MAGIC + struct.pack("<II", sr, ns) + samples.tobytes()
-                    meta = {"modality": "audio", "format": "saud", "width": None,
+                    if media_format == "wav":
+                        payload, fmt = encode_wav(samples, sr), "wav"
+                    else:
+                        payload = _AUD_MAGIC + struct.pack("<II", sr, ns) + samples.tobytes()
+                        fmt = "saud"
+                    meta = {"modality": "audio", "format": fmt, "width": None,
                             "height": None, "sample_rate": sr, "n_frames": None}
                 else:
                     nf = 4 + (i % 9)

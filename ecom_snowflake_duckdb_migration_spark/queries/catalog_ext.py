@@ -165,13 +165,14 @@ def q32_streaming_daily_windows(spark, sf_dir):
     oracle=None,  # binary media decode (mapInPandas) — rows-only check;
     # decode semantics pinned in tests/test_multimodal.py.
     doc="Multimodal plumbing through the driver gate: deterministic media "
-    "generation -> Arrow-batched image decode -> per-dimension stats.",
+    "generation (real 8-bit BMP payloads) -> Arrow-batched native BMP "
+    "decode -> per-dimension stats.",
     tags=("multimodal",),
 )
 def q33_media_decode_stats(spark, sf_dir):
     from ..multimodal import decode_images, generate_media
 
-    imgs = generate_media(spark, 200, "image", seed=7, partitions=8)
+    imgs = generate_media(spark, 200, "image", seed=7, partitions=8, media_format="bmp")
     return (
         decode_images(imgs)
         .groupBy("width")
