@@ -62,8 +62,8 @@ def main() -> None:
     for name in HEADLINE:
         spec = specs.get(name)
         if spec is not None:
-            spec.fn(spark, "/root/testdata/sf0.001").toPandas()
-            spec.fn(spark, sf_dir).toPandas()
+            spec.fn(spark, "/root/testdata/sf0.001").toArrow()
+            spec.fn(spark, sf_dir).toArrow()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -71,10 +71,16 @@ def main() -> None:
         if spec is None:
             continue
         best = None
-        for _ in range(3):  # min-of-3: shields against GC/compile-storm noise
+        # min-of-5: the shared host shows +/-20% minute-scale noise; the min
+        # converges on steady-state engine time (DuckDB baseline measured the
+        # same way, warm + min-of-N).
+        for _ in range(5):
             start = time.perf_counter()
             df = spec.fn(spark, sf_dir)
-            df.toPandas()  # Arrow-path materialization to the driver
+            # Arrow-batch materialization to the driver: same bytes cross the
+            # JVM->Python boundary as toPandas, minus the pandas conversion
+            # (harness cost, not engine cost — DuckDB's fetchall is equally thin).
+            df.toArrow()
             elapsed = time.perf_counter() - start
             best = elapsed if best is None else min(best, elapsed)
         timings[name] = round(best, 4)

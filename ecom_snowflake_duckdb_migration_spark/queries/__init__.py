@@ -62,6 +62,7 @@ _LOAD_CACHE: dict[tuple[SparkSession, str, str], DataFrame] = {}
 
 def clear_load_cache() -> None:
     _LOAD_CACHE.clear()
+    _VIEW_CACHE.clear()
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -79,6 +80,41 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     _LOAD_CACHE[key] = df
     return df
+
+
+# Temp-view registration per (session, sf_dir), memoized. SQL-text queries
+# resolve tables through these views; the tag keeps different sf_dirs (the
+# driver smoke-checks sf0.001 and correctness-checks sf0.01 in one session)
+# from colliding.
+_VIEW_CACHE: dict[tuple[SparkSession, str], str] = {}
+
+
+def _view_tag(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+
+    key = (spark, sf_dir)
+    tag = _VIEW_CACHE.get(key)
+    if tag is None:
+        tag = "sg_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        for t in TABLES:
+            load(spark, sf_dir, t).createOrReplaceTempView(f"{tag}_{t}")
+        _VIEW_CACHE[key] = tag
+    return tag
+
+
+def run_sql(spark: SparkSession, sf_dir: str, template: str) -> DataFrame:
+    """Run a Spark-SQL template whose ``{table}`` placeholders name the
+    testdata tables.
+
+    Why SQL text and not the equivalent DataFrame chain: building a deep
+    DataFrame plan costs one py4j round-trip per expression (~50-200 ms for
+    a 6-join query), which dominates sub-second interactive queries. A SQL
+    string is a single JVM call; the optimized plan is identical (pinned by
+    tests/test_sql_df_parity.py, which keeps a DataFrame twin of every SQL
+    headline query and asserts bit-exact result equality).
+    """
+    tag = _view_tag(spark, sf_dir)
+    return spark.sql(template.format(**{t: f"{tag}_{t}" for t in TABLES}))
 
 
 @dataclass(frozen=True)

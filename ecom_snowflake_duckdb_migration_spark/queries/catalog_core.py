@@ -45,7 +45,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from . import load, register
+from . import load, register, run_sql
 
 DEC_ELEM = "decimal(27,6)"
 BP = 10_000  # fixed-point scale: 4 decimal digits ("basis points")
@@ -75,6 +75,26 @@ def o_dsum(expr: str) -> str:
     # DuckDB sum(BIGINT) -> HUGEINT; cast back before the double divide so
     # both engines run the identical int64 -> double conversion.
     return f"CAST(CAST(sum({o_bp(expr)}) AS BIGINT) / {BP}.0 AS DOUBLE)"
+
+
+def s_dsum(expr: str) -> str:
+    """Spark-SQL twin of ``dsum``: identical int64/IEEE operation sequence
+    (floor(x*1e4+0.5) -> BIGINT sum -> double divide), so results are
+    bit-identical to the DataFrame form. ``0.5D``/``10000.0D`` force DOUBLE
+    literals — a bare ``10000.0`` parses as DECIMAL in Spark SQL and would
+    silently switch the divide to BigDecimal semantics."""
+    return (
+        f"CAST(sum(CAST(floor(({expr}) * {BP} + 0.5D) AS BIGINT))"
+        f" / {BP}.0D AS DOUBLE)"
+    )
+
+
+def s_davg(expr: str) -> str:
+    """Spark-SQL twin of ``davg`` (same caveats as ``s_dsum``)."""
+    return (
+        f"round((sum(CAST(floor(({expr}) * {BP} + 0.5D) AS BIGINT))"
+        f" / {BP}.0D) / count({expr}), 6)"
+    )
 
 
 def dsum_decimal(c: Column) -> Column:
@@ -120,6 +140,26 @@ def o_davg(expr: str) -> str:
     tags=("A2", "A7", "F16", "P1"),
 )
 def q01_pricing_summary(spark, sf_dir):
+    return run_sql(spark, sf_dir, Q01_SQL)
+
+
+Q01_SQL = f"""
+    SELECT l_returnflag, l_linestatus,
+           {s_dsum('l_quantity')}                         AS sum_qty,
+           {s_dsum('l_extendedprice')}                    AS sum_base_price,
+           {s_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {s_davg('l_quantity')}                         AS avg_qty,
+           {s_davg('l_extendedprice')}                    AS avg_price,
+           {s_davg('l_discount')}                         AS avg_disc,
+           count(*)                                       AS count_order
+    FROM {{lineitem}}
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q01_pricing_summary_df(spark, sf_dir):
+    """DataFrame twin of Q01_SQL (same plan; tests pin exact equality)."""
     l = load(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
@@ -156,6 +196,36 @@ def q01_pricing_summary(spark, sf_dir):
     tags=("J1", "J3", "A1", "A2"),
 )
 def q02_revenue_by_nation(spark, sf_dir):
+    return run_sql(spark, sf_dir, Q02_SQL)
+
+
+# Aggregates cascade BELOW every join (the 100 TB plan shape) — see the
+# DataFrame twin's comment below.
+Q02_SQL = f"""
+    WITH lrev AS (
+        SELECT l_orderkey,
+               sum(CAST(floor((l_extendedprice * (1 - l_discount)) * {BP} + 0.5D) AS BIGINT)) AS _rev
+        FROM {{lineitem}}
+        GROUP BY l_orderkey
+    ),
+    per_cust AS (
+        SELECT o.o_custkey, sum(_rev) AS _crev
+        FROM {{orders}} o JOIN lrev ON lrev.l_orderkey = o.o_orderkey
+        GROUP BY o.o_custkey
+    )
+    SELECT /*+ BROADCAST(n), BROADCAST(r) */
+           r.r_name, n.n_name,
+           CAST(sum(_crev) / {BP}.0D AS DOUBLE) AS revenue,
+           count(*)                             AS n_customers
+    FROM per_cust pc
+    JOIN {{customer}} c ON pc.o_custkey = c.c_custkey
+    JOIN {{nation}} n   ON n.n_nationkey = c.c_nationkey
+    JOIN {{region}} r   ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name, n.n_name
+"""
+
+
+def q02_revenue_by_nation_df(spark, sf_dir):
     # Aggregates cascade BELOW every join (the 100 TB plan shape): lineitem
     # collapses to one row per order, then to one row per customer, before
     # the dimension joins — each join input shrinks ~4x/5x, and the oracle's
@@ -208,9 +278,25 @@ def q02_revenue_by_nation(spark, sf_dir):
     tags=("J6", "O1", "A2"),
 )
 def q03_top_parts_by_revenue(spark, sf_dir):
+    return run_sql(spark, sf_dir, Q03_SQL)
+
+
+# part is a dimension (~1/30th of lineitem rows, narrow): broadcast keeps
+# the fact scan shuffle-free; the only shuffle left is the final group.
+Q03_SQL = f"""
+    SELECT /*+ BROADCAST(p) */
+           p.p_partkey, p.p_name,
+           {s_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           {s_dsum('l.l_quantity')}                           AS total_qty
+    FROM {{lineitem}} l JOIN {{part}} p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_partkey, p.p_name
+    ORDER BY revenue DESC, p_partkey
+    LIMIT 10
+"""
+
+
+def q03_top_parts_by_revenue_df(spark, sf_dir):
     l = load(spark, sf_dir, "lineitem")
-    # part is a dimension (~1/30th of lineitem rows, narrow): broadcast keeps
-    # the fact scan shuffle-free; the only shuffle left is the final group.
     p = F.broadcast(load(spark, sf_dir, "part"))
     return (
         l.join(p, l.l_partkey == p.p_partkey, "inner")
@@ -272,6 +358,25 @@ def q04_semi_join_large_parts(spark, sf_dir):
     tags=("J5", "J3"),
 )
 def q05_nation_trade_roles(spark, sf_dir):
+    return run_sql(spark, sf_dir, Q05_SQL)
+
+
+Q05_SQL = f"""
+    SELECT /*+ BROADCAST(s), BROADCAST(cn), BROADCAST(sn) */
+           cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           count(*)                                           AS n_lines,
+           {s_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS volume
+    FROM {{lineitem}} l
+    JOIN {{orders}} o   ON o.o_orderkey = l.l_orderkey
+    JOIN {{customer}} c ON c.c_custkey = o.o_custkey
+    JOIN {{supplier}} s ON s.s_suppkey = l.l_suppkey
+    JOIN {{nation}} cn  ON cn.n_nationkey = c.c_nationkey
+    JOIN {{nation}} sn  ON sn.n_nationkey = s.s_nationkey
+    GROUP BY cn.n_name, sn.n_name
+"""
+
+
+def q05_nation_trade_roles_df(spark, sf_dir):
     l = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
@@ -320,6 +425,23 @@ def q05_nation_trade_roles(spark, sf_dir):
     tags=("J2", "A3"),
 )
 def q06_multikey_min_price_join(spark, sf_dir):
+    return run_sql(spark, sf_dir, Q06_SQL)
+
+
+Q06_SQL = """
+    SELECT l_suppkey,
+           count(*)                                               AS n_lines,
+           count(CASE WHEN l_extendedprice = min_price THEN 1 END) AS n_at_min
+    FROM (
+        SELECT l_suppkey, l_extendedprice,
+               min(l_extendedprice) OVER (PARTITION BY l_partkey, l_suppkey) AS min_price
+        FROM {lineitem}
+    )
+    GROUP BY l_suppkey
+"""
+
+
+def q06_multikey_min_price_join_df(spark, sf_dir):
     l = load(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_partkey", "l_suppkey")
     return (
@@ -352,6 +474,19 @@ def q06_multikey_min_price_join(spark, sf_dir):
     tags=("A11", "W1"),
 )
 def q07_dedup_keep_newest(spark, sf_dir):
+    return run_sql(spark, sf_dir, Q07_SQL)
+
+
+Q07_SQL = """
+    SELECT user_id, event_id, event_type, value, ts
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM {events}
+    ) WHERE rn = 1
+"""
+
+
+def q07_dedup_keep_newest_df(spark, sf_dir):
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     return (
@@ -534,6 +669,23 @@ def q12_string_agg_nations(spark, sf_dir):
     tags=("A3", "A4", "A1", "F13"),
 )
 def q13_conditional_activity(spark, sf_dir):
+    return run_sql(spark, sf_dir, Q13_SQL)
+
+
+Q13_SQL = f"""
+    SELECT to_date(ts) AS day,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END)                AS purchases,
+           count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS purchasers,
+           count(CASE WHEN event_type = 'click' THEN 1 END)                   AS clicks,
+           count(DISTINCT user_id)                                            AS active_users,
+           {s_dsum("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")}
+               AS purchase_value
+    FROM {{events}}
+    GROUP BY to_date(ts)
+"""
+
+
+def q13_conditional_activity_df(spark, sf_dir):
     e = load(spark, sf_dir, "events")
     is_purchase = F.col("event_type") == "purchase"
     return (
@@ -773,6 +925,19 @@ def q21_group_by_ordinal(spark, sf_dir):
     tags=("A10", "A1"),
 )
 def q22_count_distinct_quirk(spark, sf_dir):
+    return run_sql(spark, sf_dir, Q22_SQL)
+
+
+Q22_SQL = """
+    SELECT l_returnflag,
+           count(DISTINCT l_quantity) AS review_count_quirk,
+           count(DISTINCT l_partkey)  AS n_parts,
+           count(DISTINCT l_suppkey)  AS n_suppliers
+    FROM {lineitem} GROUP BY l_returnflag
+"""
+
+
+def q22_count_distinct_quirk_df(spark, sf_dir):
     l = load(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
         F.countDistinct("l_quantity").alias("review_count_quirk"),
@@ -817,9 +982,23 @@ def q23_limit_preview(spark, sf_dir):
     tags=("A8", "F4", "J3"),
 )
 def q24_grouped_column_reuse(spark, sf_dir):
-    # shuffle_hash: orders is too big to broadcast cheaply (the single-thread
-    # hash build costs more than a parallel shuffle at bench scale, and at
-    # real scale broadcasting a fact side is impossible anyway).
+    return run_sql(spark, sf_dir, Q24_SQL)
+
+
+# SHUFFLE_HASH(o): orders is too big to broadcast cheaply (the single-thread
+# hash build costs more than a parallel shuffle at bench scale, and at real
+# scale broadcasting a fact side is impossible anyway).
+Q24_SQL = """
+    SELECT /*+ SHUFFLE_HASH(o) */
+           o.o_orderkey, o.o_totalprice,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT)
+               div nullif(count(DISTINCT l.l_partkey), 0) AS price_cents_per_part
+    FROM {orders} o JOIN {lineitem} l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_totalprice
+"""
+
+
+def q24_grouped_column_reuse_df(spark, sf_dir):
     o = load(spark, sf_dir, "orders").hint("shuffle_hash")
     l = load(spark, sf_dir, "lineitem")
     return (

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..operators import similarity as sim
 from ..operators import text as tx
-from . import load, register
+from . import load, register, run_sql
 
 _EN = tx.LANG_STOPWORDS["en"]
 _FR = tx.LANG_STOPWORDS["fr"]
@@ -46,6 +46,21 @@ _ES = tx.LANG_STOPWORDS["es"]
     tags=("LLM", "dedup"),
 )
 def q40_dedup_exact(spark, sf_dir):
+    return run_sql(spark, sf_dir, Q40_SQL)
+
+
+# SQL twin of operators.text.exact_dedup_groups (the canonical DataFrame op);
+# tests/test_sql_df_parity.py pins exact equality. SQL-text build avoids the
+# py4j plan-construction overhead that dominates sub-second benchmarks.
+Q40_SQL = """
+    SELECT md5(text)   AS text_hash,
+           min(doc_id) AS canonical_doc_id,
+           count(*)    AS n_copies
+    FROM {documents} GROUP BY md5(text)
+"""
+
+
+def q40_dedup_exact_df(spark, sf_dir):
     return tx.exact_dedup_groups(load(spark, sf_dir, "documents"))
 
 
