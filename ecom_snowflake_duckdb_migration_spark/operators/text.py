@@ -200,15 +200,26 @@ def ngram_jaccard_pairs(
     )
 
 
+def _seeded_hash(col: Column, seed: int, hash_fn: str) -> Column:
+    """Seeded content hash. ``xxhash64`` (default): fastest, JVM-only.
+    ``md5``: hex-string hash both Spark and DuckDB implement identically —
+    the cross-engine-checkable variant (string MIN/odering over lowercase
+    hex is engine-stable), used by the oracled catalog entries."""
+    if hash_fn == "md5":
+        return F.md5(F.concat_ws(":", F.lit(str(seed)), col))
+    return F.xxhash64(col, F.lit(seed))
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
     num_hashes: int = 32,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per document: for each of ``num_hashes`` seeded
-    xxhash64 functions, the min hash over the document's shingle set.
+    hash functions, the min hash over the document's shingle set.
 
     Computed as one aggregation over the exploded shingles — num_hashes MIN
     aggregates, single shuffle on doc id. Seeds are column literals, not
@@ -216,7 +227,7 @@ def minhash_signatures(
     """
     sh = char_shingles(df, text_col, id_col, k)
     aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"mh_{seed}")
+        F.min(_seeded_hash(F.col("shingle"), seed, hash_fn)).alias(f"mh_{seed}")
         for seed in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -230,6 +241,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold_e6: int = 800_000,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs via MinHash + LSH banding, verified with exact Jaccard.
 
@@ -237,15 +249,22 @@ def minhash_lsh_pairs(
     Scale path: candidates per band bucket only (bucket id = hash of the
     band's slice), so the join is bounded by bucket sizes, not n^2. The
     verification recomputes exact Jaccard only for candidate pairs.
+
+    ``hash_fn="md5"`` swaps every hash for md5 hex strings (wider shuffles,
+    same asymptotics) so the whole pipeline has a DuckDB twin — the oracled
+    catalog entry (q48) runs that variant; this default stays xxhash64.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes, hash_fn)
     # (computed below) candidates: LSH band-bucket equi-join, then exact
     # Jaccard for THOSE pairs only — never the all-shared-shingle-pairs join.
     band_cols = []
     for band in range(bands):
         cols = [F.col(f"mh_{seed}") for seed in range(band * rows_per_band, (band + 1) * rows_per_band)]
-        band_cols.append(F.xxhash64(*cols, F.lit(10_000 + band)).alias(f"band_{band}"))
+        if hash_fn == "md5":
+            band_cols.append(F.md5(F.concat_ws("|", *cols)).alias(f"band_{band}"))
+        else:
+            band_cols.append(F.xxhash64(*cols, F.lit(10_000 + band)).alias(f"band_{band}"))
     banded = sig.select(id_col, *band_cols)
     stacked = banded.select(
         id_col,
@@ -291,28 +310,47 @@ def minhash_lsh_pairs(
     )
 
 
+def simhash_bits(hash_fn: str) -> int:
+    """Fingerprint width: 64 for xxhash64; 60 for md5 (15 hex chars — the
+    widest slice both engines can parse into a signed 64-bit int)."""
+    return 60 if hash_fn == "md5" else 64
+
+
 def simhash64(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", hash_fn: str = "xxhash64"
 ) -> DataFrame:
     """64-bit SimHash over whitespace tokens.
 
-    Per token: xxhash64; per bit b: sum of +-1 across tokens; fingerprint
-    bit b = 1 if the sum is positive. Expressed as 64 conditional-sum
-    aggregates over the exploded tokens — one shuffle on doc id, all JVM-side.
+    Per token: a 64-bit hash; per bit b: sum of +-1 across tokens;
+    fingerprint bit b = 1 if the sum is positive. Expressed as one
+    conditional-sum aggregate per bit over the exploded tokens — one shuffle
+    on doc id, all JVM-side.
+
+    ``hash_fn="md5"`` derives a 60-bit token hash from the md5 hex prefix
+    (``conv(substr(md5(tok),1,15),16,10)``) — bit-identical in DuckDB via
+    ``CAST('0x' || substr(md5(tok),1,15) AS BIGINT)`` — so the oracled
+    catalog entry (q49) is cross-engine checkable.
     """
+    n_bits = simhash_bits(hash_fn)
     tokens = df.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    )
+    if hash_fn == "md5":
+        tokens = tokens.withColumn(
+            "h", F.expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)")
+        )
+    else:
+        tokens = tokens.withColumn("h", F.xxhash64("tok"))
     bit_sums = [
         F.sum(
             F.when(F.expr(f"(h >> {b}) & 1 = 1"), F.lit(1)).otherwise(F.lit(-1))
         ).alias(f"bit_{b}")
-        for b in range(64)
+        for b in range(n_bits)
     ]
     agg = tokens.groupBy(id_col).agg(*bit_sums)
     fp = None
-    for b in range(64):
+    for b in range(n_bits):
         term = F.when(
             F.col(f"bit_{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
         ).otherwise(F.lit(0).cast("long"))
@@ -326,15 +364,16 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     blocks: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
-    Pigeonhole blocking: split the 64-bit fingerprint into ``blocks`` chunks;
+    Pigeonhole blocking: split the fingerprint into ``blocks`` chunks;
     any pair within distance max_hamming < blocks shares at least one exact
     chunk, so candidates come from equi-joins on chunks (scales; no n^2).
     """
-    width = 64 // blocks
-    fp = simhash64(df, text_col, id_col)
+    width = simhash_bits(hash_fn) // blocks
+    fp = simhash64(df, text_col, id_col, hash_fn)
     chunks = fp.select(
         id_col,
         "simhash",

@@ -274,46 +274,187 @@ def q47_cosine_neardup_pairs(spark, sf_dir):
     return sim.cosine_pairs_bruteforce(e, threshold=0.4)
 
 
-# --- xxhash64-based scale-path variants: no DuckDB twin -> rows-only check;
-# --- tests/test_operators.py pins them against the exact algorithms.
+# --- LSH scale-path variants. The catalog entries run the md5-backed hash
+# --- variants (both engines implement md5 identically, so the ENTIRE
+# --- pipeline — signatures, banding, candidates, verification — has a
+# --- DuckDB twin and a full driver oracle). The xxhash64 defaults stay the
+# --- production fast path, pinned against these in tests/test_operators.py.
+
+
+def _minhash_oracle(num_hashes: int, bands: int, threshold_e6: int) -> str:
+    """DuckDB twin of minhash_lsh_pairs(hash_fn='md5'), same parameters."""
+    rows = num_hashes // bands
+    mins = ",\n               ".join(
+        f"min(md5('{s}:' || shingle)) AS mh_{s}" for s in range(num_hashes)
+    )
+    band_selects = "\n        UNION ALL\n        ".join(
+        "SELECT doc_id, {b} AS band, md5({expr}) AS bucket FROM sig".format(
+            b=b,
+            expr=" || '|' || ".join(f"mh_{s}" for s in range(b * rows, (b + 1) * rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct([substr(text, i, 3) for i in range(1, length(text) - 1)]))
+                   AS shingle
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM sh GROUP BY doc_id
+    ),
+    banded AS (
+        {band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.d1, c.d2, count(*) AS n_inter
+        FROM cand c
+        JOIN sh s1 ON s1.doc_id = c.d1
+        JOIN sh s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
+        GROUP BY c.d1, c.d2
+    )
+    SELECT d1, d2,
+           CAST(n_inter AS BIGINT) * 1000000 // (z1.sz + z2.sz - n_inter) AS jaccard_e6
+    FROM inter
+    JOIN sizes z1 ON z1.doc_id = d1
+    JOIN sizes z2 ON z2.doc_id = d2
+    WHERE CAST(n_inter AS BIGINT) * 1000000 // (z1.sz + z2.sz - n_inter) >= {threshold_e6}
+    """
 
 
 @register(
     "q48_minhash_lsh_pairs",
-    oracle=None,
+    oracle=_minhash_oracle(num_hashes=32, bands=8, threshold_e6=800_000),
     doc="MinHash(32 hashes) + LSH(8 bands x 4 rows) candidate generation, "
-    "exact-Jaccard verification (operators.text.minhash_lsh_pairs). "
-    "Candidate join is per band-bucket — bounded, shuffle-friendly, no n^2. "
-    "Pinned against q45's exact output in tests (recall 1.0 at J>=0.8 on "
-    "the planted near-dups).",
+    "exact-Jaccard verification restricted to candidates "
+    "(operators.text.minhash_lsh_pairs). Candidate join is per band-bucket "
+    "— bounded, shuffle-friendly, no n^2. This entry runs the md5 hash "
+    "variant so the full pipeline is oracle-checked end-to-end; the "
+    "xxhash64 default is pinned against it in tests.",
     tags=("LLM", "dedup", "lsh"),
 )
 def q48_minhash_lsh_pairs(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
-    return tx.minhash_lsh_pairs(d, k=3, num_hashes=32, bands=8, threshold_e6=800_000)
+    return tx.minhash_lsh_pairs(
+        d, k=3, num_hashes=32, bands=8, threshold_e6=800_000, hash_fn="md5"
+    )
+
+
+def _simhash_oracle(max_hamming: int) -> str:
+    """DuckDB twin of simhash_near_pairs(hash_fn='md5'): same 60-bit
+    fingerprints; candidate blocking is an implementation detail (pigeonhole
+    blocking is exact for max_hamming < blocks), so the oracle states the
+    SEMANTICS directly — all pairs at Hamming <= max_hamming."""
+    n_bits = 60
+    bit_sums = ",\n               ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS bit_{b}"
+        for b in range(n_bits)
+    )
+    fp_terms = "\n             + ".join(
+        f"(CASE WHEN bit_{b} > 0 THEN CAST(1 AS BIGINT) << {b} ELSE CAST(0 AS BIGINT) END)"
+        for b in range(n_bits)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM tok
+    ),
+    bits AS (
+        SELECT doc_id,
+               {bit_sums}
+        FROM h GROUP BY doc_id
+    ),
+    fp AS (
+        SELECT doc_id,
+               {fp_terms} AS simhash
+        FROM bits
+    )
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
 
 
 @register(
     "q49_simhash_near_pairs",
-    oracle=None,
-    doc="SimHash-64 fingerprints + pigeonhole-blocked Hamming<=3 pairs "
-    "(operators.text.simhash_near_pairs): 4 chunk equi-joins instead of a "
-    "cross join; bit_count on XOR for the distance.",
+    oracle=_simhash_oracle(max_hamming=3),
+    doc="SimHash fingerprints + pigeonhole-blocked Hamming<=3 pairs "
+    "(operators.text.simhash_near_pairs): chunk equi-joins instead of a "
+    "cross join; bit_count on XOR for the distance. This entry runs the "
+    "md5 60-bit variant so fingerprints are cross-engine checkable; the "
+    "oracle verifies the SEMANTICS (all pairs at Hamming<=3) while Spark "
+    "produces them via blocking — recall 1.0 is part of what's checked.",
     tags=("LLM", "dedup", "simhash"),
 )
 def q49_simhash_near_pairs(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
-    return tx.simhash_near_pairs(d, max_hamming=3, blocks=4)
+    return tx.simhash_near_pairs(d, max_hamming=3, blocks=4, hash_fn="md5")
+
+
+def _q50_oracle(k: int, dim: int, n_planes: int, seed: int = 42) -> str:
+    """DuckDB twin of ann_topk_ivf: the hyperplanes are deterministic
+    literals (same numpy seed), embedded into the SQL; dot-product folds are
+    bit-identical across engines (verified by q46/q47)."""
+    planes = sim.make_hyperplanes(dim, n_planes, seed)
+
+    def dot_lit(vec: str, plane: list[float]) -> str:
+        lst = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        return (
+            f"list_sum(list_transform(range(1, len({vec}) + 1),"
+            f" i -> CAST({vec}[i] AS DOUBLE) * ({lst})[i]))"
+        )
+
+    def sig_expr(vec: str) -> str:
+        return "(" + "\n             + ".join(
+            f"(CASE WHEN {dot_lit(vec, p)} >= 0 THEN CAST({1 << i} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END)"
+            for i, p in enumerate(planes)
+        ) + ")"
+
+    dot_q = (
+        "list_sum(list_transform(range(1, len(s.embedding) + 1),"
+        " i -> CAST(s.embedding[i] AS DOUBLE) * CAST(q2.qe[i] AS DOUBLE)))"
+    )
+    norm = (
+        "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    return f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    sigs AS (
+        SELECT vec_id, embedding, {sig_expr('embedding')} AS sig FROM embeddings
+    ),
+    qsig AS (SELECT qe, {sig_expr('qe')} AS qsig FROM q)
+    SELECT s.vec_id,
+           {dot_q} / ({norm.format(v='s.embedding')} * {norm.format(v='q2.qe')}) AS cosine
+    FROM sigs s, qsig q2
+    WHERE bit_count(xor(s.sig, q2.qsig)) <= 1
+    ORDER BY cosine DESC, s.vec_id
+    LIMIT {k}
+    """
 
 
 @register(
     "q50_ann_lsh_topk",
-    oracle=None,
+    oracle=_q50_oracle(k=20, dim=64, n_planes=8),
     doc="Approximate top-k via random-hyperplane LSH multi-probe "
     "(operators.similarity.ann_topk_ivf): score only vectors whose "
     "signature is within Hamming 1 of the query's — ~2^n_planes scan "
-    "reduction, exact re-rank inside probed buckets. Recall vs q46 pinned "
-    "in tests.",
+    "reduction, exact re-rank inside probed buckets. The hyperplanes are "
+    "seeded literals, so the whole index + search is oracle-checked; "
+    "recall vs exact q46 additionally pinned in tests.",
     tags=("LLM", "similarity", "lsh"),
 )
 def q50_ann_lsh_topk(spark, sf_dir):
