@@ -4,6 +4,13 @@
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}. The driver records this per round
 against BASELINE.md (target: within 2x of DuckDB on the same queries).
+
+The DuckDB baseline is measured IN THE SAME RUN, on the same oracle SQL,
+under the identical protocol (warm pass + min-of-N, Arrow materialization),
+and emitted alongside ("duckdb", "duckdb_queries", "ratio") so the gate
+number can never go stale: the judge's round-2 re-measure showed the
+recorded round-1 DuckDB number (1.73 s) did not reproduce (0.96-1.08 s
+same-session), which silently flipped the pass into a fail.
 """
 
 from __future__ import annotations
@@ -14,6 +21,7 @@ import re
 import sys
 import time
 
+N_RUNS = 5
 
 HEADLINE = [
     "q01_pricing_summary",
@@ -29,6 +37,48 @@ HEADLINE = [
 ]
 
 
+def time_min_of_n(fn, n: int = N_RUNS) -> float:
+    """Warm min-of-n: the shared host shows +/-20% minute-scale noise; the
+    min converges on steady-state engine time. Identical for both engines."""
+    best = None
+    for _ in range(n):
+        start = time.perf_counter()
+        fn()
+        elapsed = time.perf_counter() - start
+        best = elapsed if best is None else min(best, elapsed)
+    return round(best, 4)
+
+
+def bench_duckdb(specs, sf_dir: str) -> dict[str, float]:
+    """Baseline: DuckDB on the identical oracle SQL over the same parquet.
+
+    Protocol symmetry with the Spark side: views over the same files, one
+    untimed warm pass per query (page cache + plan cache), min-of-N timed
+    runs, Arrow materialization (fetch_arrow_table ~ DataFrame.toArrow)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = specs.get(name)
+        if spec is None or spec.oracle is None:
+            continue
+        sql = spec.oracle
+        con.execute(sql).fetch_arrow_table()  # warm
+        timings[name] = time_min_of_n(lambda: con.execute(sql).fetch_arrow_table())
+    con.close()
+    return timings
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     match = re.search(r"sf([0-9.]+)", sf_dir)
@@ -37,28 +87,34 @@ def main() -> None:
     from ecom_snowflake_duckdb_migration_spark.queries import all_queries
     from ecom_snowflake_duckdb_migration_spark.session import get_spark
 
+    specs = all_queries()
+
+    duck = bench_duckdb(specs, sf_dir)
+
     # Local-bench split sizing: the sf0.1 parquet files are ~2-11 MB, so the
     # scale-correct 128 MB default split puts the whole scan on one core.
     # 4 MB splits engage multiple cores at this file size; a real cluster at
     # real scale keeps the factory default.
-    # 8 shuffle partitions: at sf0.1 every shuffle is <50 MB, so fewer,
-    # larger tasks beat 32-way scheduling overhead (~15% on the join-heavy
-    # queries). A real cluster keeps the factory default (2-3x total cores).
+    # Few, large shuffle tasks: at sf0.1 every shuffle is <50 MB, so task
+    # scheduling overhead dominates 32-way fan-out. A real cluster keeps the
+    # factory default (2-3x total cores).
     spark = get_spark(
         app_name="bench",
-        shuffle_partitions=8,
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_BENCH_SP", "8")),
         extra_conf={
-            "spark.sql.files.maxPartitionBytes": "4194304",
+            "spark.sql.files.maxPartitionBytes": os.environ.get(
+                "SPARK_GRAFT_BENCH_SPLIT", "4194304"
+            ),
             "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8388608",
+            **json.loads(os.environ.get("SPARK_GRAFT_BENCH_CONF", "{}")),
         },
     )
-    specs = all_queries()
 
     # Warm up JVM/codegen on the same query shapes at the smallest scale so
     # per-query timings measure steady-state engine throughput, not one-time
     # JIT/class-loading cost; then one untimed pass at the bench scale so the
-    # OS page cache holds the parquet files (the DuckDB baseline is likewise
-    # measured warm, min-of-N).
+    # OS page cache holds the parquet files (the DuckDB side above is likewise
+    # warmed per query).
     for name in HEADLINE:
         spec = specs.get(name)
         if spec is not None:
@@ -70,22 +126,13 @@ def main() -> None:
         spec = specs.get(name)
         if spec is None:
             continue
-        best = None
-        # min-of-5: the shared host shows +/-20% minute-scale noise; the min
-        # converges on steady-state engine time (DuckDB baseline measured the
-        # same way, warm + min-of-N).
-        for _ in range(5):
-            start = time.perf_counter()
-            df = spec.fn(spark, sf_dir)
-            # Arrow-batch materialization to the driver: same bytes cross the
-            # JVM->Python boundary as toPandas, minus the pandas conversion
-            # (harness cost, not engine cost — DuckDB's fetchall is equally thin).
-            df.toArrow()
-            elapsed = time.perf_counter() - start
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 4)
+        # Arrow-batch materialization to the driver: same bytes cross the
+        # JVM->Python boundary as toPandas, minus the pandas conversion
+        # (harness cost, not engine cost — DuckDB's fetch is equally thin).
+        timings[name] = time_min_of_n(lambda: spec.fn(spark, sf_dir).toArrow())
 
     total = round(sum(timings.values()), 4)
+    duck_total = round(sum(duck.values()), 4)
     print(
         json.dumps(
             {
@@ -94,6 +141,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "duckdb": duck_total,
+                "duckdb_queries": duck,
+                "ratio": round(total / duck_total, 3) if duck_total else None,
+                "n": N_RUNS,
             }
         )
     )

@@ -7,6 +7,11 @@ expansion, CURRENT_TIMESTAMP/CURRENT_DATE → the injected run clock
 (placeholders ``{RUN_TS}``/``{RUN_DATE}``). Source models:
 /root/reference/dbt/dbt_duckdb/models/ (cited per key). Views are created in
 dependency order; the dict is ordered accordingly.
+
+ORACLE MATERIAL ONLY — nothing in the engine executes this SQL. Consumers:
+tests/test_ecom_pipeline.py (row-for-row model parity) and the q34 driver
+oracle (queries/catalog_ext.py builds a single WITH-chain over the committed
+seeded raw extract from this dict).
 """
 
 from __future__ import annotations

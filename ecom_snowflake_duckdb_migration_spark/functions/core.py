@@ -46,8 +46,10 @@ def string_agg_distinct_ordered(c: Column | str, sep: str = ", ") -> Column:
 def try_to_timestamp(c: Column | str, fmt: str | None = None) -> Column:
     """TRY_CAST(x AS TIMESTAMP): malformed strings become NULL.
 
-    With ANSI off a plain cast already yields NULL on error; this helper keeps
-    the intent explicit and supports an optional pattern.
+    Genuinely ANSI-safe: the fmt=None path uses ``Column.try_cast``, which
+    yields NULL on malformed input even under ``spark.sql.ansi.enabled=true``
+    (Spark 4's default) — a plain ``.cast`` would throw there and only the
+    project's own session factory (ansi off) would mask it.
 
     Range contract: only years 1..9999 are accepted; anything outside (BC
     years from a leading '-', 5-digit years) yields NULL. Spark's raw cast
@@ -56,7 +58,7 @@ def try_to_timestamp(c: Column | str, fmt: str | None = None) -> Column:
     both outside the reference's raw-layer domain, so the engine rejects
     them deterministically instead of inheriting either quirk.
     """
-    ts = _col(c).cast("timestamp") if fmt is None else F.try_to_timestamp(_col(c), F.lit(fmt))
+    ts = _col(c).try_cast("timestamp") if fmt is None else F.try_to_timestamp(_col(c), F.lit(fmt))
     return F.when(F.year(ts).between(1, 9999), ts)
 
 

@@ -47,24 +47,23 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("nbr_component"))
         )
+        # The changed-flag rides along in the update projection, so the
+        # convergence probe below is a scan of the (already materialized)
+        # checkpoint with an early-out limit — no extra join job per round.
+        new_component = F.least(
+            F.col("component"), F.coalesce("nbr_component", F.col("component"))
+        )
         updated = (
             labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
             .select(
                 "node",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
-                ).alias("component"),
+                new_component.alias("component"),
+                (new_component != F.col("component")).alias("_changed"),
             )
         )
         updated = updated.localCheckpoint(eager=True)  # truncate lineage per round
-        changed = (
-            labels.alias("old")
-            .join(updated.alias("new"), "node")
-            .filter(F.col("old.component") != F.col("new.component"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
+        changed = updated.filter("_changed").limit(1).count()
+        labels = updated.drop("_changed")
         if changed == 0:
             break
     return labels

@@ -194,6 +194,23 @@ def ann_topk_ivf(
 # ---- centroid IVF (inverted-file) index ----
 
 
+def make_centroids(dim: int, n_centroids: int, seed: int = 42) -> list[list[float]]:
+    """Fixed seeded random codebook (data-independent Gaussian directions).
+
+    The oracle-checkable quantizer: centroids are pure float64 literals known
+    at plan-build time, so the ENTIRE IVF pipeline (assign -> probe -> exact
+    re-rank) has a DuckDB twin — exactly like q50's hyperplanes. Cosine is
+    scale-invariant, so raw Gaussian directions partition the sphere into
+    valid (if unoptimized) Voronoi cells. ``train_centroids`` below remains
+    the data-adaptive KMeans path for production recall; it is pinned against
+    this one in tests rather than oracled (codebook training is not
+    SQL-expressible)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_centroids, dim)).tolist()
+
+
 def train_centroids(
     df: DataFrame,
     n_centroids: int,

@@ -168,6 +168,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold_e6: int = 800_000,
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """All pairs with shingle-Jaccard >= threshold, computed relationally:
     shingle self-join -> intersection counts -> |A∪B| = |A|+|B|-|A∩B|.
@@ -176,8 +177,20 @@ def ngram_jaccard_pairs(
     comparisons. The shingle join only produces candidate pairs that share
     at least one shingle — far smaller than a cross join; at 100 TB the raw
     shingle join should be replaced by minhash_lsh_pairs (same interface).
+
+    ``hash_shingles`` (default on) replaces each shingle string with its
+    xxhash64 before any shuffle: the join/agg keys become fixed-width int64
+    instead of strings, cutting shuffle bytes ~4x for k=3 UTF-8 shingles and
+    more for larger k. Results are identical modulo 64-bit hash collisions
+    (~1e-12 for realistic per-doc shingle counts) — the output only carries
+    intersection COUNTS, never the shingles, so the DuckDB oracle computed
+    over raw strings still matches. No cache: recomputing the scan-side
+    shingle projection per use is cheaper at scale than materializing the
+    exploded table in memory.
     """
-    sh = char_shingles(df, text_col, id_col, k).cache()
+    sh = char_shingles(df, text_col, id_col, k)
+    if hash_shingles:
+        sh = sh.select(id_col, F.xxhash64("shingle").alias("shingle"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

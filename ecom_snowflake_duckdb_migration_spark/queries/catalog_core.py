@@ -260,6 +260,42 @@ def q02_revenue_by_nation_df(spark, sf_dir):
     )
 
 
+def _parquet_bytes(sf_dir: str, table: str) -> int:
+    import glob
+    import os
+
+    path = f"{sf_dir}/{table}.parquet"
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    return sum(os.path.getsize(p) for p in glob.glob(f"{path}/*.parquet"))
+
+
+_BROADCAST_GATE_BYTES = 64 * 1024 * 1024  # matches session autoBroadcastJoinThreshold
+
+
+def _broadcast_hints(sf_dir: str, *tables: tuple[str, str]) -> str:
+    """Explicit BROADCAST hints, gated on the dim's actual on-disk size.
+
+    A hint overrides AQE, so an ungated ``BROADCAST(p)`` would force a
+    broadcast of part (sf x 200k rows) at 100x bench scale where AQE would
+    correctly refuse. Emitting the hint only while the dim parquet is under
+    the session broadcast threshold keeps the bench-scale plan shape and
+    hands the decision back to the optimizer as data grows."""
+    hints = [
+        f"BROADCAST({alias})"
+        for table, alias in tables
+        if _parquet_bytes(sf_dir, table) < _BROADCAST_GATE_BYTES
+    ]
+    return f"/*+ {', '.join(hints)} */ " if hints else ""
+
+
+def _maybe_broadcast(df, sf_dir: str, table: str):
+    """DataFrame-side twin of ``_broadcast_hints``: same size gate."""
+    if _parquet_bytes(sf_dir, table) < _BROADCAST_GATE_BYTES:
+        return F.broadcast(df)
+    return df
+
+
 @register(
     "q03_top_parts_by_revenue",
     oracle=f"""
@@ -278,13 +314,18 @@ def q02_revenue_by_nation_df(spark, sf_dir):
     tags=("J6", "O1", "A2"),
 )
 def q03_top_parts_by_revenue(spark, sf_dir):
-    return run_sql(spark, sf_dir, Q03_SQL)
+    return run_sql(
+        spark, sf_dir,
+        Q03_SQL.replace("__HINTS__", _broadcast_hints(sf_dir, ("part", "p"))),
+    )
 
 
 # part is a dimension (~1/30th of lineitem rows, narrow): broadcast keeps
 # the fact scan shuffle-free; the only shuffle left is the final group.
+# The hint is size-gated (_broadcast_hints): at 100x bench scale part
+# outgrows the broadcast threshold and AQE decides instead.
 Q03_SQL = f"""
-    SELECT /*+ BROADCAST(p) */
+    SELECT __HINTS__
            p.p_partkey, p.p_name,
            {s_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
            {s_dsum('l.l_quantity')}                           AS total_qty
@@ -297,7 +338,7 @@ Q03_SQL = f"""
 
 def q03_top_parts_by_revenue_df(spark, sf_dir):
     l = load(spark, sf_dir, "lineitem")
-    p = F.broadcast(load(spark, sf_dir, "part"))
+    p = _maybe_broadcast(load(spark, sf_dir, "part"), sf_dir, "part")
     return (
         l.join(p, l.l_partkey == p.p_partkey, "inner")
         .groupBy("p_partkey", "p_name")
@@ -358,11 +399,21 @@ def q04_semi_join_large_parts(spark, sf_dir):
     tags=("J5", "J3"),
 )
 def q05_nation_trade_roles(spark, sf_dir):
-    return run_sql(spark, sf_dir, Q05_SQL)
+    return run_sql(
+        spark, sf_dir,
+        Q05_SQL.replace(
+            "__HINTS__",
+            _broadcast_hints(
+                sf_dir, ("supplier", "s"), ("nation", "cn"), ("nation", "sn")
+            ),
+        ),
+    )
 
 
+# supplier's hint is size-gated like q03's part; nation passes the gate at
+# every TPC-H scale (fixed 25 rows).
 Q05_SQL = f"""
-    SELECT /*+ BROADCAST(s), BROADCAST(cn), BROADCAST(sn) */
+    SELECT __HINTS__
            cn.n_name AS cust_nation, sn.n_name AS supp_nation,
            count(*)                                           AS n_lines,
            {s_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS volume
@@ -387,7 +438,7 @@ def q05_nation_trade_roles_df(spark, sf_dir):
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(_maybe_broadcast(s, sf_dir, "supplier"), l.l_suppkey == s.s_suppkey)
         .join(cn, c.c_nationkey == F.col("cn.n_nationkey"))
         .join(sn, s.s_nationkey == F.col("sn.n_nationkey"))
         .groupBy(

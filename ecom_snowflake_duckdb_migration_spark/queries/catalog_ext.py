@@ -183,21 +183,61 @@ def q33_media_decode_stats(spark, sf_dir):
     )
 
 
+_Q34_RAW_DIR = "/root/repo/benchdata/q34_raw"
+
+
+def _q34_oracle() -> str:
+    """Single WITH-chain DuckDB twin of the whole model DAG: every
+    hand-compiled reference model (ecom/oracle_sql.py, dependency-ordered)
+    becomes a CTE; ``ecom_raw.<t>`` leaves resolve to the committed seeded
+    raw extract (scripts/gen_q34_raw.py) — the SAME parquet files the Spark
+    side reads, so the gate is order-independent and fully deterministic.
+    DuckDB only evaluates the CTEs fct_sales_by_date actually references."""
+    import re
+
+    from ..ecom.oracle_sql import MODEL_ORACLE_SQL
+    from ..ecom.registry import DEFAULT_RUN_TS
+
+    run_ts = f"TIMESTAMP '{DEFAULT_RUN_TS:%Y-%m-%d %H:%M:%S}'"
+    run_date = f"DATE '{DEFAULT_RUN_TS:%Y-%m-%d}'"
+    ctes = []
+    for name, sql in MODEL_ORACLE_SQL.items():
+        body = sql.replace("{RUN_TS}", run_ts).replace("{RUN_DATE}", run_date)
+        body = re.sub(
+            r"ecom_raw\.(\w+)",
+            lambda m: f"read_parquet('{_Q34_RAW_DIR}/{m.group(1)}/*.parquet')",
+            body,
+        )
+        ctes.append(f"{name} AS (\n{body}\n)")
+    return (
+        "WITH " + ",\n".join(ctes) +
+        "\nSELECT * EXCLUDE (updated_at) FROM fct_sales_by_date"
+    )
+
+
 @register(
     "q34_ecom_pipeline_smoke",
-    oracle=None,  # runs on generated ecom data, not the driver tables; all
-    # 37 models are row-for-row oracle-checked against the reference SQL in
-    # tests/test_ecom_pipeline.py.
-    doc="The reference's whole product through the driver gate: seeded "
-    "generator -> 8 staging views -> 15 intermediate -> 14 marts "
-    "(ecom.PipelineRunner), returning the fct_sales_by_date mart.",
+    oracle=_q34_oracle(),
+    doc="The reference's whole product through the driver gate: committed "
+    "seeded raw extract (benchdata/q34_raw, built by the seeded generator) "
+    "-> 8 staging views -> 15 intermediate -> 14 marts "
+    "(ecom.PipelineRunner), returning the fct_sales_by_date mart. The "
+    "oracle runs the hand-compiled reference dbt SQL for the same DAG over "
+    "the same files as one WITH-chain.",
     tags=("pipeline", "E1"),
 )
 def q34_ecom_pipeline_smoke(spark, sf_dir):
-    from ..ecom import PipelineRunner
-    from ..ecom.generate import generate_all
+    import os
 
-    runner = PipelineRunner(spark, generate_all(spark, n_customers=100))
+    from ..ecom import PipelineRunner
+    from . import ensure_confs
+
+    ensure_confs(spark)
+    raw = {
+        name: spark.read.parquet(f"{_Q34_RAW_DIR}/{name}")
+        for name in sorted(os.listdir(_Q34_RAW_DIR))
+    }
+    runner = PipelineRunner(spark, raw)
     return runner.ref("fct_sales_by_date").drop("updated_at")
 
 

@@ -463,22 +463,167 @@ def q50_ann_lsh_topk(spark, sf_dir):
     return sim.ann_topk_ivf(e, query, k=20, dim=64, n_planes=8)
 
 
+def _q51_oracle(k: int, dim: int, n_centroids: int, nprobe: int, seed: int = 42) -> str:
+    """DuckDB twin of ann_topk_ivf_centroids over the seeded codebook: the
+    centroids are float64 literals (same numpy seed as the Spark side), so
+    cell assignment (first-index argmax by cosine), probe-cell selection
+    (top-nprobe by cosine desc, cell desc — mirroring reverse(array_sort)),
+    and the exact re-rank are all plain SQL with bit-identical doubles."""
+    cents = sim.make_centroids(dim, n_centroids, seed)
+
+    def clist(c: list[float]) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in c) + "]"
+
+    def cos_lit(vec: str, c: list[float]) -> str:
+        lst = clist(c)
+        dot = (
+            f"list_sum(list_transform(range(1, len({vec}) + 1),"
+            f" i -> CAST({vec}[i] AS DOUBLE) * ({lst})[i]))"
+        )
+        nv = f"sqrt(list_sum(list_transform({vec}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        nc = f"sqrt(list_sum(list_transform({lst}, x -> x * x)))"
+        return f"({dot} / ({nv} * {nc}))"
+
+    sims_data = ",\n               ".join(
+        f"{cos_lit('embedding', c)} AS s{i}" for i, c in enumerate(cents)
+    )
+    sims_q = ",\n               ".join(
+        f"{cos_lit('qe', c)} AS s{i}" for i, c in enumerate(cents)
+    )
+    all_s = ", ".join(f"s{i}" for i in range(n_centroids))
+    argmax = "CASE " + " ".join(
+        f"WHEN s{i} = best THEN {i}" for i in range(n_centroids)
+    ) + " END"
+    probe_union = "\n            UNION ALL ".join(
+        f"SELECT {i} AS cell, s{i} AS sim FROM qs" for i in range(n_centroids)
+    )
+    dot_q = (
+        "list_sum(list_transform(range(1, len(a.embedding) + 1),"
+        " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))"
+    )
+    norm = "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    return f"""
+    WITH scored AS (
+        SELECT vec_id, embedding,
+               {sims_data}
+        FROM embeddings
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, {argmax} AS cell
+        FROM (SELECT *, greatest({all_s}) AS best FROM scored)
+    ),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    qs AS (
+        SELECT qe,
+               {sims_q}
+        FROM q
+    ),
+    qprobe AS (
+        SELECT cell FROM (
+            {probe_union}
+        ) ORDER BY sim DESC, cell DESC LIMIT {nprobe}
+    )
+    SELECT a.vec_id,
+           {dot_q} / ({norm.format(v='a.embedding')} * {norm.format(v='q.qe')}) AS cosine
+    FROM assigned a, q
+    WHERE a.cell IN (SELECT cell FROM qprobe)
+    ORDER BY cosine DESC, a.vec_id
+    LIMIT {k}
+    """
+
+
 @register(
     "q51_ann_ivf_topk",
-    oracle=None,  # KMeans codebook training is not SQL-expressible; recall
-    # and rank order vs the exact q46 are pinned in tests/test_operators.py.
+    oracle=_q51_oracle(k=20, dim=64, n_centroids=8, nprobe=4),
     doc="Approximate top-k via a centroid IVF index "
-    "(operators.similarity.train_centroids + ann_topk_ivf_centroids): KMeans "
-    "coarse quantizer, nprobe nearest cells scored, exact cosine re-rank. "
+    "(operators.similarity.make_centroids + ann_topk_ivf_centroids): coarse "
+    "quantizer cells, nprobe nearest cells scored, exact cosine re-rank. "
+    "This entry runs the fixed seeded codebook so the whole index + search "
+    "is oracle-checked end-to-end (centroids are literals, like q50's "
+    "hyperplanes); the data-adaptive KMeans codebook (train_centroids) is "
+    "the production recall path, pinned against exact q46 in tests. "
     "The scale path: persist ivf_partition output bucketed by cell and "
     "probes become partition pruning.",
     tags=("LLM", "similarity", "ivf"),
 )
 def q51_ann_ivf_topk(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
-    centroids = sim.train_centroids(e, n_centroids=8, seed=42)
+    centroids = sim.make_centroids(dim=64, n_centroids=8, seed=42)
     query = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
     return sim.ann_topk_ivf_centroids(e, query, centroids, k=20, nprobe=4)
+
+
+def _q53_oracle(threshold: float, dim: int, n_planes: int, n_tables: int, seed: int = 42) -> str:
+    """DuckDB twin of cosine_pairs_lsh: per-table hyperplane signatures from
+    the same seeded literals, candidates = pairs sharing (table, signature),
+    exact cosine re-rank. Mirrors the Spark pipeline 1:1 so the pair set —
+    and with it the multi-table LSH recall contract vs exact q47 — is
+    oracle-checked end-to-end."""
+
+    def dot_lit(vec: str, plane: list[float]) -> str:
+        lst = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        return (
+            f"list_sum(list_transform(range(1, len({vec}) + 1),"
+            f" i -> CAST({vec}[i] AS DOUBLE) * ({lst})[i]))"
+        )
+
+    def sig_expr(vec: str, planes: list[list[float]]) -> str:
+        return "(" + "\n             + ".join(
+            f"(CASE WHEN {dot_lit(vec, p)} >= 0 THEN CAST({1 << i} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END)"
+            for i, p in enumerate(planes)
+        ) + ")"
+
+    sig_cols = ",\n               ".join(
+        f"{sig_expr('embedding', sim.make_hyperplanes(dim, n_planes, seed + 1000 * t))} AS sig_{t}"
+        for t in range(n_tables)
+    )
+    stacked = "\n        UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, sig_{t} AS sig FROM sigs" for t in range(n_tables)
+    )
+    cos = (
+        "list_sum(list_transform(range(1, len(e1.embedding) + 1),"
+        " i -> CAST(e1.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)))"
+        " / (sqrt(list_sum(list_transform(e1.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform(e2.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+    return f"""
+    WITH sigs AS (
+        SELECT vec_id,
+               {sig_cols}
+        FROM embeddings
+    ),
+    stacked AS (
+        {stacked}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+        FROM stacked a
+        JOIN stacked b ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
+    )
+    SELECT c.id1, c.id2, {cos} AS cosine
+    FROM cand c
+    JOIN embeddings e1 ON e1.vec_id = c.id1
+    JOIN embeddings e2 ON e2.vec_id = c.id2
+    WHERE {cos} >= {threshold}
+    """
+
+
+@register(
+    "q53_cosine_pairs_lsh",
+    oracle=_q53_oracle(threshold=0.4, dim=64, n_planes=12, n_tables=4),
+    doc="Embedding-cosine near-dup pairs via multi-table random-hyperplane "
+    "LSH (operators.similarity.cosine_pairs_lsh) — the scale path twin of "
+    "the exact q47 baseline: candidates are equi-joins on (table, "
+    "signature), never a cross join; exact cosine re-rank keeps only true "
+    "matches. Hyperplanes are seeded literals, so the full pipeline is "
+    "oracle-checked; pair-parity with q47 at this threshold is additionally "
+    "pinned in tests.",
+    tags=("LLM", "similarity", "dedup", "lsh"),
+)
+def q53_cosine_pairs_lsh(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    return sim.cosine_pairs_lsh(e, threshold=0.4, dim=64, n_planes=12, n_tables=4)
 
 
 @register(

@@ -75,14 +75,29 @@ class SnapshotTable:
         return snaps[-1] if snaps else None
 
     def _commit(self, version: int, data_dir_name: str) -> None:
+        """Claim ``version`` atomically WITH complete content: the JSON body
+        is written (and fsynced) to a private temp file first, then
+        ``os.link`` publishes it under the commit name — link(2) is the POSIX
+        atomic create-or-EEXIST primitive, and unlike O_CREAT|O_EXCL + write
+        it can never expose a half-written commit file to a concurrent
+        ``snapshots()`` reader."""
         os.makedirs(self._commits_dir, exist_ok=True)
         commit_path = os.path.join(self._commits_dir, f"{version:010d}.json")
+        tmp_path = os.path.join(
+            self._commits_dir, f".tmp-{version:010d}-{secrets.token_hex(4)}"
+        )
+        fd = os.open(tmp_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         try:
-            fd = os.open(commit_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError as e:
-            raise CommitConflict(f"version {version} already committed") from e
-        with os.fdopen(fd, "w") as f:
-            json.dump({"version": version, "data_dir": data_dir_name}, f)
+            with os.fdopen(fd, "w") as f:
+                json.dump({"version": version, "data_dir": data_dir_name}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp_path, commit_path)
+            except FileExistsError as e:
+                raise CommitConflict(f"version {version} already committed") from e
+        finally:
+            os.unlink(tmp_path)
 
     # -- reads --------------------------------------------------------------
 
@@ -145,17 +160,35 @@ class SnapshotTable:
     def vacuum(self, keep_last: int = 2) -> list[str]:
         """Delete data dirs not referenced by the ``keep_last`` newest
         commits (plus orphans from lost races). Readers pinned to vacuumed
-        versions fail on next scan — retention is the documented trade."""
+        versions fail on next scan — retention is the documented trade.
+
+        ``keep_last`` must be >= 1 (a zero would silently slice to ALL
+        snapshots via ``snaps[-0:]`` — rejected explicitly). Orphan dirs are
+        only collected when their embedded version number is <= the newest
+        COMMITTED version: an in-flight merge always targets newest+1, so
+        its not-yet-committed data dir is never swept; a racer targeting
+        <= newest is guaranteed to lose its commit and retry, so sweeping
+        its dir is safe."""
         import shutil
 
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
         snaps = self.snapshots()
+        newest = snaps[-1].version if snaps else 0
         keep = {os.path.basename(s.data_dir) for s in snaps[-keep_last:]}
         removed = []
         for name in os.listdir(self.path):
-            if name.startswith("v-") and name not in keep:
-                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
-                removed.append(name)
-        for s in snaps[:-keep_last] if keep_last else snaps:
+            if not name.startswith("v-") or name in keep:
+                continue
+            try:
+                dir_version = int(name.split("-")[1])
+            except (IndexError, ValueError):
+                continue  # not a version dir we wrote; leave it alone
+            if dir_version > newest:
+                continue  # possibly an in-flight writer's target — grace
+            shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+            removed.append(name)
+        for s in snaps[:-keep_last]:
             commit = os.path.join(self._commits_dir, f"{s.version:010d}.json")
             if os.path.basename(s.data_dir) not in keep and os.path.exists(commit):
                 os.remove(commit)

@@ -1,7 +1,7 @@
 """End-to-end parity: every ecom model vs the reference SQL run on DuckDB.
 
 The generator writes the 8 raw tables to parquet; DuckDB builds all 37 models
-from the hand-compiled reference SQL (tests/ecom_oracle_sql.py) over the SAME
+from the hand-compiled reference SQL (ecom/oracle_sql.py) over the SAME
 files; the engine builds them with the PySpark model functions. Each model is
 compared row-for-row (sorted, numeric-tolerant).
 """
@@ -19,7 +19,7 @@ from ecom_snowflake_duckdb_migration_spark.ecom.generate import generate_all
 from ecom_snowflake_duckdb_migration_spark.ecom.quality import assert_suite, run_suite
 from ecom_snowflake_duckdb_migration_spark.ecom.registry import DEFAULT_RUN_TS, MODELS
 
-from ecom_oracle_sql import MODEL_ORACLE_SQL
+from ecom_snowflake_duckdb_migration_spark.ecom.oracle_sql import MODEL_ORACLE_SQL
 
 N_CUSTOMERS = 200
 RUN_TS_SQL = f"TIMESTAMP '{DEFAULT_RUN_TS:%Y-%m-%d %H:%M:%S}'"

@@ -210,3 +210,42 @@ def test_jdbc_roundtrip_embedded_derby(spark, sf_dir):
     # Append mode stacks a second batch (the daily-feed sink path).
     sources.write_jdbc(region, url, "regions", mode="append", **drv)
     assert sources.read_jdbc(spark, url, "regions", **drv).count() == 2 * region.count()
+
+
+def test_jdbc_roundtrip_derby(spark, sf_dir, tmp_path):
+    """S1/S6 verified end-to-end against Spark's bundled embedded Derby —
+    the in-JVM stand-in for the reference's Postgres extract/load
+    (src/pipeline/ingest_latest_synthetic_data.py:120-129,
+    0_generate_historic_synthetic_data.py:463-492): write_jdbc creates and
+    loads the table, read_jdbc scans it back, and the partitioned variant
+    exercises the parallel fan-out contract of S1."""
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    nation = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("id"), F.col("n_name").alias("name")
+    )
+    sources.write_jdbc(nation, url, "nation_rt", driver=driver)
+
+    back = sources.read_jdbc(spark, url, "nation_rt", driver=driver)
+    assert [f.name.lower() for f in back.schema.fields] == ["id", "name"]
+    assert sorted((r.id, r.name) for r in back.collect()) == sorted(
+        (r.id, r.name) for r in nation.collect()
+    )
+
+    part = sources.read_jdbc(
+        spark,
+        url,
+        "nation_rt",
+        partition_column="id",
+        num_partitions=4,
+        lower_bound=0,
+        upper_bound=30,
+        driver=driver,
+    )
+    assert part.rdd.getNumPartitions() == 4
+    assert part.count() == nation.count()
+
+    # append mode: second load doubles the rows (the reference's daily
+    # latest-batch load appends into the combined table)
+    sources.write_jdbc(nation, url, "nation_rt", mode="append", driver=driver)
+    assert sources.read_jdbc(spark, url, "nation_rt", driver=driver).count() == 2 * nation.count()

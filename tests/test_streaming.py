@@ -187,3 +187,46 @@ def test_running_counts_stateful_across_batches(spark, event_source):
     assert final == want
     emissions_per_key = got.groupBy("key").count().agg(F.max("count")).first()[0]
     assert emissions_per_key == 2  # two micro-batches -> state carried over
+
+
+def test_watermark_boundary_window_emission(spark, tmp_path):
+    """Pins the q32 oracle's boundary rule: with max(ts) landing EXACTLY one
+    hour past a day boundary, the final watermark equals that day boundary
+    exactly, and Spark's append mode emits the window whose end == watermark
+    (the eviction predicate is window_end <= watermark). The q32 oracle's
+    ``window_start + 1 DAY <= max(ts) - 1 HOUR`` uses the same <=, so the
+    equality case agrees between engines by construction."""
+    import datetime
+
+    rows = [
+        (1, "click", 1.0, datetime.datetime(2026, 1, 1, 10, 0, 0)),
+        (2, "click", 1.0, datetime.datetime(2026, 1, 1, 23, 59, 59)),
+        # exactly day2 + 1h: watermark after the final no-data batch is
+        # exactly 2026-01-02 00:00:00 — the boundary under test
+        (3, "view", 1.0, datetime.datetime(2026, 1, 2, 1, 0, 0)),
+    ]
+    src = str(tmp_path / "src")
+    events = spark.createDataFrame(rows, "user_id long, event_type string, value double, ts timestamp")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = streaming.read_event_stream(spark, src, events.schema)
+    agg = streaming.windowed_event_counts(
+        stream, ts_col="ts", key_col="event_type", window_size="1 day", lateness="1 hour"
+    )
+    out = str(tmp_path / "out")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    emitted = {
+        (r.window_start, r.event_type, r.events)
+        for r in spark.read.parquet(out).collect()
+    }
+    # window [day1, day2) ends exactly at the watermark -> emitted;
+    # window [day2, day3) is still open -> held in state, not emitted
+    assert emitted == {(datetime.datetime(2026, 1, 1, 0, 0, 0), "click", 2)}
