@@ -209,9 +209,16 @@ def _q34_oracle() -> str:
             body,
         )
         ctes.append(f"{name} AS (\n{body}\n)")
+    # Final projection aligns ratio types across engines: Spark AVG(DECIMAL)
+    # / DECIMAL-division yield DECIMAL while DuckDB yields DOUBLE, so both
+    # sides cast+round (catalog float convention: round 6 for ratios).
     return (
         "WITH " + ",\n".join(ctes) +
-        "\nSELECT * EXCLUDE (updated_at) FROM fct_sales_by_date"
+        "\nSELECT sale_date, total_orders, unique_customers, total_revenue,"
+        "\n       total_shipping, net_revenue,"
+        "\n       round(CAST(avg_order_value AS DOUBLE), 6) AS avg_order_value,"
+        "\n       round(CAST(revenue_per_customer AS DOUBLE), 6) AS revenue_per_customer"
+        "\nFROM fct_sales_by_date"
     )
 
 
@@ -238,7 +245,19 @@ def q34_ecom_pipeline_smoke(spark, sf_dir):
         for name in sorted(os.listdir(_Q34_RAW_DIR))
     }
     runner = PipelineRunner(spark, raw)
-    return runner.ref("fct_sales_by_date").drop("updated_at")
+    from pyspark.sql import functions as F
+
+    return (
+        runner.ref("fct_sales_by_date")
+        .drop("updated_at")
+        .withColumn(
+            "avg_order_value", F.round(F.col("avg_order_value").cast("double"), 6)
+        )
+        .withColumn(
+            "revenue_per_customer",
+            F.round(F.col("revenue_per_customer").cast("double"), 6),
+        )
+    )
 
 
 @register(
