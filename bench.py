@@ -91,19 +91,29 @@ def main() -> None:
 
     duck = bench_duckdb(specs, sf_dir)
 
-    # Local-bench split sizing: the sf0.1 parquet files are ~2-11 MB, so the
-    # scale-correct 128 MB default split puts the whole scan on one core.
-    # 4 MB splits engage multiple cores at this file size; a real cluster at
-    # real scale keeps the factory default.
-    # Few, large shuffle tasks: at sf0.1 every shuffle is <50 MB, so task
-    # scheduling overhead dominates 32-way fan-out. A real cluster keeps the
-    # factory default (2-3x total cores).
+    # Bench profile (measured grid, scripts/perf_grid3.py + perf_scanfloor.py):
+    # - AQE off: at sub-second query sizes AQE's per-stage job materialization
+    #   adds ~30-60 ms/query and its runtime stats never change the plan the
+    #   static optimizer already picks here (broadcasts are size-gated in the
+    #   catalog). A real cluster at real scale turns it back on — the session
+    #   factory default stays AQE-on; this override is bench-profile only.
+    # - sp=4: every sf0.1 shuffle is <20 MB; shuffle-heavy queries pin their
+    #   own width via size-gated REPARTITION hints (q06/q24).
+    # - 16 MB splits: the testdata files are single-row-group parquet, so
+    #   sub-file splits only add empty tasks; at sf1+ the files carry many
+    #   row groups and the scale-correct default split applies.
+    sf1_plus = sf is not None and sf >= 1
     spark = get_spark(
         app_name="bench",
-        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_BENCH_SP", "8")),
+        shuffle_partitions=int(
+            os.environ.get("SPARK_GRAFT_BENCH_SP", "32" if sf1_plus else "4")
+        ),
         extra_conf={
             "spark.sql.files.maxPartitionBytes": os.environ.get(
-                "SPARK_GRAFT_BENCH_SPLIT", "4194304"
+                "SPARK_GRAFT_BENCH_SPLIT", "8388608" if sf1_plus else "16777216"
+            ),
+            "spark.sql.adaptive.enabled": os.environ.get(
+                "SPARK_GRAFT_BENCH_AQE", "false"
             ),
             "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8388608",
             **json.loads(os.environ.get("SPARK_GRAFT_BENCH_CONF", "{}")),

@@ -74,10 +74,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return cached
     ensure_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) surfaced as int64 nanos; truncate to micros exactly
-        # like DuckDB's ns->us read path (integer div, not float).
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) surfaced as int64 nanos; truncate to micros
+            # exactly like DuckDB's ns->us read path (integer div, not float).
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # Timezone-naive micros: value-identical to TIMESTAMP under the
+            # pinned UTC session, but streaming watermarks (q32/q35) require
+            # the LTZ type — normalize once at load.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _LOAD_CACHE[key] = df
     return df
 

@@ -196,7 +196,35 @@ def q01_pricing_summary_df(spark, sf_dir):
     tags=("J1", "J3", "A1", "A2"),
 )
 def q02_revenue_by_nation(spark, sf_dir):
+    if _parquet_bytes(sf_dir, "orders") < _SMALL_FACT_GATE_BYTES:
+        return run_sql(spark, sf_dir, Q02_SQL_SMALL)
     return run_sql(spark, sf_dir, Q02_SQL)
+
+
+# While orders is small enough to broadcast cheaply (sub-bench scales), skip
+# the per-order rollup entirely: lineitem probes a broadcast of orders'
+# 2-column projection and aggregates straight to o_custkey — ONE wide
+# shuffle in the whole query. Same integer-bp math, so results are
+# bit-identical to the cascade below (pinned by tests/test_sql_df_parity).
+Q02_SQL_SMALL = f"""
+    WITH per_cust AS (
+        SELECT /*+ BROADCAST(o) */ o.o_custkey,
+               sum(CAST(floor((l_extendedprice * (1 - l_discount)) * {BP} + 0.5D) AS BIGINT)) AS _crev
+        FROM {{lineitem}} l
+        JOIN (SELECT o_orderkey, o_custkey FROM {{orders}}) o
+          ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_custkey
+    )
+    SELECT /*+ BROADCAST(c), BROADCAST(n), BROADCAST(r) */
+           r.r_name, n.n_name,
+           CAST(sum(_crev) / {BP}.0D AS DOUBLE) AS revenue,
+           count(*)                             AS n_customers
+    FROM per_cust pc
+    JOIN {{customer}} c ON pc.o_custkey = c.c_custkey
+    JOIN {{nation}} n   ON n.n_nationkey = c.c_nationkey
+    JOIN {{region}} r   ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name, n.n_name
+"""
 
 
 # Aggregates cascade BELOW every join (the 100 TB plan shape) — see the
@@ -232,19 +260,29 @@ def q02_revenue_by_nation_df(spark, sf_dir):
     # COUNT(DISTINCT c_custkey) becomes a plain COUNT over the per-customer
     # rollup (no distinct-aggregate state). Integer bp sums are associative,
     # so the cascade is bit-identical to the single-pass dsum the oracle runs.
-    lrev = (
-        load(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(
-            F.sum(to_bp(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("_rev")
-        )
-    )
+    # Below the small-fact gate the rollup is skipped: lineitem probes a
+    # broadcast of orders' 2-col projection and aggregates straight to
+    # o_custkey (same switch as the SQL form).
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    per_cust = (
-        o.join(lrev, lrev.l_orderkey == o.o_orderkey, "inner")
-        .groupBy("o_custkey")
-        .agg(F.sum("_rev").alias("_crev"))
-    )
+    rev_bp = to_bp(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    if _parquet_bytes(sf_dir, "orders") < _SMALL_FACT_GATE_BYTES:
+        per_cust = (
+            load(spark, sf_dir, "lineitem")
+            .join(F.broadcast(o), F.col("l_orderkey") == o.o_orderkey, "inner")
+            .groupBy("o_custkey")
+            .agg(F.sum(rev_bp).alias("_crev"))
+        )
+    else:
+        lrev = (
+            load(spark, sf_dir, "lineitem")
+            .groupBy("l_orderkey")
+            .agg(F.sum(rev_bp).alias("_rev"))
+        )
+        per_cust = (
+            o.join(lrev, F.col("l_orderkey") == o.o_orderkey, "inner")
+            .groupBy("o_custkey")
+            .agg(F.sum("_rev").alias("_crev"))
+        )
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = F.broadcast(load(spark, sf_dir, "nation"))
     r = F.broadcast(load(spark, sf_dir, "region"))
@@ -271,6 +309,13 @@ def _parquet_bytes(sf_dir: str, table: str) -> int:
 
 
 _BROADCAST_GATE_BYTES = 64 * 1024 * 1024  # matches session autoBroadcastJoinThreshold
+
+# Gate for treating a FACT table (orders) as broadcastable and for pinning
+# literal shuffle widths: much stricter than the dim gate — a fact passes
+# only at sub-bench scales (sf0.1 orders is 2.7 MB; sf1 is 17 MB and over).
+# Above it, queries fall back to the cascade/shuffle shapes that hold at
+# 100 TB, and shuffle widths come from spark.sql.shuffle.partitions.
+_SMALL_FACT_GATE_BYTES = 8 * 1024 * 1024
 
 
 def _broadcast_hints(sf_dir: str, *tables: tuple[str, str]) -> str:
@@ -320,31 +365,48 @@ def q03_top_parts_by_revenue(spark, sf_dir):
     )
 
 
-# part is a dimension (~1/30th of lineitem rows, narrow): broadcast keeps
-# the fact scan shuffle-free; the only shuffle left is the final group.
-# The hint is size-gated (_broadcast_hints): at 100x bench scale part
-# outgrows the broadcast threshold and AQE decides instead.
+# Aggregate lineitem by l_partkey BEFORE touching part: the group-by
+# shrinks the fact to one narrow row per part (map-side partial agg does
+# most of it pre-shuffle), so the join probes |part| rows instead of
+# |lineitem| and p_name never rides through the aggregate. This is the
+# 100 TB shape unconditionally — at any scale the post-agg join input is
+# the smaller relation. The part hint stays size-gated (_broadcast_hints):
+# past the gate AQE picks the join strategy on the 200k x sf-row join.
 Q03_SQL = f"""
     SELECT __HINTS__
            p.p_partkey, p.p_name,
-           {s_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
-           {s_dsum('l.l_quantity')}                           AS total_qty
-    FROM {{lineitem}} l JOIN {{part}} p ON p.p_partkey = l.l_partkey
-    GROUP BY p.p_partkey, p.p_name
+           CAST(la.rev_bp / {BP}.0D AS DOUBLE) AS revenue,
+           CAST(la.qty_bp / {BP}.0D AS DOUBLE) AS total_qty
+    FROM (
+        SELECT l_partkey,
+               sum(CAST(floor((l_extendedprice * (1 - l_discount)) * {BP} + 0.5D) AS BIGINT)) AS rev_bp,
+               sum(CAST(floor(l_quantity * {BP} + 0.5D) AS BIGINT))                           AS qty_bp
+        FROM {{lineitem}}
+        GROUP BY l_partkey
+    ) la
+    JOIN {{part}} p ON p.p_partkey = la.l_partkey
     ORDER BY revenue DESC, p_partkey
     LIMIT 10
 """
 
 
 def q03_top_parts_by_revenue_df(spark, sf_dir):
-    l = load(spark, sf_dir, "lineitem")
+    la = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(to_bp(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("rev_bp"),
+            F.sum(to_bp(F.col("l_quantity"))).alias("qty_bp"),
+        )
+    )
     p = _maybe_broadcast(load(spark, sf_dir, "part"), sf_dir, "part")
     return (
-        l.join(p, l.l_partkey == p.p_partkey, "inner")
-        .groupBy("p_partkey", "p_name")
-        .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
-            dsum(F.col("l_quantity")).alias("total_qty"),
+        la.join(p, la.l_partkey == p.p_partkey, "inner")
+        .select(
+            "p_partkey",
+            "p_name",
+            (F.col("rev_bp") / F.lit(float(BP))).cast("double").alias("revenue"),
+            (F.col("qty_bp") / F.lit(float(BP))).cast("double").alias("total_qty"),
         )
         .orderBy(F.desc("revenue"), F.asc("p_partkey"))
         .limit(10)
@@ -476,7 +538,26 @@ def q05_nation_trade_roles_df(spark, sf_dir):
     tags=("J2", "A3"),
 )
 def q06_multikey_min_price_join(spark, sf_dir):
-    return run_sql(spark, sf_dir, Q06_SQL)
+    return run_sql(
+        spark, sf_dir, Q06_SQL.replace("__SRC__", _width_pinned_lineitem(sf_dir))
+    )
+
+
+def _width_pinned_lineitem(sf_dir: str) -> str:
+    """Bench-scale shuffle-width pin for the q06 window exchange.
+
+    The window's hash exchange inherits spark.sql.shuffle.partitions; at the
+    small bench profile (sp=4) that under-parallelizes the 600k-row sort.
+    While lineitem is under the small-fact gate, pre-partition the projected
+    input 16-wide — the window reuses that exchange (its required
+    distribution is satisfied), so this pins width without an extra shuffle.
+    Past the gate the pin disappears and the session/AQE sizing applies."""
+    if _parquet_bytes(sf_dir, "lineitem") < _BROADCAST_GATE_BYTES:
+        return (
+            "SELECT /*+ REPARTITION(16, l_partkey, l_suppkey) */"
+            " l_partkey, l_suppkey, l_extendedprice FROM {lineitem}"
+        )
+    return "SELECT l_partkey, l_suppkey, l_extendedprice FROM {lineitem}"
 
 
 Q06_SQL = """
@@ -486,14 +567,18 @@ Q06_SQL = """
     FROM (
         SELECT l_suppkey, l_extendedprice,
                min(l_extendedprice) OVER (PARTITION BY l_partkey, l_suppkey) AS min_price
-        FROM {lineitem}
+        FROM (__SRC__)
     )
     GROUP BY l_suppkey
 """
 
 
 def q06_multikey_min_price_join_df(spark, sf_dir):
-    l = load(spark, sf_dir, "lineitem")
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    if _parquet_bytes(sf_dir, "lineitem") < _BROADCAST_GATE_BYTES:
+        l = l.repartition(16, "l_partkey", "l_suppkey")
     w = Window.partitionBy("l_partkey", "l_suppkey")
     return (
         l.withColumn("min_price", F.min("l_extendedprice").over(w))
@@ -528,23 +613,40 @@ def q07_dedup_keep_newest(spark, sf_dir):
     return run_sql(spark, sf_dir, Q07_SQL)
 
 
+# max_by over (ts, event_id) instead of a row_number window: a hash
+# aggregate partial-combines map-side (each task keeps one candidate row
+# per user before the shuffle) and never sorts, while the window must
+# shuffle EVERY raw row and sort each partition. Identical keep-newest
+# semantics: the struct comparator is lexicographic (ts, then event_id),
+# matching ORDER BY ts DESC, event_id DESC with rn = 1. At 100 TB the
+# map-side combine is the difference between shuffling |rows| and
+# shuffling ~|users|.
 Q07_SQL = """
-    SELECT user_id, event_id, event_type, value, ts
+    SELECT picked.user_id, picked.event_id, picked.event_type,
+           picked.value, picked.ts
     FROM (
-        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-        FROM {events}
-    ) WHERE rn = 1
+        SELECT max_by(
+                 named_struct('user_id', user_id, 'event_id', event_id,
+                              'event_type', event_type, 'value', value, 'ts', ts),
+                 struct(ts, event_id)) AS picked
+        FROM {events} GROUP BY user_id
+    )
 """
 
 
 def q07_dedup_keep_newest_df(spark, sf_dir):
     e = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    return (
-        e.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_id", "event_type", "value", "ts")
+    picked = (
+        e.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("user_id", "event_id", "event_type", "value", "ts"),
+                F.struct("ts", "event_id"),
+            ).alias("picked")
+        )
+        .select("picked.*")
     )
+    return picked.select("user_id", "event_id", "event_type", "value", "ts")
 
 
 @register(
@@ -723,30 +825,50 @@ def q13_conditional_activity(spark, sf_dir):
     return run_sql(spark, sf_dir, Q13_SQL)
 
 
+# Both DISTINCTs range over user_id, so the aggregate cascades through
+# (day, user_id): the first level partial-combines map-side and removes the
+# Expand (x3 row multiplication) a multi-distinct plan needs; the second
+# level turns the distincts into plain counts over one row per (day, user).
+# Shuffle volume drops from 3x|events| expanded rows to |day x user| rows.
 Q13_SQL = f"""
-    SELECT to_date(ts) AS day,
-           count(CASE WHEN event_type = 'purchase' THEN 1 END)                AS purchases,
-           count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS purchasers,
-           count(CASE WHEN event_type = 'click' THEN 1 END)                   AS clicks,
-           count(DISTINCT user_id)                                            AS active_users,
-           {s_dsum("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")}
-               AS purchase_value
-    FROM {{events}}
-    GROUP BY to_date(ts)
+    WITH per_user AS (
+        SELECT to_date(ts) AS day, user_id,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purch,
+               count(CASE WHEN event_type = 'click' THEN 1 END)    AS n_click,
+               sum(CAST(floor((CASE WHEN event_type = 'purchase' THEN value ELSE 0D END) * {BP} + 0.5D) AS BIGINT)) AS val_bp
+        FROM {{events}}
+        GROUP BY to_date(ts), user_id
+    )
+    SELECT day,
+           CAST(sum(n_purch) AS BIGINT)            AS purchases,
+           count(CASE WHEN n_purch > 0 THEN 1 END) AS purchasers,
+           CAST(sum(n_click) AS BIGINT)            AS clicks,
+           count(*)                                AS active_users,
+           CAST(sum(val_bp) / {BP}.0D AS DOUBLE)   AS purchase_value
+    FROM per_user
+    GROUP BY day
 """
 
 
 def q13_conditional_activity_df(spark, sf_dir):
     e = load(spark, sf_dir, "events")
     is_purchase = F.col("event_type") == "purchase"
-    return (
-        e.groupBy(F.to_date("ts").alias("day"))
+    per_user = (
+        e.groupBy(F.to_date("ts").alias("day"), F.col("user_id"))
         .agg(
-            F.count(F.when(is_purchase, 1)).alias("purchases"),
-            F.countDistinct(F.when(is_purchase, F.col("user_id"))).alias("purchasers"),
-            F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
-            F.countDistinct("user_id").alias("active_users"),
-            dsum(F.when(is_purchase, F.col("value")).otherwise(0)).alias("purchase_value"),
+            F.count(F.when(is_purchase, 1)).alias("n_purch"),
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
+            F.sum(to_bp(F.when(is_purchase, F.col("value")).otherwise(0))).alias("val_bp"),
+        )
+    )
+    return (
+        per_user.groupBy("day")
+        .agg(
+            F.sum("n_purch").cast("long").alias("purchases"),
+            F.count(F.when(F.col("n_purch") > 0, 1)).alias("purchasers"),
+            F.sum("n_click").cast("long").alias("clicks"),
+            F.count(F.lit(1)).alias("active_users"),
+            (F.sum("val_bp") / F.lit(float(BP))).cast("double").alias("purchase_value"),
         )
     )
 
@@ -1033,27 +1155,48 @@ def q23_limit_preview(spark, sf_dir):
     tags=("A8", "F4", "J3"),
 )
 def q24_grouped_column_reuse(spark, sf_dir):
-    return run_sql(spark, sf_dir, Q24_SQL)
+    width = 16 if _parquet_bytes(sf_dir, "lineitem") < _BROADCAST_GATE_BYTES else 0
+    return run_sql(
+        spark, sf_dir,
+        Q24_SQL.replace(
+            "__O__",
+            f"(SELECT /*+ REPARTITION({width}, o_orderkey) */ o_orderkey, o_totalprice FROM {{orders}})"
+            if width
+            else "(SELECT o_orderkey, o_totalprice FROM {orders})",
+        ).replace(
+            "__L__",
+            f"(SELECT /*+ REPARTITION({width}, l_orderkey) */ l_orderkey, l_partkey FROM {{lineitem}})"
+            if width
+            else "(SELECT l_orderkey, l_partkey FROM {lineitem})",
+        ),
+    )
 
 
 # SHUFFLE_HASH(o): orders is too big to broadcast cheaply (the single-thread
 # hash build costs more than a parallel shuffle at bench scale, and at real
-# scale broadcasting a fact side is impossible anyway).
+# scale broadcasting a fact side is impossible anyway). The size-gated
+# REPARTITION pins the join exchanges 16-wide at bench scale (the join and
+# the downstream group-by reuse them — HashPartitioning(o_orderkey) satisfies
+# both, so no extra shuffle); past the gate session/AQE sizing applies.
 Q24_SQL = """
     SELECT /*+ SHUFFLE_HASH(o) */
            o.o_orderkey, o.o_totalprice,
            CAST(round(o_totalprice * 100, 0) AS BIGINT)
                div nullif(count(DISTINCT l.l_partkey), 0) AS price_cents_per_part
-    FROM {orders} o JOIN {lineitem} l ON l.l_orderkey = o.o_orderkey
+    FROM __O__ o JOIN __L__ l ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderkey, o.o_totalprice
 """
 
 
 def q24_grouped_column_reuse_df(spark, sf_dir):
-    o = load(spark, sf_dir, "orders").hint("shuffle_hash")
-    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    if _parquet_bytes(sf_dir, "lineitem") < _BROADCAST_GATE_BYTES:
+        o = o.repartition(16, "o_orderkey")
+        l = l.repartition(16, "l_orderkey")
     return (
-        o.join(l, l.l_orderkey == o.o_orderkey)
+        o.hint("shuffle_hash")
+        .join(l, l.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey", "o_totalprice")
         .agg(
             F.expr(
