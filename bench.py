@@ -113,7 +113,7 @@ def main() -> None:
                 "SPARK_GRAFT_BENCH_SPLIT", "8388608" if sf1_plus else "16777216"
             ),
             "spark.sql.adaptive.enabled": os.environ.get(
-                "SPARK_GRAFT_BENCH_AQE", "false"
+                "SPARK_GRAFT_BENCH_AQE", "true" if sf1_plus else "false"
             ),
             "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8388608",
             **json.loads(os.environ.get("SPARK_GRAFT_BENCH_CONF", "{}")),

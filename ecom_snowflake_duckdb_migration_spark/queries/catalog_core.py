@@ -237,7 +237,7 @@ Q02_SQL = f"""
         GROUP BY l_orderkey
     ),
     per_cust AS (
-        SELECT o.o_custkey, sum(_rev) AS _crev
+        SELECT /*+ SHUFFLE_HASH(o) */ o.o_custkey, sum(_rev) AS _crev
         FROM {{orders}} o JOIN lrev ON lrev.l_orderkey = o.o_orderkey
         GROUP BY o.o_custkey
     )
@@ -251,6 +251,11 @@ Q02_SQL = f"""
     JOIN {{region}} r   ON r.r_regionkey = n.n_regionkey
     GROUP BY r.r_name, n.n_name
 """
+# SHUFFLE_HASH(o) in per_cust: both sides are pre-shrunk one-row-per-key
+# relations (orders projection x per-order rollup) — a hash join skips the
+# sort-merge's two 1.5M-row sorts (measured 1.32 -> 0.91 s at sf1). Build
+# side = orders' 2-col projection, whose per-partition slice stays small
+# under scale-proportional shuffle-partition sizing.
 
 
 def q02_revenue_by_nation_df(spark, sf_dir):
@@ -279,7 +284,8 @@ def q02_revenue_by_nation_df(spark, sf_dir):
             .agg(F.sum(rev_bp).alias("_rev"))
         )
         per_cust = (
-            o.join(lrev, F.col("l_orderkey") == o.o_orderkey, "inner")
+            o.hint("shuffle_hash")
+            .join(lrev, F.col("l_orderkey") == o.o_orderkey, "inner")
             .groupBy("o_custkey")
             .agg(F.sum("_rev").alias("_crev"))
         )
