@@ -479,9 +479,14 @@ def q05_nation_trade_roles(spark, sf_dir):
 
 
 # supplier's hint is size-gated like q03's part; nation passes the gate at
-# every TPC-H scale (fixed 25 rows).
+# every TPC-H scale (fixed 25 rows). SHUFFLE_HASH(o) covers the one
+# fact-fact join: past the broadcast sizes, sort-merge pays two full sorts
+# of the largest relations for nothing (the downstream agg needs no order);
+# hash join skips them (measured 1.33 -> 0.94 s at sf1). Build side is
+# orders' 2-col projection, bounded per partition by scale-proportional
+# shuffle sizing.
 Q05_SQL = f"""
-    SELECT __HINTS__
+    SELECT /*+ SHUFFLE_HASH(o) */ __HINTS__
            cn.n_name AS cust_nation, sn.n_name AS supp_nation,
            count(*)                                           AS n_lines,
            {s_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS volume
@@ -497,7 +502,7 @@ Q05_SQL = f"""
 
 def q05_nation_trade_roles_df(spark, sf_dir):
     l = load(spark, sf_dir, "lineitem")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").hint("shuffle_hash")
     c = load(spark, sf_dir, "customer")
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
@@ -1104,7 +1109,9 @@ def q21_group_by_ordinal(spark, sf_dir):
     tags=("A10", "A1"),
 )
 def q22_count_distinct_quirk(spark, sf_dir):
-    return run_sql(spark, sf_dir, Q22_SQL)
+    if _parquet_bytes(sf_dir, "lineitem") < _BROADCAST_GATE_BYTES:
+        return run_sql(spark, sf_dir, Q22_SQL)
+    return run_sql(spark, sf_dir, Q22_SQL_CASCADE)
 
 
 Q22_SQL = """
@@ -1116,12 +1123,51 @@ Q22_SQL = """
 """
 
 
+# Past the gate, the planner's multi-distinct Expand (3x every input row
+# through one shuffle) loses to three independent scan+dedup cascades that
+# each shuffle only the distinct pairs (measured 856 -> 680 ms at sf1; at
+# 100 TB the Expand's 3x|rows| shuffle is the difference in kind). The
+# three branches run as independent stages over column-pruned scans.
+Q22_SQL_CASCADE = """
+    WITH q AS (SELECT l_returnflag, l_quantity v FROM {lineitem} GROUP BY 1, 2),
+         p AS (SELECT l_returnflag, l_partkey  v FROM {lineitem} GROUP BY 1, 2),
+         s AS (SELECT l_returnflag, l_suppkey  v FROM {lineitem} GROUP BY 1, 2),
+         qq AS (SELECT l_returnflag, count(*) c FROM q GROUP BY 1),
+         pp AS (SELECT l_returnflag, count(*) c FROM p GROUP BY 1),
+         ss AS (SELECT l_returnflag, count(*) c FROM s GROUP BY 1)
+    SELECT /*+ BROADCAST(pp), BROADCAST(ss) */
+           qq.l_returnflag,
+           qq.c AS review_count_quirk,
+           pp.c AS n_parts,
+           ss.c AS n_suppliers
+    FROM qq JOIN pp ON qq.l_returnflag = pp.l_returnflag
+            JOIN ss ON qq.l_returnflag = ss.l_returnflag
+"""
+
+
 def q22_count_distinct_quirk_df(spark, sf_dir):
     l = load(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.countDistinct("l_quantity").alias("review_count_quirk"),
-        F.countDistinct("l_partkey").alias("n_parts"),
-        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    if _parquet_bytes(sf_dir, "lineitem") < _BROADCAST_GATE_BYTES:
+        return l.groupBy("l_returnflag").agg(
+            F.countDistinct("l_quantity").alias("review_count_quirk"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+        )
+
+    def branch(col, out):
+        return (
+            l.select("l_returnflag", col).distinct()
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    qq = branch("l_quantity", "review_count_quirk")
+    pp = F.broadcast(branch("l_partkey", "n_parts"))
+    ss = F.broadcast(branch("l_suppkey", "n_suppliers"))
+    return (
+        qq.join(pp, "l_returnflag")
+        .join(ss, "l_returnflag")
+        .select("l_returnflag", "review_count_quirk", "n_parts", "n_suppliers")
     )
 
 
