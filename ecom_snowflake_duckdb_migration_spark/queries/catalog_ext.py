@@ -306,3 +306,39 @@ def q35_user_sessions(spark, sf_dir):
             "total_value"
         ),
     )
+
+
+@register(
+    "q36_dual_target_sync",
+    # The sync must be lossless per target, so the expected report is
+    # computable from the SOURCE table alone (q31's round-trip pattern):
+    # every target row carries the source count twice and ok=true.
+    oracle="""
+    SELECT 'supplier' AS table, t.target, c.n AS rows_expected, c.n AS rows_loaded,
+           true AS ok
+    FROM (SELECT count(*) AS n FROM supplier) c
+    CROSS JOIN (VALUES ('parquet'), ('csv')) AS t(target)
+    ORDER BY t.target
+    """,
+    doc="The reference's dual-target load + cross-target row-count "
+    "verification (src/pipeline/ingest_latest_synthetic_data.py:610-703, "
+    "count cross-check :688-696): one logical table fans out to two "
+    "physical targets (parquet + CSV here; local DuckDB + MotherDuck "
+    "there), each target is read BACK and counted, and the per-target "
+    "report is returned. sources.sync.sync_to_targets.",
+    tags=("S4", "S6", "sync"),
+)
+def q36_dual_target_sync(spark, sf_dir):
+    from ..sources import SyncTarget, sync_to_targets
+
+    supplier = load(spark, sf_dir, "supplier")
+    work = tempfile.mkdtemp(prefix="dual_sync_")
+    report = sync_to_targets(
+        supplier,
+        [
+            SyncTarget("parquet", f"{work}/parquet"),
+            SyncTarget("csv", f"{work}/csv"),
+        ],
+        table="supplier",
+    )
+    return report.orderBy("target")

@@ -9,6 +9,7 @@ from .readers import (
     read_jdbc,
 )
 from .snapshot import CommitConflict, Snapshot, SnapshotTable
+from .sync import SyncTarget, sync_to_targets, verify_targets
 from .upsert import (
     align_union,
     backfill_id_column,
@@ -30,6 +31,9 @@ from .writers import (
 
 __all__ = [
     "CommitConflict",
+    "SyncTarget",
+    "sync_to_targets",
+    "verify_targets",
     "Snapshot",
     "SnapshotTable",
     "align_union",

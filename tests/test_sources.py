@@ -249,3 +249,41 @@ def test_jdbc_roundtrip_derby(spark, sf_dir, tmp_path):
     # latest-batch load appends into the combined table)
     sources.write_jdbc(nation, url, "nation_rt", mode="append", driver=driver)
     assert sources.read_jdbc(spark, url, "nation_rt", driver=driver).count() == 2 * nation.count()
+
+
+def test_sync_to_targets_verifies_counts(spark, sf_dir, tmp_path):
+    """Dual-target load + cross-target count verification
+    (ingest_latest_synthetic_data.py:610-703, cross-check :688-696)."""
+    region = load(spark, sf_dir, "region")
+    targets = [
+        sources.SyncTarget("parquet", str(tmp_path / "p")),
+        sources.SyncTarget("csv", str(tmp_path / "c")),
+        sources.SyncTarget(
+            "jdbc",
+            f"jdbc:derby:{tmp_path}/db;create=true",
+            table="region_sync",
+            options={"driver": "org.apache.derby.jdbc.EmbeddedDriver"},
+        ),
+    ]
+    report = sources.sync_to_targets(region, targets, table="region").collect()
+    assert len(report) == 3
+    n = region.count()
+    assert all(r.ok and r.rows_loaded == n and r.rows_expected == n for r in report)
+    assert {r.target for r in report} == {"parquet", "csv", "jdbc"}
+
+    # standalone re-verification passes against the landed targets
+    again = sources.verify_targets(spark, region, targets, table="region").collect()
+    assert all(r.ok for r in again)
+
+    # a target that loses data (CSV dir emptied of parts) must flag ok=False
+    import glob
+    import os
+
+    for part in glob.glob(str(tmp_path / "c" / "part-*")):
+        os.remove(part)
+    broken = {
+        r.target: r
+        for r in sources.verify_targets(spark, region, targets, table="region").collect()
+    }
+    assert broken["csv"].ok is False
+    assert broken["parquet"].ok is True
