@@ -420,3 +420,53 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs.select("d1", "d2", "hamming")
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 500,
+    overlap: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking with overlap — the standard
+    training-data preparation step (context-window packing input).
+
+    Windows start every ``stride = chunk_size - overlap`` characters; the
+    final window is the first one whose end reaches the text end, so every
+    character is covered and consecutive chunks share exactly ``overlap``
+    characters (except possibly the last, which may overlap more when the
+    tail is short).
+
+    Output: ``(id, chunk_id, chunk_start, chunk_text, chunk_chars,
+    chunk_tokens)``, one row per window, 1-based ``chunk_start``.
+
+    Scale: a pure narrow transform — ``explode(sequence(...))`` fans out
+    ~len/stride rows per document with NO shuffle; all expressions are
+    integer/substring Catalyst built-ins inside whole-stage codegen, and
+    the bounded fan-out keeps task memory flat regardless of corpus size.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    stride = chunk_size - overlap
+    n_chunks = F.expr(
+        f"CASE WHEN length({text_col}) <= {chunk_size} THEN 1 "
+        f"ELSE CAST(ceil((length({text_col}) - {chunk_size}) / {stride}.0) AS INT) + 1 END"
+    )
+    return (
+        df.select(
+            id_col,
+            F.col(text_col),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            (F.col("chunk_id") * stride + 1).alias("chunk_start"),
+            F.expr(f"substring({text_col}, chunk_id * {stride} + 1, {chunk_size})").alias(
+                "chunk_text"
+            ),
+        )
+        .withColumn("chunk_chars", F.length("chunk_text"))
+        .withColumn("chunk_tokens", token_count("chunk_text"))
+    )

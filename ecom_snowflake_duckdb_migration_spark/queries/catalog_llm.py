@@ -680,3 +680,35 @@ def q52_dedup_canonical_docs(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs_kept"),
         (F.lit(total) - F.count(F.lit(1))).alias("n_dropped"),
     )
+
+
+@register(
+    "q37_document_chunks",
+    oracle="""
+    WITH fanout AS (
+        SELECT doc_id, text,
+               unnest(range(0,
+                   CASE WHEN length(text) <= 500 THEN 1
+                        ELSE CAST(ceil((length(text) - 500) / 400.0) AS INT) + 1 END
+               )) AS i
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS INT)           AS chunk_id,
+           CAST(i * 400 + 1 AS INT) AS chunk_start,
+           substring(text, CAST(i * 400 + 1 AS INT), 500) AS chunk_text,
+           length(substring(text, CAST(i * 400 + 1 AS INT), 500)) AS chunk_chars,
+           len(string_split_regex(trim(substring(text, CAST(i * 400 + 1 AS INT), 500)), '\\s+'))
+               AS chunk_tokens
+    FROM fanout
+    """,
+    doc="Sliding-window document chunking with overlap (chunk_size=500, "
+    "overlap=100) — context-window packing input for training pipelines "
+    "(operators.text.chunk_documents). Narrow explode(sequence) fan-out, "
+    "zero shuffle; every character covered, consecutive chunks share "
+    "exactly the overlap.",
+    tags=("LLM", "chunking"),
+)
+def q37_document_chunks(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return tx.chunk_documents(d, chunk_size=500, overlap=100)

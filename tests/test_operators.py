@@ -173,3 +173,31 @@ def test_select_canonical_with_preference(spark):
     # preference: highest score wins within the cluster
     best = {r.doc_id for r in select_canonical(docs, pairs, prefer=F.desc("score")).collect()}
     assert best == {2, 7}
+
+
+def test_chunk_documents_covers_and_overlaps(spark, sf_dir):
+    d = _docs(spark, sf_dir).limit(50)
+    chunks = tx.chunk_documents(d, chunk_size=120, overlap=30)
+    rows = chunks.orderBy("doc_id", "chunk_id").collect()
+    texts = {r.doc_id: r.text for r in d.collect()}
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(texts)
+    stride = 120 - 30
+    for doc_id, cs in by_doc.items():
+        full = texts[doc_id]
+        # windows start every stride chars; 1-based starts
+        assert [c.chunk_start for c in cs] == [i * stride + 1 for i in range(len(cs))]
+        # every chunk is the exact substring, bounded by chunk_size
+        for c in cs:
+            assert c.chunk_text == full[c.chunk_start - 1 : c.chunk_start - 1 + 120]
+            assert c.chunk_chars == len(c.chunk_text) <= 120
+        # full coverage: last window reaches the end of the text
+        assert cs[-1].chunk_start - 1 + len(cs[-1].chunk_text) == len(full)
+        # reconstruction: first chunk + the non-overlapping tail of the rest
+        rebuilt = cs[0].chunk_text + "".join(c.chunk_text[30:] for c in cs[1:])
+        assert rebuilt == full
+        # consecutive windows share exactly the overlap region
+        for a, b in zip(cs, cs[1:]):
+            assert a.chunk_text[stride:stride + 30] == b.chunk_text[:30] or len(a.chunk_text) < 120
