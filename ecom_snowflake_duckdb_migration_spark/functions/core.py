@@ -57,8 +57,34 @@ def try_to_timestamp(c: Column | str, fmt: str | None = None) -> Column:
     the Python datetime boundary, and DuckDB parses it to a BC timestamp —
     both outside the reference's raw-layer domain, so the engine rejects
     them deterministically instead of inheriting either quirk.
+
+    Separator contract (DuckDB parity, pinned by
+    tests/test_property_parity.py): DuckDB's timestamp parser takes the
+    date-time separator as either 'T' (uppercase only, optionally followed
+    by whitespace) or ANY whitespace run — Spark accepts only a single
+    space or 'T'. The separator is normalized to one space before the
+    cast. DuckDB also rejects a date followed by nothing but whitespace
+    (the trailing run is taken as a separator with a missing time), while
+    Spark would trim it to a bare date — that shape is nulled explicitly.
+
+    Zone contract: a '+'/'-' after the time is a zone designator; the
+    engines disagree irreconcilably there (Spark's cast applies JVM zone
+    offsets bounded at +-18 h, DuckDB accepts e.g. '-23' and shifts a
+    nominally zone-naive TIMESTAMP) and the reference raw layer is
+    zone-naive, so zone-bearing strings are rejected outright.
     """
-    ts = _col(c).try_cast("timestamp") if fmt is None else F.try_to_timestamp(_col(c), F.lit(fmt))
+    if fmt is not None:
+        ts = F.try_to_timestamp(_col(c), F.lit(fmt))
+        return F.when(F.year(ts).between(1, 9999), ts)
+    date_re = r"\d{1,4}-\d{1,2}-\d{1,2}"
+    src = _col(c)
+    norm = F.regexp_replace(src, rf"^(\s*{date_re})(T\s*|\s+)(?=\S)", r"$1 ")
+    ts = F.when(
+        ~src.rlike(rf"^\s*{date_re}\s+$")  # date + trailing whitespace only
+        & ~src.rlike(r":.*[-+]")  # zone designator after the time
+        & ~src.rlike(r"^\s*\+"),  # explicit '+year' sign (DuckDB rejects)
+        norm.try_cast("timestamp"),
+    )
     return F.when(F.year(ts).between(1, 9999), ts)
 
 

@@ -94,6 +94,11 @@ def test_try_cast_timestamp_parity(spark, vals):
     # years to 1..9999; the oracle applies the same bound, since raw TRY_CAST
     # diverges outside it (DuckDB parses '-2000-...' as BC, Spark's cast
     # yields a negative-year timestamp no Python datetime can carry).
+    # Zone contract (see try_to_timestamp docstring): '+'/'-' after the time
+    # is a zone designator; engines disagree irreconcilably (Spark applies
+    # JVM offsets bounded at +-18h, DuckDB shifts by e.g. '-23'), so the
+    # contract rejects zone-bearing strings and the oracle applies the same
+    # filter.
     df = spark.createDataFrame(vals, "s string")
     got = [r.ts for r in df.select(try_to_timestamp("s").alias("ts")).collect()]
     want = [
@@ -101,7 +106,8 @@ def test_try_cast_timestamp_parity(spark, vals):
         for r in _duck(
             vals,
             ["s"],
-            "SELECT CASE WHEN year(TRY_CAST(s AS TIMESTAMP)) BETWEEN 1 AND 9999 "
+            "SELECT CASE WHEN NOT regexp_matches(s, ':.*[-+]') "
+            "AND year(TRY_CAST(s AS TIMESTAMP)) BETWEEN 1 AND 9999 "
             "THEN TRY_CAST(s AS TIMESTAMP) END FROM t",
         )
     ]
