@@ -470,3 +470,41 @@ def chunk_documents(
         .withColumn("chunk_chars", F.length("chunk_text"))
         .withColumn("chunk_tokens", token_count("chunk_text"))
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "chunk_tokens",
+    order_cols: tuple[str, ...] = ("doc_id", "chunk_id"),
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Assign fixed-budget sequence packs (context-window packing).
+
+    Items are laid out in ``order_cols`` order along a cumulative token
+    axis; ``pack_id = floor(exclusive_cumsum / budget)`` — i.e. packs are
+    consecutive budget-sized slices of the token stream. With inputs
+    already chunked to <= budget tokens (chunk_documents), this is the
+    concat-and-wrap packing used to fill training context windows;
+    ``pack_offset`` gives the item's start inside its pack.
+
+    Scale: one window cumsum. Unpartitioned it is a single-reducer
+    bottleneck (fine to ~10^8 items; documented driver for the global
+    contract) — pass ``partition_col`` (e.g. a shard key) to run the same
+    packing independently per shard with full parallelism, which is how a
+    100 TB corpus actually packs (pack ids are then per-shard).
+    """
+    from pyspark.sql.window import Window
+
+    if partition_col is None:
+        w = Window.orderBy(*[F.col(c) for c in order_cols])
+    else:
+        w = Window.partitionBy(partition_col).orderBy(*[F.col(c) for c in order_cols])
+    cum_excl = F.coalesce(
+        F.sum(F.col(token_col)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return (
+        df.withColumn("pack_id", F.floor(cum_excl / F.lit(budget)).cast("int"))
+        .withColumn("pack_offset", (cum_excl % F.lit(budget)).cast("int"))
+    )

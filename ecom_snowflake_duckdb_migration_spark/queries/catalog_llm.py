@@ -712,3 +712,52 @@ def q52_dedup_canonical_docs(spark, sf_dir):
 def q37_document_chunks(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return tx.chunk_documents(d, chunk_size=500, overlap=100)
+
+
+@register(
+    "q38_sequence_packing",
+    oracle="""
+    WITH fanout AS (
+        SELECT doc_id, text,
+               unnest(range(0,
+                   CASE WHEN length(text) <= 500 THEN 1
+                        ELSE CAST(ceil((length(text) - 500) / 400.0) AS INT) + 1 END
+               )) AS i
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, CAST(i AS INT) AS chunk_id,
+               len(string_split_regex(trim(substring(text, CAST(i * 400 + 1 AS INT), 500)), '\\s+'))
+                   AS chunk_tokens
+        FROM fanout
+    ),
+    laid AS (
+        SELECT doc_id, chunk_id, chunk_tokens,
+               coalesce(sum(chunk_tokens) OVER (
+                   ORDER BY doc_id, chunk_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        FROM chunks
+    )
+    SELECT CAST(cum // 512 AS INT)  AS pack_id,
+           count(*)                 AS n_items,
+           CAST(sum(chunk_tokens) AS BIGINT) AS pack_tokens,
+           count(DISTINCT doc_id)   AS n_docs
+    FROM laid
+    GROUP BY 1
+    """,
+    doc="Context-window packing over the q37 chunks: items laid out on a "
+    "cumulative token axis, pack_id = floor(exclusive_cumsum / 512) — "
+    "concat-and-wrap packing of training sequences "
+    "(operators.text.pack_sequences). Rolled up per pack for a stable "
+    "driver gate.",
+    tags=("LLM", "chunking", "packing"),
+)
+def q38_sequence_packing(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    chunks = tx.chunk_documents(d, chunk_size=500, overlap=100)
+    packed = tx.pack_sequences(chunks, budget=512)
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("chunk_tokens").alias("pack_tokens"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )

@@ -201,3 +201,30 @@ def test_chunk_documents_covers_and_overlaps(spark, sf_dir):
         # consecutive windows share exactly the overlap region
         for a, b in zip(cs, cs[1:]):
             assert a.chunk_text[stride:stride + 30] == b.chunk_text[:30] or len(a.chunk_text) < 120
+
+
+def test_pack_sequences_lays_out_token_axis(spark, sf_dir):
+    d = _docs(spark, sf_dir).limit(60)
+    chunks = tx.chunk_documents(d, chunk_size=200, overlap=40)
+    packed = tx.pack_sequences(chunks, budget=256, order_cols=("doc_id", "chunk_id"))
+    rows = packed.orderBy("doc_id", "chunk_id").collect()
+    # pack_id/pack_offset must reconstruct the exclusive running token sum
+    cum = 0
+    for r in rows:
+        assert r.pack_id * 256 + r.pack_offset == cum
+        assert 0 <= r.pack_offset < 256
+        cum += r.chunk_tokens
+    # pack ids are the contiguous range 0..floor((total-last)/budget)
+    ids = sorted({r.pack_id for r in rows})
+    assert ids == list(range(ids[-1] + 1))
+    # per-shard packing restarts the axis inside every shard
+    sharded = tx.pack_sequences(
+        chunks.withColumn("shard", F.col("doc_id") % 3),
+        budget=256, order_cols=("doc_id", "chunk_id"), partition_col="shard",
+    )
+    for shard, grp in ((s, [r for r in sharded.collect() if r.shard == s]) for s in range(3)):
+        grp.sort(key=lambda r: (r.doc_id, r.chunk_id))
+        cum = 0
+        for r in grp:
+            assert r.pack_id * 256 + r.pack_offset == cum, shard
+            cum += r.chunk_tokens
