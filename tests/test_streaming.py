@@ -230,3 +230,64 @@ def test_watermark_boundary_window_emission(spark, tmp_path):
     # window [day1, day2) ends exactly at the watermark -> emitted;
     # window [day2, day3) is still open -> held in state, not emitted
     assert emitted == {(datetime.datetime(2026, 1, 1, 0, 0, 0), "click", 2)}
+
+
+def test_restart_same_checkpoint_exactly_once(spark, tmp_path):
+    """Exactly-once across restarts: re-running availableNow from the SAME
+    checkpoint must not re-emit already-appended windows (reprocessing would
+    visibly duplicate append-mode output), and new data arriving between
+    runs emits only the incrementally-closed windows."""
+    import datetime
+
+    def write_file(rows, name):
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, value double, ts timestamp"
+        )
+        df.coalesce(1).write.mode("append").parquet(str(tmp_path / "src"))
+
+    day = datetime.datetime
+    write_file(
+        [
+            (1, "click", 1.0, day(2026, 1, 1, 9, 0, 0)),
+            (2, "click", 1.0, day(2026, 1, 2, 12, 0, 0)),
+        ],
+        "batch1",
+    )
+    schema = "user_id long, event_type string, value double, ts timestamp"
+    from pyspark.sql.types import _parse_datatype_string
+
+    sch = _parse_datatype_string(schema)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = streaming.read_event_stream(spark, str(tmp_path / "src"), sch)
+        agg = streaming.windowed_event_counts(stream, ts_col="ts", key_col="event_type")
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        return [
+            (r.window_start, r.event_type, r.events)
+            for r in spark.read.parquet(out).collect()
+        ]
+
+    first = run_once()
+    # day1 closed (watermark = day2 12:00 - 1h), day2 still open
+    assert sorted(first) == [(day(2026, 1, 1), "click", 1)]
+
+    # restart with NO new data: nothing may be re-emitted
+    second = run_once()
+    assert sorted(second) == sorted(first)
+
+    # new data closes day2; only the incremental window appends, no dupes
+    write_file([(3, "view", 1.0, day(2026, 1, 3, 6, 0, 0))], "batch2")
+    third = run_once()
+    assert sorted(third) == [
+        (day(2026, 1, 1), "click", 1),
+        (day(2026, 1, 2), "click", 1),
+    ]
