@@ -508,3 +508,42 @@ def pack_sequences(
         df.withColumn("pack_id", F.floor(cum_excl / F.lit(budget)).cast("int"))
         .withColumn("pack_offset", (cum_excl % F.lit(budget)).cast("int"))
     )
+
+
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repetition quality signal: duplicate word-trigram ratio (the
+    Gopher/Dolma-style repetitious-text filter).
+
+    For each document, lowercase-whitespace tokens form overlapping word
+    trigrams; ``dup_trigram_ratio_e6`` = (occurrences - distinct) / 
+    occurrences in e6 fixed point (0 for texts under 3 tokens). Boilerplate
+    and looping generations score high; natural prose scores near 0.
+
+    Scale: per-row higher-order array expressions (transform/array_distinct)
+    — embarrassingly parallel, no shuffle, codegen-eligible; memory is
+    bounded by document length, not corpus size.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n3 = F.greatest(F.size(toks) - 2, F.lit(0))
+    tri = F.expr(
+        f"transform(sequence(1, greatest(size(split(lower(trim({text_col})), '\\\\s+')) - 2, 1)), "
+        f"i -> concat_ws(' ', element_at(split(lower(trim({text_col})), '\\\\s+'), i), "
+        f"element_at(split(lower(trim({text_col})), '\\\\s+'), i + 1), "
+        f"element_at(split(lower(trim({text_col})), '\\\\s+'), i + 2)))"
+    )
+    n_distinct = F.when(n3 > 0, F.size(F.array_distinct(tri))).otherwise(0)
+    return df.select(
+        id_col,
+        n3.cast("long").alias("n_trigrams"),
+        n_distinct.cast("long").alias("n_distinct_trigrams"),
+    ).withColumn(
+        "dup_trigram_ratio_e6",
+        # integer div: bit-stable across engines (e6 fixed-point convention)
+        F.expr(
+            "CASE WHEN n_trigrams > 0 THEN "
+            "(n_trigrams - n_distinct_trigrams) * 1000000 div n_trigrams "
+            "ELSE 0 END"
+        ),
+    )

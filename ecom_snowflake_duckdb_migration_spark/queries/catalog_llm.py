@@ -761,3 +761,38 @@ def q38_sequence_packing(spark, sf_dir):
         F.sum("chunk_tokens").alias("pack_tokens"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
+
+
+@register(
+    "q39_repetition_quality",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\s+') AS t,
+               len(string_split_regex(lower(trim(text)), '\s+')) AS n
+        FROM documents
+    ),
+    tri AS (
+        SELECT doc_id,
+               CAST(greatest(n - 2, 0) AS BIGINT) AS n_trigrams,
+               CASE WHEN n >= 3 THEN
+                   CAST(len(list_distinct(list_transform(range(1, n - 1),
+                        i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))) AS BIGINT)
+               ELSE 0 END AS n_distinct_trigrams
+        FROM toks
+    )
+    SELECT doc_id, n_trigrams, n_distinct_trigrams,
+           CASE WHEN n_trigrams > 0
+                THEN (n_trigrams - n_distinct_trigrams) * 1000000 // n_trigrams
+                ELSE 0 END AS dup_trigram_ratio_e6
+    FROM tri
+    """,
+    doc="Repetition quality signal: duplicate word-trigram ratio in e6 "
+    "fixed point (the Gopher/Dolma repetitious-text filter; "
+    "operators.text.repetition_metrics). Per-row higher-order array "
+    "expressions — no shuffle, codegen-eligible.",
+    tags=("LLM", "text-analysis", "quality"),
+)
+def q39_repetition_quality(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return tx.repetition_metrics(d)

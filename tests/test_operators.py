@@ -228,3 +228,21 @@ def test_pack_sequences_lays_out_token_axis(spark, sf_dir):
         for r in grp:
             assert r.pack_id * 256 + r.pack_offset == cum, shard
             cum += r.chunk_tokens
+
+
+def test_repetition_metrics_planted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),   # 9 tokens -> 7 trigrams, 3 distinct
+            (2, "one two three four"),  # all distinct
+            (3, "x y"),                 # under 3 tokens
+            (4, "w w w w w"),           # 3 trigrams, 1 distinct
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in tx.repetition_metrics(df).collect()}
+    assert (got[1].n_trigrams, got[1].n_distinct_trigrams) == (7, 3)
+    assert got[1].dup_trigram_ratio_e6 == (7 - 3) * 1_000_000 // 7
+    assert got[2].dup_trigram_ratio_e6 == 0
+    assert (got[3].n_trigrams, got[3].dup_trigram_ratio_e6) == (0, 0)
+    assert got[4].dup_trigram_ratio_e6 == (3 - 1) * 1_000_000 // 3
