@@ -547,3 +547,30 @@ def repetition_metrics(
             "ELSE 0 END"
         ),
     )
+
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9][0-9() .-]{7,}[0-9]"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Scrub emails and phone-like digit runs before training-data export.
+
+    Patterns are deliberately RE2-compatible (no backrefs/lookarounds) so
+    Java-regex (Spark) and RE2 (DuckDB oracle) agree byte-for-byte; email
+    redaction is applied before phone redaction on both sides, so the
+    composition is deterministic. Per-row regexp_replace — no shuffle,
+    codegen-eligible, linear in document length.
+    """
+    col = F.col(text_col)
+    after_email = F.regexp_replace(col, PII_EMAIL_RE, "[EMAIL]")
+    return df.select(
+        id_col,
+        F.size(F.regexp_extract_all(col, F.lit(PII_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(after_email, F.lit(PII_PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.regexp_replace(after_email, PII_PHONE_RE, "[PHONE]").alias("redacted_text"),
+    )

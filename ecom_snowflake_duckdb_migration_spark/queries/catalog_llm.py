@@ -796,3 +796,32 @@ def q38_sequence_packing(spark, sf_dir):
 def q39_repetition_quality(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return tx.repetition_metrics(d)
+
+
+@register(
+    "q54_pii_redaction",
+    oracle=r"""
+    WITH e AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                   AS n_emails,
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g')
+                   AS after_email
+        FROM documents
+    )
+    SELECT doc_id, n_emails,
+           CAST(len(regexp_extract_all(after_email, '\+?[0-9][0-9() .-]{7,}[0-9]')) AS BIGINT)
+               AS n_phones,
+           regexp_replace(after_email, '\+?[0-9][0-9() .-]{7,}[0-9]', '[PHONE]', 'g')
+               AS redacted_text
+    FROM e
+    """,
+    doc="PII scrub before training export: email then phone-like digit runs "
+    "redacted with RE2-compatible patterns so Java regex and RE2 agree "
+    "byte-for-byte (operators.text.redact_pii). Per-row regexp_replace — "
+    "no shuffle, linear in document length.",
+    tags=("LLM", "text-analysis", "pii"),
+)
+def q54_pii_redaction(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return tx.redact_pii(d)

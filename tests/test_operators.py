@@ -246,3 +246,21 @@ def test_repetition_metrics_planted(spark):
     assert got[2].dup_trigram_ratio_e6 == 0
     assert (got[3].n_trigrams, got[3].dup_trigram_ratio_e6) == (0, 0)
     assert got[4].dup_trigram_ratio_e6 == (3 - 1) * 1_000_000 // 3
+
+
+def test_redact_pii_planted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at jane.doe+spam@example.co.uk or +1 (555) 123-4567 ok"),
+            (2, "no pii here, just text with numbers 42 and 7"),
+            (3, "two mails: a@b.io c.d@e.org and line 555-867-5309x"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in tx.redact_pii(df).collect()}
+    assert got[1].n_emails == 1 and got[1].n_phones == 1
+    assert "[EMAIL]" in got[1].redacted_text and "[PHONE]" in got[1].redacted_text
+    assert "jane" not in got[1].redacted_text and "555" not in got[1].redacted_text
+    assert got[2].n_emails == 0 and got[2].n_phones == 0
+    assert got[2].redacted_text == "no pii here, just text with numbers 42 and 7"
+    assert got[3].n_emails == 2 and got[3].n_phones == 1
