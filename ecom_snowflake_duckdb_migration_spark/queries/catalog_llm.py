@@ -825,3 +825,39 @@ def q39_repetition_quality(spark, sf_dir):
 def q54_pii_redaction(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return tx.redact_pii(d)
+
+
+@register(
+    "q55_stratified_sample",
+    # Thresholds are rate_to_threshold_hex(e6) literals: 'src0'->100%('g'
+    # sorts after all hex), 'src1'->30%, 'src2'->0%, default 50%.
+    oracle="""
+    SELECT doc_id, source
+    FROM documents
+    WHERE substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+          CASE source
+               WHEN 'src0' THEN 'g'
+               WHEN 'src1' THEN '4ccccccc'
+               WHEN 'src2' THEN '00000000'
+               ELSE '80000000' END
+    """,
+    doc="Deterministic stratified sampling for corpus mixing "
+    "(operators.sampling.stratified_sample): membership = "
+    "substring(md5(seed:id),1,8) < per-stratum hex threshold. Lowercase hex "
+    "compares exactly like the integers it encodes and both engines emit "
+    "identical md5, so the oracle replays the identical selection. Per-row "
+    "hash+filter: no shuffle, reproducible across engines/partitionings.",
+    tags=("LLM", "sampling"),
+)
+def q55_stratified_sample(spark, sf_dir):
+    from ..operators.sampling import stratified_sample
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_sample(
+        d,
+        {"src0": 1_000_000, "src1": 300_000, "src2": 0},
+        strata_col="source",
+        id_col="doc_id",
+        seed=42,
+        default_rate_e6=500_000,
+    )

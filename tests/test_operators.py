@@ -264,3 +264,28 @@ def test_redact_pii_planted(spark):
     assert got[2].n_emails == 0 and got[2].n_phones == 0
     assert got[2].redacted_text == "no pii here, just text with numbers 42 and 7"
     assert got[3].n_emails == 2 and got[3].n_phones == 1
+
+
+def test_stratified_sample_deterministic_and_rated(spark, sf_dir):
+    from ecom_snowflake_duckdb_migration_spark.operators import sampling as sp
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    rates = {"src0": 1_000_000, "src1": 0}
+    s1 = sp.stratified_sample(d, rates, default_rate_e6=400_000, seed=7)
+    s2 = sp.stratified_sample(d, rates, default_rate_e6=400_000, seed=7)
+    rows1 = {(r.doc_id, r.source) for r in s1.collect()}
+    rows2 = {(r.doc_id, r.source) for r in s2.collect()}
+    assert rows1 == rows2  # pure function of (seed, id)
+    by_src = {}
+    for _, src in rows1:
+        by_src[src] = by_src.get(src, 0) + 1
+    totals = {r.source: r.n for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_src.get("src0") == totals["src0"]          # 100% stratum intact
+    assert "src1" not in by_src                          # 0% stratum dropped
+    rest_kept = sum(n for s, n in by_src.items() if s not in rates)
+    rest_total = sum(n for s, n in totals.items() if s not in rates)
+    assert 0.25 <= rest_kept / rest_total <= 0.55        # ~40% +- sampling noise
+
+    # different seed -> different (but still deterministic) corpus
+    s3 = {(r.doc_id, r.source) for r in sp.stratified_sample(d, rates, default_rate_e6=400_000, seed=8).collect()}
+    assert s3 != rows1
