@@ -121,3 +121,21 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, specs):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_q05_hash_joins_the_fact_join(spark, sf_dir, specs):
+    df = specs["q05_nation_trade_roles"].fn(spark, sf_dir)
+    stats = plans.plan_stats(df)
+    # orders joins lineitem via shuffled-hash (sort-merge pays two sorts an
+    # order-free aggregate never needs); dims stay broadcast.
+    assert stats.shuffled_hash_joins >= 1
+    assert stats.sort_merge_joins == 0
+    assert stats.broadcast_joins >= 3
+
+
+def test_q22_uses_expand_below_gate(spark, sf_dir, specs):
+    # Under the 64 MB gate the single-scan multi-distinct Expand is the
+    # right shape (one task reads the whole file); the cascade takes over
+    # past the gate (pinned by the sf1 bench, not reachable in unit scale).
+    df = specs["q22_count_distinct_quirk"].fn(spark, sf_dir)
+    assert "Expand" in df._jdf.queryExecution().executedPlan().toString()
