@@ -467,9 +467,24 @@ def q04_semi_join_large_parts(spark, sf_dir):
     tags=("J5", "J3"),
 )
 def q05_nation_trade_roles(spark, sf_dir):
+    # Bench-scale width pin for the fact-fact SHJ, same gate as q24: the
+    # REPARTITION exchanges ARE the join shuffles (the join's required
+    # distribution is satisfied), so the pin adds no extra stage.
+    pin = _parquet_bytes(sf_dir, "lineitem") < _BROADCAST_GATE_BYTES
+    l_src = (
+        "(SELECT /*+ REPARTITION(16, l_orderkey) */"
+        " l_orderkey, l_suppkey, l_extendedprice, l_discount FROM {lineitem})"
+        if pin
+        else "{lineitem}"
+    )
+    o_src = (
+        "(SELECT /*+ REPARTITION(16, o_orderkey) */ o_orderkey, o_custkey FROM {orders})"
+        if pin
+        else "{orders}"
+    )
     return run_sql(
         spark, sf_dir,
-        Q05_SQL.replace(
+        Q05_SQL.replace("__LSRC__", l_src).replace("__OSRC__", o_src).replace(
             "__HINTS__",
             _broadcast_hints(
                 sf_dir, ("supplier", "s"), ("nation", "cn"), ("nation", "sn")
@@ -490,8 +505,8 @@ Q05_SQL = f"""
            cn.n_name AS cust_nation, sn.n_name AS supp_nation,
            count(*)                                           AS n_lines,
            {s_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS volume
-    FROM {{lineitem}} l
-    JOIN {{orders}} o   ON o.o_orderkey = l.l_orderkey
+    FROM __LSRC__ l
+    JOIN __OSRC__ o     ON o.o_orderkey = l.l_orderkey
     JOIN {{customer}} c ON c.c_custkey = o.o_custkey
     JOIN {{supplier}} s ON s.s_suppkey = l.l_suppkey
     JOIN {{nation}} cn  ON cn.n_nationkey = c.c_nationkey
@@ -502,7 +517,13 @@ Q05_SQL = f"""
 
 def q05_nation_trade_roles_df(spark, sf_dir):
     l = load(spark, sf_dir, "lineitem")
-    o = load(spark, sf_dir, "orders").hint("shuffle_hash")
+    o = load(spark, sf_dir, "orders")
+    if _parquet_bytes(sf_dir, "lineitem") < _BROADCAST_GATE_BYTES:
+        l = l.select(
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+        ).repartition(16, "l_orderkey")
+        o = o.select("o_orderkey", "o_custkey").repartition(16, "o_orderkey")
+    o = o.hint("shuffle_hash")
     c = load(spark, sf_dir, "customer")
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
