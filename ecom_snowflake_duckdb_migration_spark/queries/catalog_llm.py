@@ -861,3 +861,50 @@ def q55_stratified_sample(spark, sf_dir):
         seed=42,
         default_rate_e6=500_000,
     )
+
+
+@register(
+    "q56_dedup_canonical_embeddings",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+                                      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+              >= 0.4
+    ),
+    edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+    walk(node, reach) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        UNION
+        SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a
+    ),
+    comp AS (SELECT node, min(reach) AS component FROM walk GROUP BY node),
+    keep AS (
+        SELECT v.vec_id FROM embeddings v LEFT JOIN comp ON v.vec_id = comp.node
+        WHERE comp.node IS NULL OR v.vec_id = comp.component
+    )
+    SELECT count(*) AS n_vecs_kept,
+           (SELECT count(*) FROM embeddings) - count(*) AS n_dropped
+    FROM keep
+    """,
+    doc="Embedding-dedup last stage, completing the family q47/q53 start: "
+    "exact cosine near-dup pairs (>= 0.4) -> distributed connected "
+    "components -> one canonical vector per cluster + singletons "
+    "(operators.dedup_groups). Oracle resolves components with a recursive "
+    "transitive-closure CTE over the same exact pair set.",
+    tags=("LLM", "similarity", "dedup", "graph"),
+)
+def q56_dedup_canonical_embeddings(spark, sf_dir):
+    from ..operators.dedup_groups import select_canonical
+
+    e = load(spark, sf_dir, "embeddings")
+    pairs = sim.cosine_pairs_bruteforce(e, threshold=0.4)
+    kept = select_canonical(e.select("vec_id"), pairs, id_col="vec_id", left="id1", right="id2")
+    total = e.count()
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_vecs_kept"),
+        (F.lit(total) - F.count(F.lit(1))).alias("n_dropped"),
+    )

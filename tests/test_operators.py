@@ -289,3 +289,50 @@ def test_stratified_sample_deterministic_and_rated(spark, sf_dir):
     # different seed -> different (but still deterministic) corpus
     s3 = {(r.doc_id, r.source) for r in sp.stratified_sample(d, rates, default_rate_e6=400_000, seed=8).collect()}
     assert s3 != rows1
+
+
+def test_salted_agg_and_join_match_unsalted(spark, sf_dir):
+    from ecom_snowflake_duckdb_migration_spark.operators import skew
+
+    # manufactured hot key: every other lineitem row collapses onto key 0
+    l = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(
+            F.when(F.col("l_orderkey") % 2 == 0, 0).otherwise(F.col("l_orderkey")).alias("k"),
+            "l_quantity", "l_extendedprice",
+        )
+    )
+    plain = {
+        r.k: (r.n, round(r.q, 4), r.mx)
+        for r in l.groupBy("k").agg(
+            F.count("l_quantity").alias("n"),
+            F.sum("l_quantity").alias("q"),
+            F.max("l_extendedprice").alias("mx"),
+        ).collect()
+    }
+    salted = {
+        r.k: (r.n, round(r.q, 4), r.mx)
+        for r in skew.salted_agg(
+            l, ["k"],
+            [("l_quantity", "count", "n"), ("l_quantity", "sum", "q"),
+             ("l_extendedprice", "max", "mx")],
+            salts=8,
+        ).collect()
+    }
+    assert salted == plain
+
+    dim = spark.createDataFrame([(0, "hot"), (1, "one"), (3, "three")], "k long, label string")
+    plain_j = sorted(
+        (r.k, r.label, r.l_quantity)
+        for r in l.join(dim, "k").select("k", "label", "l_quantity").collect()
+    )
+    salted_j = sorted(
+        (r.k, r.label, r.l_quantity)
+        for r in skew.salted_join(l, dim, ["k"], salts=8)
+        .select("k", "label", "l_quantity").collect()
+    )
+    assert salted_j == plain_j
+
+    # the phase-1 exchange really partitions on (key, salt)
+    plan = skew.salted_agg(l, ["k"], [("l_quantity", "sum", "q")], salts=8)._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
