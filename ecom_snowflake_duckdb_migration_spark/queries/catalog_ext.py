@@ -342,3 +342,40 @@ def q36_dual_target_sync(spark, sf_dir):
         table="supplier",
     )
     return report.orderBy("target")
+
+
+@register(
+    "q57_asof_enrichment",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, max(value) AS value
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    purch AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.event_id, p.ts, c.value AS asof_click_value
+    FROM purch p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="As-of join (operators.asof.asof_join): every purchase enriched "
+    "with the latest click value at-or-before it per user — DuckDB's "
+    "native ASOF LEFT JOIN is the oracle. Spark-side: union-tag + "
+    "last_value IGNORE NULLS window (one key shuffle + one partition "
+    "sort — no per-key loop, scales like any window).",
+    tags=("asof", "J7-ext", "streamingish"),
+)
+def q57_asof_enrichment(spark, sf_dir):
+    from ..operators.asof import asof_join
+
+    e = load(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    return asof_join(
+        purch, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        payload="value", out_col="asof_click_value",
+    )

@@ -336,3 +336,28 @@ def test_salted_agg_and_join_match_unsalted(spark, sf_dir):
     # the phase-1 exchange really partitions on (key, salt)
     plan = skew.salted_agg(l, ["k"], [("l_quantity", "sum", "q")], salts=8)._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in plan
+
+
+def test_asof_join_planted_semantics(spark):
+    import datetime
+
+    from ecom_snowflake_duckdb_migration_spark.operators.asof import asof_join
+
+    T = lambda s: datetime.datetime(2026, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, 100, T(10)), (1, 101, T(5)), (1, 102, T(2)), (2, 200, T(10))],
+        "user_id long, event_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, T(3), 30.0), (1, T(5), 50.0), (1, T(8), 80.0), (3, T(1), 99.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    got = {
+        r.event_id: r.asof_value
+        for r in asof_join(left, right, key="user_id", payload="value",
+                           out_col="asof_value").collect()
+    }
+    assert got[100] == 80.0   # latest at-or-before t=10
+    assert got[101] == 50.0   # EXACT tie at t=5 matches (at-or-before)
+    assert got[102] is None   # nothing at-or-before t=2
+    assert got[200] is None   # key with no right rows at all
