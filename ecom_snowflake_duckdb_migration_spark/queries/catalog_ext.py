@@ -379,3 +379,61 @@ def q57_asof_enrichment(spark, sf_dir):
         purch, clicks, key="user_id", left_ts="ts", right_ts="ts",
         payload="value", out_col="asof_click_value",
     )
+
+
+@register(
+    "q58_range_join_windows",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               min(ts) AS start_ts, max(ts) AS end_ts
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ),
+    clicks AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    )
+    SELECT iv.user_id, iv.day, iv.start_ts, iv.end_ts,
+           count(c.ts)                                   AS n_clicks_inside,
+           CAST(CAST(sum(CAST(floor(c.value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+                / 10000.0 AS DOUBLE)                     AS click_value_inside
+    FROM iv LEFT JOIN clicks c
+      ON c.user_id = iv.user_id AND c.ts >= iv.start_ts AND c.ts <= iv.end_ts
+    GROUP BY 1, 2, 3, 4
+    """,
+    doc="Range join (operators.rangejoin.range_join): clicks matched into "
+    "each user's per-day purchase activity window [first, last purchase]. "
+    "Spark side runs the banded equi-join rewrite (bin both sides into "
+    "fixed-width time bins -> equi join on (user, bin) -> exact range "
+    "filter) — the naive theta join is a nested loop Spark cannot run at "
+    "scale; DuckDB's IEJoin-backed theta join is the oracle.",
+    tags=("rangejoin", "J7-ext"),
+)
+def q58_range_join_windows(spark, sf_dir):
+    from ..operators.rangejoin import range_join
+    from .catalog_core import to_bp
+
+    e = load(spark, sf_dir, "events")
+    iv = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    matched = range_join(
+        clicks, iv, point_ts="ts", start_ts="start_ts", end_ts="end_ts",
+        equi_keys=["user_id"], bin_width_seconds=86_400,
+    )
+    per_iv = matched.groupBy("user_id", "day", "start_ts", "end_ts").agg(
+        F.count(F.lit(1)).alias("n_clicks_inside"),
+        (F.sum(to_bp(F.col("value"))) / F.lit(10_000.0)).cast("double").alias("click_value_inside"),
+    )
+    # LEFT semantics: intervals with no clicks inside keep (0, NULL)
+    return (
+        iv.join(per_iv, ["user_id", "day", "start_ts", "end_ts"], "left")
+        .select(
+            "user_id", "day", "start_ts", "end_ts",
+            F.coalesce("n_clicks_inside", F.lit(0)).alias("n_clicks_inside"),
+            F.col("click_value_inside"),
+        )
+    )

@@ -361,3 +361,29 @@ def test_asof_join_planted_semantics(spark):
     assert got[101] == 50.0   # EXACT tie at t=5 matches (at-or-before)
     assert got[102] is None   # nothing at-or-before t=2
     assert got[200] is None   # key with no right rows at all
+
+
+def test_range_join_banding_planted(spark):
+    import datetime
+
+    from ecom_snowflake_duckdb_migration_spark.operators.rangejoin import range_join
+
+    T = lambda d, h: datetime.datetime(2026, 1, d, h, 0, 0)
+    points = spark.createDataFrame(
+        [(1, T(1, 0), "start-bound"), (1, T(1, 12), "inside"), (1, T(2, 6), "end-bound"),
+         (1, T(3, 0), "outside"), (2, T(1, 12), "other-key")],
+        "k long, ts timestamp, tag string",
+    )
+    # interval spans a bin boundary (1 day bins): [Jan1 00:00, Jan2 06:00]
+    intervals = spark.createDataFrame(
+        [(1, T(1, 0), T(2, 6), "iv1"), (3, T(1, 0), T(9, 0), "iv-unmatched")],
+        "k long, start_ts timestamp, end_ts timestamp, iv string",
+    )
+    got = sorted(
+        (r.tag, r.iv)
+        for r in range_join(points, intervals, "ts", "start_ts", "end_ts",
+                            equi_keys=["k"], bin_width_seconds=86_400).collect()
+    )
+    # bounds are inclusive on both ends; bin-spanning interval matches once
+    # per point (no dup from the multi-bin explode); other keys isolated
+    assert got == [("end-bound", "iv1"), ("inside", "iv1"), ("start-bound", "iv1")]
