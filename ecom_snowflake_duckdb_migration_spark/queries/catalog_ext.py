@@ -437,3 +437,34 @@ def q58_range_join_windows(spark, sf_dir):
             F.col("click_value_inside"),
         )
     )
+
+
+@register(
+    "q59_incremental_rollup",
+    # The gate invariant: applying the stream in two arbitrary batches
+    # through the merge-refresh must equal one full recompute over all
+    # events — the oracle IS that full recompute.
+    oracle="""
+    SELECT CAST(ts AS DATE) AS bucket, event_type,
+           count(*) AS n_rows,
+           CAST(CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+                / 10000.0 AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Continuous-aggregate maintenance (operators.rollup): the daily "
+    "(bucket, event_type) rollup is materialized from a first batch (even "
+    "event_ids) then merge-refreshed with the second (odd event_ids) — "
+    "only touched buckets are rewritten. Gate: incremental state after "
+    "both refreshes == full recompute over all events (the oracle).",
+    tags=("rollup", "S11-ext", "streamingish"),
+)
+def q59_incremental_rollup(spark, sf_dir):
+    from ..operators.rollup import read_rollup, refresh_rollup
+
+    e = load(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="rollup_q59_")
+    path = f"{work}/daily"
+    refresh_rollup(spark, path, e.filter(F.col("event_id") % 2 == 0))
+    refresh_rollup(spark, path, e.filter(F.col("event_id") % 2 == 1))
+    return read_rollup(spark, path)

@@ -387,3 +387,41 @@ def test_range_join_banding_planted(spark):
     # bounds are inclusive on both ends; bin-spanning interval matches once
     # per point (no dup from the multi-bin explode); other keys isolated
     assert got == [("end-bound", "iv1"), ("inside", "iv1"), ("start-bound", "iv1")]
+
+
+def test_rollup_touches_only_affected_buckets(spark, sf_dir, tmp_path):
+    import datetime
+
+    from ecom_snowflake_duckdb_migration_spark.operators.rollup import (
+        read_rollup, refresh_rollup,
+    )
+
+    path = str(tmp_path / "rollup")
+    T = lambda d, h: datetime.datetime(2026, 2, d, h, 0, 0)
+    b1 = spark.createDataFrame(
+        [(1, "click", 1.5, T(1, 9)), (2, "click", 2.5, T(1, 10)), (3, "view", 1.0, T(2, 9))],
+        "event_id long, event_type string, value double, ts timestamp",
+    )
+    refresh_rollup(spark, path, b1)
+    # second batch touches ONLY Feb 2; Feb 1 state must carry over unchanged
+    b2 = spark.createDataFrame(
+        [(4, "view", 3.0, T(2, 11)), (5, "click", 4.0, T(2, 12))],
+        "event_id long, event_type string, value double, ts timestamp",
+    )
+    refresh_rollup(spark, path, b2)
+    got = {
+        (str(r.bucket), r.event_type): (r.n_rows, r.total_value)
+        for r in read_rollup(spark, path).collect()
+    }
+    assert got == {
+        ("2026-02-01", "click"): (2, 4.0),
+        ("2026-02-02", "view"): (2, 4.0),
+        ("2026-02-02", "click"): (1, 4.0),
+    }
+    # an empty refresh is a no-op
+    refresh_rollup(spark, path, b1.limit(0))
+    again = {
+        (str(r.bucket), r.event_type): (r.n_rows, r.total_value)
+        for r in read_rollup(spark, path).collect()
+    }
+    assert again == got
