@@ -574,3 +574,51 @@ def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         .alias("n_phones"),
         F.regexp_replace(after_email, PII_PHONE_RE, "[PHONE]").alias("redacted_text"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+    min_term_len: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf.
+
+    The idf factor is the integer ratio ``N / df`` (linear idf) rather than
+    ``log(N/df)``: the ranking it induces per document is monotone in the
+    same (tf, rarity) ordering for fixed tf, and integer arithmetic is
+    bit-stable across engines where log's last-ulp differences are not —
+    which is what makes the cross-engine oracle exact. Ties break on the
+    term string, so the top-k set is fully deterministic.
+
+    Scale: tokens explode -> (doc, term) counts -> one small df-per-term
+    aggregate joined back; the per-doc top-k is a window over the (doc,
+    term) relation — everything partial-aggregates map-side first.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"filter(split(lower(trim({text_col})), '\\\\s+'),"
+                f" t -> length(regexp_replace(t, '[^a-z]', '')) >= {min_term_len})"
+            )
+        ).alias("raw"),
+    ).select(id_col, F.regexp_replace("raw", "[^a-z]", "").alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(id_col).distinct().count()
+    from pyspark.sql.window import Window
+
+    scored = (
+        tf.join(docfreq, "term")
+        .withColumn("score_e6", F.expr(f"tf * {SCALE}L * {n_docs} div df"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score_e6"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "rank", "term", "tf", "df", "score_e6")
+    )

@@ -908,3 +908,44 @@ def q56_dedup_canonical_embeddings(spark, sf_dir):
         F.count(F.lit(1)).alias("n_vecs_kept"),
         (F.lit(total) - F.count(F.lit(1))).alias("n_dropped"),
     )
+
+
+@register(
+    "q60_tfidf_top_terms",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_replace(unnest(string_split_regex(lower(trim(text)), '\s+')), '[^a-z]', '', 'g') AS term
+        FROM documents
+    ),
+    filtered AS (
+        SELECT doc_id, term FROM toks WHERE length(term) >= 3
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM filtered GROUP BY 1, 2),
+    docfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, docfreq.df,
+               tf.tf * 1000000 * n.n_docs // docfreq.df AS score_e6
+        FROM tf JOIN docfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score_e6 DESC, term) AS rank
+        FROM scored
+    )
+    SELECT doc_id, CAST(rank AS INT) AS rank, term,
+           CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           CAST(score_e6 AS BIGINT) AS score_e6
+    FROM ranked WHERE rank <= 3
+    """,
+    doc="Top-3 characteristic terms per document by tf-idf with linear "
+    "integer idf (N/df ratio; log's last-ulp engine differences would "
+    "break the hash, integers cannot) — operators.text.tfidf_top_terms. "
+    "Tokens filtered to alphabetic stems >= 3 chars; ties break on the "
+    "term string so the set is fully deterministic.",
+    tags=("LLM", "text-analysis"),
+)
+def q60_tfidf_top_terms(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return tx.tfidf_top_terms(d, top_k=3)

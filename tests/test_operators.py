@@ -425,3 +425,25 @@ def test_rollup_touches_only_affected_buckets(spark, sf_dir, tmp_path):
         for r in read_rollup(spark, path).collect()
     }
     assert again == got
+
+
+def test_tfidf_top_terms_planted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple apple banana common common"),
+            (2, "banana banana cherry common common"),
+            (3, "cherry dates dates common common"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.rank): (r.term, r.tf, r.df)
+        for r in tx.tfidf_top_terms(df, top_k=2).collect()
+    }
+    # doc 1: apple tf=3 df=1 (score 9e6) beats common tf=2 df=3 (2e6) and
+    # banana tf=1 df=2 (1.5e6)
+    assert got[(1, 1)] == ("apple", 3, 1)
+    assert got[(1, 2)] == ("common", 2, 3)
+    # doc 3: dates tf=2 df=1 (6e6) beats cherry tf=1 df=2 and common
+    assert got[(3, 1)] == ("dates", 2, 1)
+    assert got[(3, 2)] == ("common", 2, 3)
