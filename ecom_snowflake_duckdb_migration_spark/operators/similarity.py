@@ -291,3 +291,37 @@ def ann_topk_ivf_centroids(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization: ``scale = max|x|``,
+    ``q_i = floor(x_i * 127 / scale + 0.5)`` — the standard memory-/
+    bandwidth-reduction step for vector search at scale (4x smaller than
+    float32, dot products stay int-SIMD-able).
+
+    Engine-parity note: the quantized values are produced by the identical
+    IEEE double sequence (mul, div, add, floor) on any engine, so they are
+    exactly reproducible — floor(x + 0.5) instead of round(), which
+    differs between engines (see BASELINE gotchas). Zero vectors quantize
+    to all zeros (scale kept NULL).
+
+    Scale: per-row array expressions, no shuffle; downstream ANN over the
+    int8 vectors shuffles a quarter of the bytes.
+    """
+    x = F.col(vec_col)
+    scale = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    quant = F.transform(
+        x,
+        lambda v: F.floor(
+            v.cast("double") * F.lit(127.0) / scale + F.lit(0.5)
+        ).cast("int"),
+    )
+    return df.select(
+        id_col,
+        F.when(scale > 0, scale).alias("scale"),
+        F.when(scale > 0, quant)
+        .otherwise(F.transform(x, lambda v: F.lit(0)))
+        .alias("q"),
+    )

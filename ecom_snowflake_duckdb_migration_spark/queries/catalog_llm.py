@@ -949,3 +949,34 @@ def q56_dedup_canonical_embeddings(spark, sf_dir):
 def q60_tfidf_top_terms(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return tx.tfidf_top_terms(d, top_k=3)
+
+
+@register(
+    "q61_int8_quantization",
+    # round(scale, 6) on both sides: the raw double max|x| prints with
+    # engine-specific repr; rounding pins the hash (values identical).
+    oracle="""
+    WITH s AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+        FROM embeddings
+    )
+    SELECT vec_id,
+           CASE WHEN scale > 0 THEN round(scale, 6) END AS scale,
+           CASE WHEN scale > 0 THEN
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5) AS INT))
+           ELSE list_transform(embedding, x -> 0) END AS q
+    FROM s
+    """,
+    doc="Symmetric int8 scalar quantization of the embedding column "
+    "(operators.similarity.quantize_int8): scale = max|x|, q_i = "
+    "floor(x*127/scale + 0.5) — identical IEEE sequence on both engines, "
+    "so the quantized vectors are exactly reproducible. 4x smaller "
+    "vectors for the ANN scale path.",
+    tags=("LLM", "similarity", "quantization"),
+)
+def q61_int8_quantization(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    out = sim.quantize_int8(e)
+    return out.select("vec_id", F.round("scale", 6).alias("scale"), "q")

@@ -447,3 +447,25 @@ def test_tfidf_top_terms_planted(spark):
     # doc 3: dates tf=2 df=1 (6e6) beats cherry tf=1 df=2 and common
     assert got[(3, 1)] == ("dates", 2, 1)
     assert got[(3, 2)] == ("common", 2, 3)
+
+
+def test_quantize_int8_bounds_and_reconstruction(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    out = sim.quantize_int8(e)
+    rows = out.collect()
+    orig = {r.vec_id: r.embedding for r in e.collect()}
+    assert len(rows) == len(orig)
+    for r in rows:
+        xs = orig[r.vec_id]
+        mx = max(abs(float(x)) for x in xs)
+        if mx == 0:
+            assert r.scale is None and all(q == 0 for q in r.q)
+            continue
+        assert abs(r.scale - mx) < 1e-12
+        assert all(-127 <= q <= 127 for q in r.q)
+        # max-magnitude element quantizes to +-127; reconstruction error is
+        # bounded by half a quantization step
+        assert 127 in {abs(q) for q in r.q}
+        step = mx / 127.0
+        for x, q in zip(xs, r.q):
+            assert abs(float(x) - q * step) <= step / 2 + 1e-9
