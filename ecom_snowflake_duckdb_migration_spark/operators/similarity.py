@@ -325,3 +325,47 @@ def quantize_int8(
         .otherwise(F.transform(x, lambda v: F.lit(0)))
         .alias("q"),
     )
+
+
+def ann_topk_quantized(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by int8-quantized dot product — the memory-bound scale path
+    that pairs with ``quantize_int8``: candidates rank on an exact BIGINT
+    score (sum of int8*int8 products), so results are bit-reproducible on
+    any engine; the caller re-scores the k survivors with full-precision
+    cosine when exact similarity values matter.
+
+    ``query`` must be a single row carrying ``qe`` (the raw query vector).
+    Scale: the int codes are 4x smaller than float32 and the integer
+    zip_with/aggregate stays inside codegen; one broadcast + a top-k.
+    """
+    qe = F.col("qe")
+    q_scale = F.array_max(F.transform(qe, lambda v: F.abs(v.cast("double"))))
+    qv = query.select(
+        F.when(
+            q_scale > 0,
+            F.transform(
+                qe,
+                lambda v: F.floor(
+                    v.cast("double") * F.lit(127.0) / q_scale + F.lit(0.5)
+                ).cast("int"),
+            ),
+        )
+        .otherwise(F.transform(qe, lambda v: F.lit(0)))
+        .alias("qq")
+    )
+    base = quantize_int8(df, vec_col=vec_col, id_col=id_col)
+    scored = base.join(F.broadcast(qv)).select(
+        id_col,
+        F.aggregate(
+            F.zip_with("q", "qq", lambda a, b: (a * b).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("dot_q"),
+    )
+    return scored.orderBy(F.desc("dot_q"), F.asc(id_col)).limit(k)

@@ -980,3 +980,43 @@ def q61_int8_quantization(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     out = sim.quantize_int8(e)
     return out.select("vec_id", F.round("scale", 6).alias("scale"), "q")
+
+
+@register(
+    "q62_ann_quantized_topk",
+    # Integer dot products over int8 codes: exact BIGINT scores, no float
+    # comparison anywhere — the most hash-stable ANN entry in the catalog.
+    oracle="""
+    WITH q AS (
+        SELECT list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 /
+                        list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))
+                        + 0.5) AS INT)) AS qq
+        FROM embeddings WHERE vec_id = 0
+    ),
+    base AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 /
+                        list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))
+                        + 0.5) AS INT)) AS bq
+        FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(list_sum(list_transform(range(1, len(bq) + 1),
+                i -> CAST(bq[i] AS BIGINT) * qq[i])) AS BIGINT) AS dot_q
+    FROM base CROSS JOIN q
+    ORDER BY dot_q DESC, vec_id
+    LIMIT 20
+    """,
+    doc="ANN top-k over int8-quantized vectors (operators.similarity."
+    "ann_topk_quantized): exact BIGINT dot-product scores over the q61 "
+    "codes — the memory-bound scale path (4x smaller vectors, integer "
+    "SIMD); re-score survivors with full cosine when exact values matter. "
+    "Recall vs the float path pinned in tests.",
+    tags=("LLM", "similarity", "quantization"),
+)
+def q62_ann_quantized_topk(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    query = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    return sim.ann_topk_quantized(e, query, k=20)

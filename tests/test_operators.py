@@ -469,3 +469,14 @@ def test_quantize_int8_bounds_and_reconstruction(spark, sf_dir):
         step = mx / 127.0
         for x, q in zip(xs, r.q):
             assert abs(float(x) - q * step) <= step / 2 + 1e-9
+
+
+def test_ann_quantized_recall_vs_exact(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    query = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    exact = {r.vec_id for r in sim.ann_topk_bruteforce(e, query, k=10).collect()}
+    quant = {r.vec_id for r in sim.ann_topk_quantized(e, query, k=10).collect()}
+    # int8 quantization preserves the neighborhood: >= 70% of the exact
+    # top-10 survives (typical published recall for symmetric int8 is far
+    # higher; the floor guards regression without overfitting the data)
+    assert len(exact & quant) >= 7
