@@ -139,3 +139,24 @@ def test_q22_uses_expand_below_gate(spark, sf_dir, specs):
     # past the gate (pinned by the sf1 bench, not reachable in unit scale).
     df = specs["q22_count_distinct_quirk"].fn(spark, sf_dir)
     assert "Expand" in df._jdf.queryExecution().executedPlan().toString()
+
+
+NEW_CATALYST_ONLY = [
+    "q37_document_chunks",
+    "q38_sequence_packing",
+    "q39_repetition_quality",
+    "q54_pii_redaction",
+    "q55_stratified_sample",
+    "q57_asof_enrichment",
+    "q58_range_join_windows",
+    "q60_tfidf_top_terms",
+    "q61_int8_quantization",
+    "q62_ann_quantized_topk",
+]
+
+
+@pytest.mark.parametrize("name", NEW_CATALYST_ONLY)
+def test_extension_ops_stay_jvm_only(spark, sf_dir, specs, name):
+    df = specs[name].fn(spark, sf_dir)
+    plans.assert_no_python_in_plan(df)
+    assert plans.executed_codegen_spans(df) >= 1
