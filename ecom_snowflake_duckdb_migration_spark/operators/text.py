@@ -622,3 +622,52 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= top_k)
         .select(id_col, "rank", "term", "tf", "df", "score_e6")
     )
+
+
+def word_ngrams(c: Column | str, n: int) -> Column:
+    """Distinct word n-grams of lowercased whitespace tokens (array)."""
+    col = F.col(c) if isinstance(c, str) else c
+    toks = f"split(lower(trim({c if isinstance(c, str) else '<expr>'})), '\\\\s+')"
+    if not isinstance(c, str):
+        raise ValueError("word_ngrams requires a column name")
+    return F.expr(
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n})))) "
+        f"ELSE array() END"
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing ANY word
+    ``n``-gram with the benchmark set (the standard test-set-leakage
+    filter for pretraining corpora).
+
+    Relational shape: both sides reduce to DISTINCT n-grams, the flag is a
+    left-semi join on the n-gram — never a cross join; shuffle volume is
+    the distinct-gram sets, which map-side dedup shrinks first. At 100 TB
+    hash the grams (xxhash64) before the shuffle exactly like
+    ngram_jaccard_pairs does.
+    """
+    grams = F.explode(word_ngrams(text_col, n)).alias("gram")
+    corpus_grams = corpus.select(F.col(id_col), grams)
+    bench_grams = benchmark.select(grams).distinct()
+    hits = (
+        corpus_grams.join(bench_grams, "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col, F.coalesce("contaminated", F.lit(False)).alias("contaminated")
+        )
+    )

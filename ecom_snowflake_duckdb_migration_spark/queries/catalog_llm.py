@@ -1020,3 +1020,41 @@ def q62_ann_quantized_topk(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     query = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
     return sim.ann_topk_quantized(e, query, k=20)
+
+
+@register(
+    "q63_decontamination",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               string_split_regex(lower(trim(text)), '\s+') AS t,
+               len(string_split_regex(lower(trim(text)), '\s+')) AS n
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, source,
+               unnest(list_distinct(list_transform(range(1, n - 6),
+                   i -> array_to_string(t[i:i+7], ' ')))) AS gram
+        FROM toks WHERE n >= 8
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE source = 'src0'),
+    hits AS (
+        SELECT DISTINCT g.doc_id FROM grams g JOIN bench b USING (gram)
+        WHERE g.source <> 'src0'
+    )
+    SELECT d.doc_id, hits.doc_id IS NOT NULL AS contaminated
+    FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+    WHERE d.source <> 'src0'
+    """,
+    doc="Benchmark decontamination (operators.text.decontaminate): corpus "
+    "documents sharing ANY 8-token word n-gram with the benchmark slice "
+    "(source='src0') are flagged — the standard test-set-leakage filter. "
+    "Both sides reduce to distinct grams and meet in a left-semi join "
+    "(never a cross join); hash grams before the shuffle at real scale.",
+    tags=("LLM", "dedup", "decontamination"),
+)
+def q63_decontamination(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("source") != "src0")
+    bench = d.filter(F.col("source") == "src0")
+    return tx.decontaminate(corpus, bench, n=8)

@@ -480,3 +480,23 @@ def test_ann_quantized_recall_vs_exact(spark, sf_dir):
     # top-10 survives (typical published recall for symmetric int8 is far
     # higher; the floor guards regression without overfitting the data)
     assert len(exact & quant) >= 7
+
+
+def test_decontaminate_planted(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares the full 8-gram "the quick ... lazy" -> contaminated
+            (1, "intro words the quick brown fox jumps over the lazy end"),
+            # shares only a 7-token run -> clean at n=8
+            (2, "quick brown fox jumps over the lazy cat sleeps here"),
+            (3, "completely unrelated text with many different words here"),
+            (4, "short text"),  # under 8 tokens -> clean
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.contaminated for r in tx.decontaminate(corpus, bench, n=8).collect()}
+    assert got == {1: True, 2: False, 3: False, 4: False}
