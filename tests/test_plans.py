@@ -152,6 +152,7 @@ NEW_CATALYST_ONLY = [
     "q60_tfidf_top_terms",
     "q61_int8_quantization",
     "q62_ann_quantized_topk",
+    "q63_decontamination",
 ]
 
 
