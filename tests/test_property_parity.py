@@ -159,3 +159,61 @@ def test_try_to_timestamp_rejects_out_of_range_years(spark):
     got = [r.ts for r in df.select(try_to_timestamp("s").alias("ts")).collect()]
     assert got[0] is None and got[1] is None
     assert got[2] is not None and got[2].year == 2024
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc xyz", min_size=1, max_size=400), min_size=1, max_size=12
+    ),
+    st.integers(20, 120),
+    st.integers(0, 19),
+)
+@settings(**SETTINGS)
+def test_chunking_reconstructs_any_text(spark, texts, size, overlap):
+    """Property: for ANY text and any (chunk_size, overlap), the chunks
+    reconstruct the text exactly and every window start is on the stride
+    grid (chunk_documents contract)."""
+    from ecom_snowflake_duckdb_migration_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    rows = chunk_documents(df, chunk_size=size, overlap=overlap).collect()
+    stride = size - overlap
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, text in enumerate(texts):
+        cs = sorted(by_doc[doc_id], key=lambda r: r.chunk_id)
+        assert [c.chunk_start for c in cs] == [i * stride + 1 for i in range(len(cs))]
+        rebuilt = cs[0].chunk_text + "".join(c.chunk_text[overlap:] for c in cs[1:])
+        assert rebuilt == text
+        assert cs[-1].chunk_start - 1 + len(cs[-1].chunk_text) == len(text)
+
+
+@given(st.integers(0, 1_000_000), st.integers(0, 2_000_000))
+@settings(**SETTINGS)
+def test_sampling_threshold_matches_duckdb_selection(spark, rate_e6, n_ids):
+    """Property: the hex-threshold selection is identical in Spark and
+    DuckDB for any rate (the q55 engine-parity invariant, without the
+    documents table in the way)."""
+    from ecom_snowflake_duckdb_migration_spark.operators.sampling import (
+        rate_to_threshold_hex, sample_hash,
+    )
+
+    ids = list(range(n_ids % 200))  # small but arbitrary id sets
+    if not ids:
+        return
+    thr = rate_to_threshold_hex(rate_e6)
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = sorted(
+        r.doc_id for r in df.filter(sample_hash("doc_id", 42) < F.lit(thr)).collect()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        r[0]
+        for r in con.execute(
+            "SELECT i FROM (SELECT unnest(?) AS i) "
+            "WHERE substring(md5('42:' || CAST(i AS VARCHAR)), 1, 8) < ?",
+            [ids, thr],
+        ).fetchall()
+    )
+    assert got == want
