@@ -217,3 +217,40 @@ def test_sampling_threshold_matches_duckdb_selection(spark, rate_e6, n_ids):
         ).fetchall()
     )
     assert got == want
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 20)), min_size=1, max_size=25),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 20), st.integers(1, 9)),
+        min_size=0, max_size=25,
+    ),
+)
+@settings(**SETTINGS)
+def test_asof_join_matches_bruteforce(spark, lefts, rights):
+    """Property: asof_join == the per-row brute force (latest right at or
+    before, per key) for arbitrary collisions and ties."""
+    import datetime
+
+    from ecom_snowflake_duckdb_migration_spark.operators.asof import asof_join
+
+    T = lambda s: datetime.datetime(2026, 3, 1, 0, 0, s)
+    # operator contract: right side deduped per (key, ts) -> keep max value
+    rd = {}
+    for k, ts, v in rights:
+        rd[(k, ts)] = max(rd.get((k, ts), 0), v)
+    left_rows = [(i, k, T(ts)) for i, (k, ts) in enumerate(lefts)]
+    right_rows = [(k, T(ts), float(v)) for (k, ts), v in sorted(rd.items())]
+    left = spark.createDataFrame(left_rows, "row_id long, k long, ts timestamp")
+    if right_rows:
+        right = spark.createDataFrame(right_rows, "k long, ts timestamp, value double")
+    else:
+        right = spark.createDataFrame([], "k long, ts timestamp, value double")
+    got = {
+        r.row_id: r.m
+        for r in asof_join(left, right, key="k", payload="value", out_col="m").collect()
+    }
+    for i, (k, ts) in enumerate(lefts):
+        candidates = [(t, v) for (kk, t), v in rd.items() if kk == k and t <= ts]
+        want = float(max(candidates)[1]) if candidates else None
+        assert got[i] == want, (i, k, ts, candidates)
