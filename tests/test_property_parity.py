@@ -254,3 +254,72 @@ def test_asof_join_matches_bruteforce(spark, lefts, rights):
         candidates = [(t, v) for (kk, t), v in rd.items() if kk == k and t <= ts]
         want = float(max(candidates)[1]) if candidates else None
         assert got[i] == want, (i, k, ts, candidates)
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 300_000)), min_size=1, max_size=20),
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 300_000), st.integers(0, 200_000)),
+        min_size=1, max_size=10,
+    ),
+    st.sampled_from([3_600, 86_400, 40_000]),
+)
+@settings(**SETTINGS)
+def test_range_join_matches_bruteforce(spark, points, intervals, bin_w):
+    """Property: the banded equi-join produces EXACTLY the theta-join pairs
+    for arbitrary bin widths and bin-straddling intervals."""
+    import datetime
+
+    from ecom_snowflake_duckdb_migration_spark.operators.rangejoin import range_join
+
+    T = lambda s: datetime.datetime(2026, 4, 1) + datetime.timedelta(seconds=s)
+    p_rows = [(i, k, T(ts)) for i, (k, ts) in enumerate(points)]
+    iv_rows = [(j, k, T(s), T(s + ln)) for j, (k, s, ln) in enumerate(intervals)]
+    p = spark.createDataFrame(p_rows, "pid long, k long, ts timestamp")
+    iv = spark.createDataFrame(iv_rows, "ivid long, k long, start_ts timestamp, end_ts timestamp")
+    got = sorted(
+        (r.pid, r.ivid)
+        for r in range_join(p, iv, "ts", "start_ts", "end_ts",
+                            equi_keys=["k"], bin_width_seconds=bin_w).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (pk, pts) in enumerate(points)
+        for j, (ik, s, ln) in enumerate(intervals)
+        if pk == ik and s <= pts <= s + ln
+    )
+    assert got == want
+
+
+@given(st.lists(st.integers(0, 2), min_size=1, max_size=30), st.integers(2, 4))
+@settings(**SETTINGS)
+def test_rollup_any_split_equals_full_recompute(spark, tmp_path_factory, assignment, n_batches):
+    """Property (the q59 invariant, randomized): applying the event stream
+    in ANY batch partition through merge-refresh equals one full group-by."""
+    import datetime
+
+    from ecom_snowflake_duckdb_migration_spark.operators.rollup import (
+        read_rollup, refresh_rollup,
+    )
+
+    T = lambda i: datetime.datetime(2026, 5, 1 + (i % 3), i % 24)
+    rows = [
+        (i, "t" + str(i % 2), float(i % 7) / 2, T(i)) for i in range(len(assignment))
+    ]
+    path = str(tmp_path_factory.mktemp("rollup_prop") / "r")
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double, ts timestamp")
+    for b in range(n_batches):
+        batch_ids = [i for i, a in enumerate(assignment) if a % n_batches == b]
+        batch = df.filter(F.col("event_id").isin(batch_ids) if batch_ids else F.lit(False))
+        refresh_rollup(spark, path, batch)
+    got = {
+        (str(r.bucket), r.event_type): (r.n_rows, round(r.total_value, 4))
+        for r in read_rollup(spark, path).collect()
+    }
+    want = {}
+    for i, a in enumerate(assignment):
+        key = (str(T(i).date()), "t" + str(i % 2))
+        n, v = want.get(key, (0, 0.0))
+        want[key] = (n + 1, round(v + float(i % 7) / 2, 4))
+    want = {k: (n, round(v, 4)) for k, (n, v) in want.items()}
+    assert got == want
