@@ -34,10 +34,11 @@ def range_join(
     ``start_ts <= point_ts <= end_ts`` (and equal ``equi_keys`` when
     given), via the banded equi-join. Returns points' columns + intervals'
     columns (equi keys deduplicated)."""
+    keys = list(equi_keys or [])
     w = F.lit(bin_width_seconds)
     p = points.withColumn(
         "__bin", (F.unix_timestamp(F.col(point_ts)) / w).cast("long")
-    )
+    ).alias("__p")
     i = intervals.withColumn(
         "__bin",
         F.explode(
@@ -46,9 +47,19 @@ def range_join(
                 (F.unix_timestamp(F.col(end_ts)) / w).cast("long"),
             )
         ),
-    )
-    on = [*(equi_keys or []), "__bin"]
-    joined = p.join(i, on, how).filter(
-        (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
-    )
-    return joined.drop("__bin")
+    ).alias("__i")
+    # The range predicate lives IN the join condition, not a post-join
+    # filter: an outer join's NULL-extended rows would be discarded by any
+    # later filter over interval columns, silently turning how="left" into
+    # inner. Catalyst still extracts the equality conjuncts (keys + bin) as
+    # hash-join keys; the range conjuncts evaluate per candidate pair.
+    cond = F.col("__p.__bin") == F.col("__i.__bin")
+    for k in keys:
+        cond = cond & (F.col(f"__p.{k}") == F.col(f"__i.{k}"))
+    cond = cond & (F.col(f"__p.{point_ts}") >= F.col(f"__i.{start_ts}"))
+    cond = cond & (F.col(f"__p.{point_ts}") <= F.col(f"__i.{end_ts}"))
+    joined = p.join(i, cond, how)
+    out = [F.col(f"__p.{c}").alias(c) for c in points.columns] + [
+        F.col(f"__i.{c}").alias(c) for c in intervals.columns if c not in set(keys)
+    ]
+    return joined.select(*out)

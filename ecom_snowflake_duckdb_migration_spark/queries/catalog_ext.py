@@ -209,13 +209,17 @@ def _q34_oracle() -> str:
             body,
         )
         ctes.append(f"{name} AS (\n{body}\n)")
-    # Final projection aligns ratio types across engines: Spark AVG(DECIMAL)
-    # / DECIMAL-division yield DECIMAL while DuckDB yields DOUBLE, so both
-    # sides cast+round (catalog float convention: round 6 for ratios).
+    # Final projection aligns money/ratio types across engines: Spark's
+    # SUM(DECIMAL(12,2)) is DECIMAL(22,2) while DuckDB's is DECIMAL(38,2), and
+    # the driver's value hash is representation-sensitive — so every decimal
+    # aggregate goes through the catalog convention (queries/__init__.py):
+    # round(CAST(x AS DOUBLE), 2) for money sums, round 6 for ratios.
     return (
         "WITH " + ",\n".join(ctes) +
-        "\nSELECT sale_date, total_orders, unique_customers, total_revenue,"
-        "\n       total_shipping, net_revenue,"
+        "\nSELECT sale_date, total_orders, unique_customers,"
+        "\n       round(CAST(total_revenue AS DOUBLE), 2) AS total_revenue,"
+        "\n       round(CAST(total_shipping AS DOUBLE), 2) AS total_shipping,"
+        "\n       round(CAST(net_revenue AS DOUBLE), 2) AS net_revenue,"
         "\n       round(CAST(avg_order_value AS DOUBLE), 6) AS avg_order_value,"
         "\n       round(CAST(revenue_per_customer AS DOUBLE), 6) AS revenue_per_customer"
         "\nFROM fct_sales_by_date"
@@ -247,17 +251,16 @@ def q34_ecom_pipeline_smoke(spark, sf_dir):
     runner = PipelineRunner(spark, raw)
     from pyspark.sql import functions as F
 
-    return (
-        runner.ref("fct_sales_by_date")
-        .drop("updated_at")
-        .withColumn(
-            "avg_order_value", F.round(F.col("avg_order_value").cast("double"), 6)
-        )
-        .withColumn(
-            "revenue_per_customer",
-            F.round(F.col("revenue_per_customer").cast("double"), 6),
-        )
-    )
+    df = runner.ref("fct_sales_by_date").drop("updated_at")
+    # Catalog float convention on every decimal aggregate (round 2 for money
+    # sums, round 6 for ratios): raw DECIMAL widths differ between engines
+    # (Spark DECIMAL(22,2) vs DuckDB DECIMAL(38,2)) and the driver hash is
+    # representation-sensitive even when values are equal.
+    for col in ("total_revenue", "total_shipping", "net_revenue"):
+        df = df.withColumn(col, F.round(F.col(col).cast("double"), 2))
+    for col in ("avg_order_value", "revenue_per_customer"):
+        df = df.withColumn(col, F.round(F.col(col).cast("double"), 6))
+    return df
 
 
 @register(

@@ -291,6 +291,52 @@ def test_range_join_matches_bruteforce(spark, points, intervals, bin_w):
     assert got == want
 
 
+@given(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 300_000)), min_size=1, max_size=20),
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 300_000), st.integers(0, 200_000)),
+        min_size=0, max_size=10,
+    ),
+    st.sampled_from([3_600, 86_400, 40_000]),
+)
+@settings(**SETTINGS)
+def test_range_join_left_matches_bruteforce(spark, points, intervals, bin_w):
+    """Property: how="left" keeps every unmatched point as one NULL-extended
+    row (the round-4 footgun: a post-join range filter silently dropped
+    them, making "left" behave as inner)."""
+    import datetime
+
+    from ecom_snowflake_duckdb_migration_spark.operators.rangejoin import range_join
+
+    T = lambda s: datetime.datetime(2026, 4, 1) + datetime.timedelta(seconds=s)
+    p_rows = [(i, k, T(ts)) for i, (k, ts) in enumerate(points)]
+    iv_rows = [(j, k, T(s), T(s + ln)) for j, (k, s, ln) in enumerate(intervals)]
+    p = spark.createDataFrame(p_rows, "pid long, k long, ts timestamp")
+    iv = spark.createDataFrame(
+        iv_rows, "ivid long, k long, start_ts timestamp, end_ts timestamp"
+    )
+    got = sorted(
+        (r.pid, r.ivid)
+        for r in range_join(p, iv, "ts", "start_ts", "end_ts",
+                            equi_keys=["k"], bin_width_seconds=bin_w,
+                            how="left").collect()
+    )
+    matched = {
+        i: sorted(
+            j
+            for j, (ik, s, ln) in enumerate(intervals)
+            if ik == pk and s <= pts <= s + ln
+        )
+        for i, (pk, pts) in enumerate(points)
+    }
+    want = sorted(
+        (i, j)
+        for i, js in matched.items()
+        for j in (js or [None])
+    )
+    assert got == want
+
+
 @given(st.lists(st.integers(0, 2), min_size=1, max_size=30), st.integers(2, 4))
 @settings(**SETTINGS)
 def test_rollup_any_split_equals_full_recompute(spark, tmp_path_factory, assignment, n_batches):
