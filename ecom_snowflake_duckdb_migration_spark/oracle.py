@@ -88,3 +88,43 @@ def compare_to_oracle(name: str, df: DataFrame, oracle_sql: str, sf_dir: str) ->
         diffs = [(a, b) for a, b in zip(s, o) if a != b][:3]
         return ParityResult(name, False, f"values differ; first mismatched (spark, oracle): {diffs}")
     return ParityResult(name, True, f"{len(spark_rows)} rows match")
+
+
+def driver_style_result(name: str, fn, oracle_sql: str | None, spark, sf_dir: str) -> dict:
+    """Run one catalog entry and report it in the driver's CORRECTNESS row
+    schema (rows_match / schema_match / hash_match / spark_rows / oracle_rows
+    / err) so the local sweep (scripts/local_correctness.py →
+    CORRECTNESS_LOCAL_r{N}.json) is machine-comparable with the driver's
+    gate. hash_match here is the order-insensitive normalized value compare —
+    the same contract the driver's value hash enforces, including Python-type
+    sensitivity (Decimal vs float tag differently in _norm_value)."""
+    row = {
+        "rows_match": None, "schema_match": None, "hash_match": None,
+        "spark_rows": None, "oracle_rows": None, "err": None,
+    }
+    try:
+        df = fn(spark, sf_dir)
+        spark_cols = list(df.columns)
+        spark_rows = [tuple(r) for r in df.collect()]
+        row["spark_rows"] = len(spark_rows)
+        if oracle_sql is None:
+            row["err"] = "no_oracle"
+            return row
+        con = duckdb_connection(sf_dir)
+        try:
+            cur = con.execute(oracle_sql)
+            oracle_cols = [d[0] for d in cur.description]
+            oracle_rows = cur.fetchall()
+        finally:
+            con.close()
+        row["oracle_rows"] = len(oracle_rows)
+        row["rows_match"] = len(spark_rows) == len(oracle_rows)
+        row["schema_match"] = sorted(spark_cols) == sorted(oracle_cols)
+        row["hash_match"] = (
+            row["rows_match"]
+            and row["schema_match"]
+            and _norm_rows(spark_cols, spark_rows) == _norm_rows(oracle_cols, oracle_rows)
+        )
+    except Exception as e:  # keep sweeping; the row records the failure
+        row["err"] = f"{type(e).__name__}: {e}"[:300]
+    return row

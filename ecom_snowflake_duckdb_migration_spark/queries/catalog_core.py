@@ -906,7 +906,7 @@ def q13_conditional_activity_df(spark, sf_dir):
 
 
 @register(
-    "q14_bool_or_big_orders",
+    "x14_bool_or_big_orders",
     oracle="""
     SELECT o_custkey,
            bool_or(o_totalprice > 300000) AS has_big_order,
@@ -931,7 +931,7 @@ def q14_bool_or_big_orders(spark, sf_dir):
 
 
 @register(
-    "q15_surrogate_keys",
+    "x15_surrogate_keys",
     oracle="""
     SELECT c_custkey,
            md5(coalesce(CAST(c_custkey AS VARCHAR), '') || '-' ||
@@ -1020,7 +1020,7 @@ def q17_date_dimension(spark, sf_dir):
 
 
 @register(
-    "q18_trim_filter_brands",
+    "x18_trim_filter_brands",
     oracle=f"""
     SELECT trim(p_brand) AS brand,
            count(*)      AS n_parts,
@@ -1046,7 +1046,7 @@ def q18_trim_filter_brands(spark, sf_dir):
 
 
 @register(
-    "q19_coalesce_nullif",
+    "x19_coalesce_nullif",
     oracle=f"""
     SELECT l_returnflag,
            {o_davg('coalesce(nullif(l_discount, 0.0), 0.05)')}          AS avg_eff_discount,
@@ -1067,7 +1067,7 @@ def q19_coalesce_nullif(spark, sf_dir):
 
 
 @register(
-    "q20_split_part_names",
+    "x20_split_part_names",
     oracle="""
     SELECT split_part(p_name, ' ', 1)  AS first_word,
            split_part(p_name, ' ', -1) AS last_word,
@@ -1095,7 +1095,7 @@ def q20_split_part_names(spark, sf_dir):
 
 
 @register(
-    "q21_group_by_ordinal",
+    "x21_group_by_ordinal",
     oracle=f"""
     SELECT o_orderstatus, o_orderpriority,
            count(*)                 AS n_orders,
@@ -1193,7 +1193,7 @@ def q22_count_distinct_quirk_df(spark, sf_dir):
 
 
 @register(
-    "q23_limit_preview",
+    "x23_limit_preview",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
     FROM orders ORDER BY o_orderkey LIMIT 5
@@ -1337,7 +1337,7 @@ def q26_incremental_append(spark, sf_dir):
 
 
 @register(
-    "q27_lineage_and_format",
+    "x27_lineage_and_format",
     oracle="""
     SELECT o_orderkey,
            'historic'                                    AS data_source,
@@ -1361,7 +1361,7 @@ def q27_lineage_and_format(spark, sf_dir):
 
 
 @register(
-    "q28_typed_projection",
+    "x28_typed_projection",
     oracle="""
     SELECT CAST(c_custkey AS VARCHAR)                  AS customer_id,
            CAST(c_name AS VARCHAR)                     AS customer_name,

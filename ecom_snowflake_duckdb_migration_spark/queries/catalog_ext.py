@@ -161,7 +161,7 @@ def q32_streaming_daily_windows(spark, sf_dir):
 
 
 @register(
-    "q33_media_decode_stats",
+    "x33_media_decode_stats",
     oracle=None,  # binary media decode (mapInPandas) — rows-only check;
     # decode semantics pinned in tests/test_multimodal.py.
     doc="Multimodal plumbing through the driver gate: deterministic media "

@@ -190,7 +190,7 @@ def q44_fingerprint(spark, sf_dir):
 
 
 @register(
-    "q45_ngram_jaccard_pairs",
+    "x45_ngram_jaccard_pairs",
     oracle="""
     WITH sh AS (
         SELECT doc_id,
@@ -224,7 +224,7 @@ def q45_ngram_jaccard_pairs(spark, sf_dir):
 
 
 @register(
-    "q46_ann_cosine_topk",
+    "x46_ann_cosine_topk",
     oracle="""
     WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
     SELECT e.vec_id,
@@ -249,7 +249,7 @@ def q46_ann_cosine_topk(spark, sf_dir):
 
 
 @register(
-    "q47_cosine_neardup_pairs",
+    "x47_cosine_neardup_pairs",
     oracle="""
     SELECT a.vec_id AS id1, b.vec_id AS id2,
            list_sum(list_transform(range(1, len(a.embedding) + 1),
@@ -407,7 +407,7 @@ def q49_simhash_near_pairs(spark, sf_dir):
 def _q50_oracle(k: int, dim: int, n_planes: int, seed: int = 42) -> str:
     """DuckDB twin of ann_topk_ivf: the hyperplanes are deterministic
     literals (same numpy seed), embedded into the SQL; dot-product folds are
-    bit-identical across engines (verified by q46/q47)."""
+    bit-identical across engines (verified by x46/x47)."""
     planes = sim.make_hyperplanes(dim, n_planes, seed)
 
     def dot_lit(vec: str, plane: list[float]) -> str:
@@ -454,7 +454,7 @@ def _q50_oracle(k: int, dim: int, n_planes: int, seed: int = 42) -> str:
     "signature is within Hamming 1 of the query's — ~2^n_planes scan "
     "reduction, exact re-rank inside probed buckets. The hyperplanes are "
     "seeded literals, so the whole index + search is oracle-checked; "
-    "recall vs exact q46 additionally pinned in tests.",
+    "recall vs exact x46 additionally pinned in tests.",
     tags=("LLM", "similarity", "lsh"),
 )
 def q50_ann_lsh_topk(spark, sf_dir):
@@ -541,7 +541,7 @@ def _q51_oracle(k: int, dim: int, n_centroids: int, nprobe: int, seed: int = 42)
     "This entry runs the fixed seeded codebook so the whole index + search "
     "is oracle-checked end-to-end (centroids are literals, like q50's "
     "hyperplanes); the data-adaptive KMeans codebook (train_centroids) is "
-    "the production recall path, pinned against exact q46 in tests. "
+    "the production recall path, pinned against exact x46 in tests. "
     "The scale path: persist ivf_partition output bucketed by cell and "
     "probes become partition pruning.",
     tags=("LLM", "similarity", "ivf"),
@@ -557,7 +557,7 @@ def _q53_oracle(threshold: float, dim: int, n_planes: int, n_tables: int, seed: 
     """DuckDB twin of cosine_pairs_lsh: per-table hyperplane signatures from
     the same seeded literals, candidates = pairs sharing (table, signature),
     exact cosine re-rank. Mirrors the Spark pipeline 1:1 so the pair set —
-    and with it the multi-table LSH recall contract vs exact q47 — is
+    and with it the multi-table LSH recall contract vs exact x47 — is
     oracle-checked end-to-end."""
 
     def dot_lit(vec: str, plane: list[float]) -> str:
@@ -614,10 +614,10 @@ def _q53_oracle(threshold: float, dim: int, n_planes: int, n_tables: int, seed: 
     oracle=_q53_oracle(threshold=0.4, dim=64, n_planes=12, n_tables=4),
     doc="Embedding-cosine near-dup pairs via multi-table random-hyperplane "
     "LSH (operators.similarity.cosine_pairs_lsh) — the scale path twin of "
-    "the exact q47 baseline: candidates are equi-joins on (table, "
+    "the exact x47 baseline: candidates are equi-joins on (table, "
     "signature), never a cross join; exact cosine re-rank keeps only true "
     "matches. Hyperplanes are seeded literals, so the full pipeline is "
-    "oracle-checked; pair-parity with q47 at this threshold is additionally "
+    "oracle-checked; pair-parity with x47 at this threshold is additionally "
     "pinned in tests.",
     tags=("LLM", "similarity", "dedup", "lsh"),
 )
@@ -663,7 +663,7 @@ def q53_cosine_pairs_lsh(spark, sf_dir):
     FROM keep
     """,
     doc="Full dedup pipeline last stage: near-dup pairs (3-gram Jaccard >= "
-    "0.8, the exact q45 pair set) -> connected components (distributed "
+    "0.8, the exact x45 pair set) -> connected components (distributed "
     "min-label propagation, operators.dedup_groups.connected_components) -> "
     "one canonical doc per cluster + all singletons. Oracle resolves "
     "components with a recursive transitive-closure CTE.",
@@ -890,7 +890,7 @@ def q55_stratified_sample(spark, sf_dir):
            (SELECT count(*) FROM embeddings) - count(*) AS n_dropped
     FROM keep
     """,
-    doc="Embedding-dedup last stage, completing the family q47/q53 start: "
+    doc="Embedding-dedup last stage, completing the family x47/q53 start: "
     "exact cosine near-dup pairs (>= 0.4) -> distributed connected "
     "components -> one canonical vector per cluster + singletons "
     "(operators.dedup_groups). Oracle resolves components with a recursive "
