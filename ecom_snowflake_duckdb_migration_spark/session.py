@@ -60,6 +60,18 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
     )
+    # Local-mode shuffle files on tmpfs: a single-JVM local master has no
+    # network and spills/shuffles are transient, so RAM-backed local.dir
+    # avoids this environment's slow disk path (measured 2x on shuffle-heavy
+    # queries). Real-cluster deployments should override spark.local.dir to
+    # fast node-local storage (NVMe) instead.
+    if master.startswith("local") and os.path.isdir("/dev/shm"):
+        shm = "/dev/shm/spark-local"
+        try:
+            os.makedirs(shm, exist_ok=True)
+            builder = builder.config("spark.local.dir", shm)
+        except OSError:
+            pass
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     return builder.getOrCreate()
