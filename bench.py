@@ -21,7 +21,11 @@ import re
 import sys
 import time
 
-N_RUNS = 5
+# 7 timed runs: this host shows multi-second interference windows that can
+# swallow an entire min-of-5 (all five samples slow); two extra samples per
+# query make the min materially more likely to land in a quiet window.
+# Applied symmetrically to both engines.
+N_RUNS = 7
 
 HEADLINE = [
     "q01_pricing_summary",
