@@ -6,14 +6,17 @@ decode/feature work runs in Arrow-batched Pandas UDFs (``mapInPandas``) so
 bytes never round-trip through row-at-a-time Python, and partitioning is
 preserved (no shuffle is introduced by any operator here).
 
-Two genuine standard formats decode natively (struct + numpy, no external
+Three genuine standard formats decode natively (struct + numpy, no external
 libs): **BMP** (Windows bitmap, uncompressed BI_RGB, 8-bit-palette and
-24-bit) and **WAV** (RIFF PCM, 16-bit). Compressed formats (JPEG/PNG/MP3/
-H.264) need PIL/librosa/ffmpeg, which are NOT in this container — those
-payloads raise ``NotImplementedError`` naming the missing library; swapping
-a real codec in is a per-row function change inside the same ``mapInPandas``
-plumbing. A deterministic toy codec (``SIMG``/``SAUD``/``SVID`` headers +
-raw samples) remains for high-volume synthetic tests.
+24-bit), **WAV** (RIFF PCM, 16-bit), and **JPEG** (baseline sequential DCT,
+grayscale — full encoder + decoder in ``jpeg.py``, cross-validated against
+the JVM's javax.imageio to ±1 IDCT rounding). Remaining compressed formats
+(color/progressive JPEG, PNG, MP3, H.264) need PIL/librosa/ffmpeg, which
+are NOT in this container — those payloads raise ``NotImplementedError``
+naming the missing piece; swapping a real codec in is a per-row function
+change inside the same ``mapInPandas`` plumbing. A deterministic toy codec
+(``SIMG``/``SAUD``/``SVID`` headers + raw samples) remains for high-volume
+synthetic tests.
 """
 
 from __future__ import annotations
@@ -165,10 +168,16 @@ def _decode_payload(payload: bytes) -> tuple[str, dict]:
         return _decode_bmp(bytes(payload))
     if magic == b"RIFF" and bytes(payload[8:12]) == b"WAVE":
         return _decode_wav(bytes(payload))
-    # Compressed real formats (JPEG/PNG/MP3/H.264) would be handled here:
+    if magic[:2] == b"\xff\xd8":  # JPEG SOI
+        from .jpeg import decode_jpeg
+
+        px = decode_jpeg(bytes(payload))
+        h, w = px.shape
+        return "image", {"width": w, "height": h, "pixels": px.ravel()}
+    # Remaining compressed formats (PNG/MP3/H.264) would be handled here:
     raise NotImplementedError(
-        "decoding compressed media requires PIL/librosa/ffmpeg, which are "
-        f"not installed; unknown magic {magic!r}"
+        "decoding PNG/MP3/H.264 media requires PIL/librosa/ffmpeg, which "
+        f"are not installed; unknown magic {magic!r}"
     )
 
 
@@ -238,6 +247,10 @@ def resize_images(
                 small = px[np.ix_(ys, xs)]
                 if bytes(payload[:2]) == b"BM":  # format-preserving
                     resized.append(encode_bmp(small))
+                elif bytes(payload[:2]) == b"\xff\xd8":
+                    from .jpeg import encode_jpeg
+
+                    resized.append(encode_jpeg(small))
                 else:
                     resized.append(
                         _IMG_MAGIC
@@ -337,6 +350,18 @@ def generate_media(
                         rng = np.random.default_rng(rng_base + i)
                         px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
                         payload, fmt = encode_bmp(px), "bmp"
+                    elif media_format == "jpeg":
+                        from .jpeg import encode_jpeg
+
+                        rng = np.random.default_rng(rng_base + i)
+                        # smooth ramp + mild noise: representative of real
+                        # photos (pure noise defeats any DCT codec)
+                        px = np.clip(
+                            np.add.outer(np.arange(h), np.arange(w)) * 3 % 256
+                            + rng.integers(-12, 12, size=(h, w)),
+                            0, 255,
+                        ).astype(np.uint8)
+                        payload, fmt = encode_jpeg(px), "jpeg"
                     else:
                         payload, fmt = encode_image(w, h, rng_base + i), "simg"
                     meta = {"modality": "image", "format": fmt, "width": w,

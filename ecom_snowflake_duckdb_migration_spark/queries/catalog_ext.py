@@ -165,16 +165,18 @@ def q32_streaming_daily_windows(spark, sf_dir):
     oracle=None,  # binary media decode (mapInPandas) — rows-only check;
     # decode semantics pinned in tests/test_multimodal.py.
     doc="Multimodal plumbing through the driver gate: deterministic media "
-    "generation (real 8-bit BMP payloads) -> Arrow-batched native BMP "
-    "decode -> per-dimension stats.",
+    "generation (real 8-bit BMP + baseline-JPEG payloads, both decoded "
+    "natively — multimodal/jpeg.py is cross-validated against "
+    "javax.imageio) -> Arrow-batched decode -> per-format/dimension stats.",
     tags=("multimodal",),
 )
 def q33_media_decode_stats(spark, sf_dir):
     from ..multimodal import decode_images, generate_media
 
-    imgs = generate_media(spark, 200, "image", seed=7, partitions=8, media_format="bmp")
+    bmps = generate_media(spark, 120, "image", seed=7, partitions=4, media_format="bmp")
+    jpgs = generate_media(spark, 80, "image", seed=9, partitions=4, media_format="jpeg")
     return (
-        decode_images(imgs)
+        decode_images(bmps.unionByName(jpgs))
         .groupBy("width")
         .agg(
             F.count(F.lit(1)).alias("n_images"),

@@ -196,3 +196,102 @@ def test_compressed_formats_still_captured_as_unsupported(spark):
     df = spark.createDataFrame([("p1", bytearray(png_magic))], "media_id string, payload binary")
     row = mm.decode_images(df).collect()[0]
     assert row.ok == "NotImplementedError"
+
+
+# ---- baseline JPEG codec (multimodal/jpeg.py) ----
+
+
+def _test_image(h, w, seed=7):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    ramp = np.add.outer(np.arange(h), np.arange(w)) * 3 % 256
+    return np.clip(ramp + rng.integers(-15, 15, size=(h, w)), 0, 255).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_is_exact_vs_reference():
+    """decode(encode(x)) must equal the encoder's own reconstruction
+    byte-for-byte (deterministic round-trip oracle, not a tolerance)."""
+    import numpy as np
+
+    from ecom_snowflake_duckdb_migration_spark.multimodal import jpeg
+
+    for shape in [(8, 8), (16, 24), (17, 23), (1, 1), (9, 130)]:
+        img = _test_image(*shape)
+        dec = jpeg.decode_jpeg(jpeg.encode_jpeg(img))
+        assert dec.shape == shape
+        assert np.array_equal(dec, jpeg.reconstruct_reference(img))
+
+
+def test_jpeg_quality_bound():
+    """Lossy, but bounded: >=27 dB PSNR on ramp+noise content."""
+    import numpy as np
+
+    from ecom_snowflake_duckdb_migration_spark.multimodal import jpeg
+
+    img = _test_image(48, 64)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(img))
+    mse = np.mean((dec.astype(float) - img.astype(float)) ** 2)
+    assert 10 * np.log10(255**2 / mse) > 27
+
+
+def test_jpeg_cross_validated_against_jvm_decoder(spark, tmp_path):
+    """Independent-decoder check: the JVM's javax.imageio must read our
+    stream to the same raster within +-1 (T.81 allows IDCT rounding to
+    differ by one code between conforming decoders)."""
+    import numpy as np
+
+    from ecom_snowflake_duckdb_migration_spark.multimodal import jpeg
+
+    img = _test_image(24, 40)
+    path = str(tmp_path / "x.jpg")
+    with open(path, "wb") as f:
+        f.write(jpeg.encode_jpeg(img))
+    jvm = spark._jvm
+    bimg = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(path))
+    assert (bimg.getHeight(), bimg.getWidth()) == (24, 40)
+    raster = bimg.getRaster()
+    java_px = np.array(
+        [[raster.getSample(x, y, 0) for x in range(40)] for y in range(24)],
+        dtype=np.int64,
+    )
+    ours = jpeg.decode_jpeg(jpeg.encode_jpeg(img)).astype(np.int64)
+    assert np.abs(java_px - ours).max() <= 1
+
+
+def test_jpeg_through_spark_decode_and_resize(spark):
+    imgs = mm.generate_media(spark, 12, "image", seed=5, media_format="jpeg")
+    rows = sorted(
+        mm.decode_images(imgs).collect(),
+        key=lambda r: int(r.media_id.split("-")[1]),
+    )
+    assert all(r.ok == "ok" for r in rows)
+    assert [(r.width, r.height) for r in rows] == [
+        (16 + (i % 17), 16 + (i % 13)) for i in range(12)
+    ]
+    small = mm.resize_images(imgs, 8, 8)
+    srows = mm.decode_images(small).collect()
+    assert all((r.width, r.height, r.ok) == (8, 8, "ok") for r in srows)
+    # format preserved: resized payloads are still JPEG
+    assert all(bytes(r.payload)[:2] == b"\xff\xd8" for r in small.collect())
+
+
+def test_jpeg_unsupported_modes_raise_named_errors():
+    import struct as _s
+
+    import numpy as np
+    import pytest as _pt
+
+    from ecom_snowflake_duckdb_migration_spark.multimodal import jpeg
+
+    img = _test_image(8, 8)
+    data = bytearray(jpeg.encode_jpeg(img))
+    # flip SOF0 -> SOF2 (progressive): find the C0 marker
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with _pt.raises(NotImplementedError, match="SOF2"):
+        jpeg.decode_jpeg(bytes(data))
+    # truncated entropy stream -> ValueError, and captured per-row in Spark
+    good = jpeg.encode_jpeg(img)
+    with _pt.raises((ValueError, NotImplementedError)):
+        jpeg.decode_jpeg(good[: len(good) // 2] )
