@@ -295,3 +295,34 @@ def test_jpeg_unsupported_modes_raise_named_errors():
     good = jpeg.encode_jpeg(img)
     with _pt.raises((ValueError, NotImplementedError)):
         jpeg.decode_jpeg(good[: len(good) // 2] )
+
+
+def test_jpeg_roundtrip_property():
+    """Property: for ANY uint8 image (including pure noise, flat fields,
+    extreme values), decode(encode(x)) == encoder reconstruction exactly."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ecom_snowflake_duckdb_migration_spark.multimodal import jpeg
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        seed=st.integers(0, 2**31 - 1),
+        mode=st.sampled_from(["noise", "flat", "ramp"]),
+    )
+    def check(h, w, seed, mode):
+        rng = np.random.default_rng(seed)
+        if mode == "noise":
+            img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        elif mode == "flat":
+            img = np.full((h, w), rng.integers(0, 256), dtype=np.uint8)
+        else:
+            img = (np.add.outer(np.arange(h), np.arange(w)) * 7 % 256).astype(np.uint8)
+        dec = jpeg.decode_jpeg(jpeg.encode_jpeg(img))
+        assert dec.shape == (h, w)
+        assert np.array_equal(dec, jpeg.reconstruct_reference(img))
+
+    check()
