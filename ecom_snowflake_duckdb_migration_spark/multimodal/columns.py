@@ -172,7 +172,9 @@ def _decode_payload(payload: bytes) -> tuple[str, dict]:
         from .jpeg import decode_jpeg
 
         px = decode_jpeg(bytes(payload))
-        h, w = px.shape
+        h, w = px.shape[:2]
+        if px.ndim == 3:  # color: stats/resize operate on luminance
+            px = px.mean(axis=2).round().astype(np.uint8)
         return "image", {"width": w, "height": h, "pixels": px.ravel()}
     # Remaining compressed formats (PNG/MP3/H.264) would be handled here:
     raise NotImplementedError(

@@ -1,11 +1,11 @@
 """Baseline JPEG (ITU-T T.81 / JFIF) codec in pure numpy — no PIL needed.
 
-Scope: 8-bit GRAYSCALE, baseline sequential DCT, single scan, no restart
-markers, no progressive/arithmetic modes. That is the honest native slice
-of JPEG this engine decodes itself; color/subsampled/progressive payloads
-raise ``NotImplementedError`` naming what is missing (the multimodal
-operators capture that per row instead of failing the job — see
-``multimodal/columns.py``).
+Scope: 8-bit baseline sequential DCT, single interleaved scan — GRAYSCALE
+(1 component) and YCbCr COLOR at 4:4:4 (3 components, luma + chroma
+quant/Huffman tables). No restart markers, no progressive/arithmetic modes,
+no chroma subsampling; those payloads raise ``NotImplementedError`` naming
+what is missing (the multimodal operators capture that per row instead of
+failing the job — see ``multimodal/columns.py``).
 
 Why it exists: the multimodal column family (SURVEY §2.11) treats media as
 opaque binary + typed metadata and decodes inside Arrow-batched
@@ -108,8 +108,70 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return out
 
 
+# K.2 — chrominance quantization table (quality 50), natural order.
+STD_CHROMA_QUANT = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int32,
+)
+
+# K.3.3 / K.3.4 — standard DC/AC chrominance Huffman tables.
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
 DC_ENC = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
 AC_ENC = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+DC_ENC_C = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+AC_ENC_C = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    """JFIF full-range color transform, float64 (h, w, 3) -> (h, w, 3)."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    return np.stack([r, g, b], axis=-1)
 
 # Orthonormal 8-point DCT-II matrix; block DCT = C @ block @ C.T (then the
 # JPEG scaling is already folded in: this IS the T.81 FDCT up to exact
@@ -254,68 +316,107 @@ def _extend(bits: int, cat: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _quantized_blocks(pixels: np.ndarray) -> tuple[np.ndarray, int, int]:
-    """FDCT + quantize every 8x8 block. Returns (blocks[n,64] int32 in
-    zigzag order, blocks_y, blocks_x)."""
-    h, w = pixels.shape
+def _quantized_blocks(
+    channel: np.ndarray, qtable: np.ndarray
+) -> tuple[np.ndarray, int, int]:
+    """FDCT + quantize every 8x8 block of one (h, w) float/uint8 channel.
+    Returns (blocks[n,64] int32 in zigzag order, blocks_y, blocks_x)."""
+    h, w = channel.shape
     bh, bw = -(-h // 8), -(-w // 8)
     padded = np.empty((bh * 8, bw * 8), dtype=np.float64)
-    padded[:h, :w] = pixels
-    padded[h:, :w] = pixels[-1:, :]  # edge-replicate padding
+    padded[:h, :w] = channel
+    padded[h:, :w] = channel[-1:, :]  # edge-replicate padding
     padded[:, w:] = padded[:, w - 1 : w]
     shifted = padded - 128.0
     blocks = shifted.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
     coeffs = np.einsum("ij,njk,lk->nil", DCT, blocks, DCT)
-    quant = np.round(coeffs / STD_LUMA_QUANT[None]).astype(np.int32)
+    quant = np.round(coeffs / qtable[None]).astype(np.int32)
     return quant.reshape(-1, 64)[:, ZIGZAG], bh, bw
 
 
+def _write_block(writer, block, prev_dc, dc_enc, ac_enc) -> int:
+    """Huffman-encode one zigzag block; returns the new DC predictor."""
+    dc = int(block[0])
+    dc_cat, dc_bits = _magnitude_bits(dc - prev_dc)
+    code, length = dc_enc[dc_cat]
+    writer.write(code, length)
+    writer.write(dc_bits, dc_cat)
+    run = 0
+    last_nonzero = np.nonzero(block[1:])[0]
+    end = last_nonzero[-1] + 1 if last_nonzero.size else 0
+    for k in range(1, end + 1):
+        val = int(block[k])
+        if val == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_enc[0xF0]  # ZRL
+            writer.write(code, length)
+            run -= 16
+        cat, bits = _magnitude_bits(val)
+        code, length = ac_enc[(run << 4) | cat]
+        writer.write(code, length)
+        writer.write(bits, cat)
+        run = 0
+    if end < 63:
+        code, length = ac_enc[0x00]  # EOB
+        writer.write(code, length)
+    return dc
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+
 def encode_jpeg(pixels: np.ndarray) -> bytes:
-    """Encode (height, width) uint8 grayscale into a baseline JFIF stream."""
+    """Encode uint8 pixels into a baseline JFIF stream.
+
+    (h, w) -> single-component grayscale; (h, w, 3) -> RGB as interleaved
+    YCbCr 4:4:4 (luma quant/Huffman tables for Y, chroma tables for Cb/Cr).
+    """
     pixels = np.asarray(pixels, dtype=np.uint8)
-    h, w = pixels.shape
-    zz, _, _ = _quantized_blocks(pixels)
+    color = pixels.ndim == 3
+    h, w = pixels.shape[:2]
+
+    if color:
+        ycc = _rgb_to_ycbcr(pixels.astype(np.float64))
+        comps = [
+            (_quantized_blocks(ycc[..., 0], STD_LUMA_QUANT)[0], DC_ENC, AC_ENC),
+            (_quantized_blocks(ycc[..., 1], STD_CHROMA_QUANT)[0], DC_ENC_C, AC_ENC_C),
+            (_quantized_blocks(ycc[..., 2], STD_CHROMA_QUANT)[0], DC_ENC_C, AC_ENC_C),
+        ]
+    else:
+        comps = [(_quantized_blocks(pixels, STD_LUMA_QUANT)[0], DC_ENC, AC_ENC)]
 
     writer = _BitWriter()
-    prev_dc = 0
-    for block in zz:
-        dc_cat, dc_bits = _magnitude_bits(int(block[0]) - prev_dc)
-        prev_dc = int(block[0])
-        code, length = DC_ENC[dc_cat]
-        writer.write(code, length)
-        writer.write(dc_bits, dc_cat)
-        run = 0
-        last_nonzero = np.nonzero(block[1:])[0]
-        end = last_nonzero[-1] + 1 if last_nonzero.size else 0
-        for k in range(1, end + 1):
-            val = int(block[k])
-            if val == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, length = AC_ENC[0xF0]  # ZRL
-                writer.write(code, length)
-                run -= 16
-            cat, bits = _magnitude_bits(val)
-            code, length = AC_ENC[(run << 4) | cat]
-            writer.write(code, length)
-            writer.write(bits, cat)
-            run = 0
-        if end < 63:
-            code, length = AC_ENC[0x00]  # EOB
-            writer.write(code, length)
+    predictors = [0] * len(comps)
+    n_blocks = comps[0][0].shape[0]
+    for b in range(n_blocks):  # 4:4:4 MCU = one block per component
+        for ci, (zz, dc_enc, ac_enc) in enumerate(comps):
+            predictors[ci] = _write_block(writer, zz[b], predictors[ci], dc_enc, ac_enc)
     entropy = writer.flush()
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
-
     out = b"\xff\xd8"  # SOI
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xDB, b"\x00" + STD_LUMA_QUANT.ravel()[ZIGZAG].astype(np.uint8).tobytes())
-    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
-    out += seg(0xC4, b"\x00" + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
-    out += seg(0xC4, b"\x10" + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
-    out += seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(
+        0xDB, b"\x00" + STD_LUMA_QUANT.ravel()[ZIGZAG].astype(np.uint8).tobytes()
+    )
+    out += _seg(0xC4, b"\x00" + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+    out += _seg(0xC4, b"\x10" + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+    if color:
+        out += _seg(
+            0xDB, b"\x01" + STD_CHROMA_QUANT.ravel()[ZIGZAG].astype(np.uint8).tobytes()
+        )
+        out += _seg(0xC4, b"\x01" + bytes(DC_CHROMA_BITS) + bytes(DC_CHROMA_VALS))
+        out += _seg(0xC4, b"\x11" + bytes(AC_CHROMA_BITS) + bytes(AC_CHROMA_VALS))
+        out += _seg(
+            0xC0,
+            struct.pack(">BHHB", 8, h, w, 3) + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01",
+        )
+        out += _seg(0xDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
+    else:
+        out += _seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+        out += _seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
     out += entropy
     out += b"\xff\xd9"  # EOI
     return out
@@ -323,22 +424,33 @@ def encode_jpeg(pixels: np.ndarray) -> bytes:
 
 def reconstruct_reference(pixels: np.ndarray) -> np.ndarray:
     """The encoder's own lossy reconstruction — the exact array
-    ``decode_jpeg(encode_jpeg(pixels))`` must return (round-trip oracle)."""
+    ``decode_jpeg(encode_jpeg(pixels))`` must return (round-trip oracle).
+    Grayscale (h, w) in -> (h, w) out; RGB (h, w, 3) in -> (h, w, 3) out."""
     pixels = np.asarray(pixels, dtype=np.uint8)
-    h, w = pixels.shape
-    zz, bh, bw = _quantized_blocks(pixels)
-    return _blocks_to_pixels(zz, STD_LUMA_QUANT.ravel()[ZIGZAG], bh, bw, h, w)
+    h, w = pixels.shape[:2]
+    if pixels.ndim == 3:
+        ycc = _rgb_to_ycbcr(pixels.astype(np.float64))
+        planes = []
+        for ci, qt in ((0, STD_LUMA_QUANT), (1, STD_CHROMA_QUANT), (2, STD_CHROMA_QUANT)):
+            zz, bh, bw = _quantized_blocks(ycc[..., ci], qt)
+            planes.append(_blocks_to_channel(zz, qt.ravel()[ZIGZAG], bh, bw))
+        rgb = _ycbcr_to_rgb(np.stack(planes, axis=-1))
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)[:h, :w]
+    zz, bh, bw = _quantized_blocks(pixels, STD_LUMA_QUANT)
+    plane = _blocks_to_channel(zz, STD_LUMA_QUANT.ravel()[ZIGZAG], bh, bw)
+    return np.clip(np.round(plane), 0, 255).astype(np.uint8)[:h, :w]
 
 
-def _blocks_to_pixels(
-    zz: np.ndarray, qtable_zz: np.ndarray, bh: int, bw: int, h: int, w: int
+def _blocks_to_channel(
+    zz: np.ndarray, qtable_zz: np.ndarray, bh: int, bw: int
 ) -> np.ndarray:
-    """Dequantize zigzag blocks, IDCT, level-shift back, clip, crop."""
+    """Dequantize zigzag blocks + IDCT + level shift -> FLOAT (bh*8, bw*8)
+    plane (rounding/clipping/cropping happen at the caller, after any color
+    conversion, so gray and color paths share the exact op sequence)."""
     deq = (zz * qtable_zz[None]).astype(np.float64)[:, UNZIGZAG].reshape(-1, 8, 8)
     spatial = np.einsum("ji,njk,kl->nil", DCT, deq, DCT)
     spatial = spatial.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
-    out = np.clip(np.round(spatial + 128.0), 0, 255).astype(np.uint8)
-    return out[:h, :w]
+    return spatial + 128.0
 
 
 # ---------------------------------------------------------------------------
@@ -346,11 +458,34 @@ def _blocks_to_pixels(
 # ---------------------------------------------------------------------------
 
 
-def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline grayscale JFIF stream to (height, width) uint8.
+def _read_block(reader, dc_dec, ac_dec, prev_dc, out_row) -> int:
+    """Decode one block's coefficients into out_row; returns the new DC."""
+    cat = dc_dec.decode(reader)
+    dc = prev_dc + _extend(reader.read(cat), cat)
+    out_row[0] = dc
+    k = 1
+    while k < 64:
+        symbol = ac_dec.decode(reader)
+        if symbol == 0x00:  # EOB
+            break
+        if symbol == 0xF0:  # ZRL
+            k += 16
+            continue
+        run, cat = symbol >> 4, symbol & 0x0F
+        k += run
+        if k > 63:
+            raise ValueError("AC run past end of block")
+        out_row[k] = _extend(reader.read(cat), cat)
+        k += 1
+    return dc
 
-    Raises NotImplementedError for the honest boundary: color / subsampled /
-    progressive / restart-marker streams.
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a baseline JFIF stream: grayscale -> (h, w) uint8, YCbCr
+    4:4:4 color -> (h, w, 3) uint8 RGB.
+
+    Raises NotImplementedError for the honest remaining boundary:
+    subsampled (4:2:0/4:2:2) / progressive / restart-marker streams.
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -359,7 +494,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_dc: dict[int, _HuffDecoder] = {}
     huff_ac: dict[int, _HuffDecoder] = {}
     h = w = None
-    comp_qtable = comp_dc = comp_ac = None
+    frame_comps: list[tuple[int, int]] = []  # (component id, qtable id)
+    scan_tables: list[tuple[int, int]] = []  # (dc table id, ac table id)
     entropy_start = None
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -385,14 +521,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if precision != 8:
                 raise NotImplementedError("only 8-bit precision supported")
-            if ncomp != 1:
-                raise NotImplementedError(
-                    "only single-component (grayscale) baseline JPEG is decoded "
-                    "natively; color needs chroma upsampling (PIL)"
-                )
-            comp_id, sampling, comp_qtable = body[6], body[7], body[8]
-            if sampling != 0x11:
-                raise NotImplementedError("subsampled JPEG unsupported")
+            if ncomp not in (1, 3):
+                raise NotImplementedError(f"{ncomp}-component JPEG unsupported")
+            for ci in range(ncomp):
+                comp_id, sampling, qid = body[6 + 3 * ci : 9 + 3 * ci]
+                if sampling != 0x11:
+                    raise NotImplementedError(
+                        "subsampled JPEG (4:2:0/4:2:2) unsupported; only 4:4:4"
+                    )
+                frame_comps.append((comp_id, qid))
         elif marker == 0xC4:  # DHT (may hold several tables)
             off = 0
             while off < len(body):
@@ -406,38 +543,36 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             raise NotImplementedError("JPEG restart intervals (DRI) unsupported")
         elif marker == 0xDA:  # SOS
             ncomp_s = body[0]
-            if ncomp_s != 1:
-                raise NotImplementedError("multi-component scan unsupported")
-            comp_dc, comp_ac = body[2] >> 4, body[2] & 0x0F
+            if ncomp_s != len(frame_comps):
+                raise NotImplementedError("partial-component scans unsupported")
+            for ci in range(ncomp_s):
+                tbls = body[2 + 2 * ci]
+                scan_tables.append((tbls >> 4, tbls & 0x0F))
             entropy_start = pos + 2 + size
             break
         pos += 2 + size
     if entropy_start is None or h is None:
         raise ValueError("JPEG missing SOS/SOF0")
-    if comp_qtable not in qtables:
-        raise ValueError("JPEG scan references missing quantization table")
+    for _, qid in frame_comps:
+        if qid not in qtables:
+            raise ValueError("JPEG scan references missing quantization table")
 
     reader = _BitReader(payload[entropy_start:])
-    dc_dec, ac_dec = huff_dc[comp_dc], huff_ac[comp_ac]
     bh, bw = -(-h // 8), -(-w // 8)
-    zz = np.zeros((bh * bw, 64), dtype=np.int64)
-    prev_dc = 0
-    for b in range(bh * bw):
-        cat = dc_dec.decode(reader)
-        prev_dc += _extend(reader.read(cat), cat)
-        zz[b, 0] = prev_dc
-        k = 1
-        while k < 64:
-            symbol = ac_dec.decode(reader)
-            if symbol == 0x00:  # EOB
-                break
-            if symbol == 0xF0:  # ZRL
-                k += 16
-                continue
-            run, cat = symbol >> 4, symbol & 0x0F
-            k += run
-            if k > 63:
-                raise ValueError("AC run past end of block")
-            zz[b, k] = _extend(reader.read(cat), cat)
-            k += 1
-    return _blocks_to_pixels(zz, qtables[comp_qtable], bh, bw, h, w)
+    ncomp = len(frame_comps)
+    zz = np.zeros((ncomp, bh * bw, 64), dtype=np.int64)
+    predictors = [0] * ncomp
+    for b in range(bh * bw):  # 4:4:4 MCU = one block per component
+        for ci in range(ncomp):
+            dc_id, ac_id = scan_tables[ci]
+            predictors[ci] = _read_block(
+                reader, huff_dc[dc_id], huff_ac[ac_id], predictors[ci], zz[ci, b]
+            )
+    planes = [
+        _blocks_to_channel(zz[ci], qtables[frame_comps[ci][1]], bh, bw)
+        for ci in range(ncomp)
+    ]
+    if ncomp == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[:h, :w]
+    rgb = _ycbcr_to_rgb(np.stack(planes, axis=-1))
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)[:h, :w]

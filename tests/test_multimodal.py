@@ -326,3 +326,55 @@ def test_jpeg_roundtrip_property():
         assert np.array_equal(dec, jpeg.reconstruct_reference(img))
 
     check()
+
+
+def test_jpeg_color_roundtrip_and_jvm_cross_validation(spark, tmp_path):
+    """Color (YCbCr 4:4:4) path: exact vs encoder reconstruction, and the
+    JVM's javax.imageio reads the stream to the same RGB within +-2 (Java
+    uses integer-approximated color conversion)."""
+    import numpy as np
+
+    from ecom_snowflake_duckdb_migration_spark.multimodal import jpeg
+
+    rng = np.random.default_rng(3)
+    h, w = 24, 40
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[..., 0] = np.add.outer(np.arange(h), np.arange(w)) * 5 % 256
+    img[..., 1] = rng.integers(0, 256, size=(h, w)) // 4 + 60
+    img[..., 2] = np.linspace(0, 255, w, dtype=int)[None, :]
+    data = jpeg.encode_jpeg(img)
+    dec = jpeg.decode_jpeg(data)
+    assert dec.shape == (h, w, 3)
+    assert np.array_equal(dec, jpeg.reconstruct_reference(img))
+    path = str(tmp_path / "c.jpg")
+    with open(path, "wb") as f:
+        f.write(data)
+    jvm = spark._jvm
+    bimg = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(path))
+    assert (bimg.getHeight(), bimg.getWidth()) == (h, w)
+    java = np.zeros((h, w, 3), dtype=np.int64)
+    for y in range(h):
+        for x in range(w):
+            argb = bimg.getRGB(x, y)
+            java[y, x] = [(argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF]
+    assert np.abs(java - dec.astype(np.int64)).max() <= 2
+
+
+def test_jpeg_color_through_decode_images(spark):
+    """Color JPEG payloads flow through the mapInPandas decode with
+    luminance stats."""
+    import numpy as np
+
+    from ecom_snowflake_duckdb_migration_spark.multimodal import jpeg
+
+    img = np.zeros((12, 18, 3), dtype=np.uint8)
+    img[..., 0] = 200
+    img[..., 1] = 100
+    img[..., 2] = 50
+    df = spark.createDataFrame(
+        [("c1", bytearray(jpeg.encode_jpeg(img)))], "media_id string, payload binary"
+    )
+    row = mm.decode_images(df).collect()[0]
+    assert (row.width, row.height, row.ok) == (18, 12, "ok")
+    # flat color image: luminance mean ~ mean of channel means
+    assert abs(row.mean_pixel - (200 + 100 + 50) / 3) < 3
