@@ -482,10 +482,12 @@ def _read_block(reader, dc_dec, ac_dec, prev_dc, out_row) -> int:
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode a baseline JFIF stream: grayscale -> (h, w) uint8, YCbCr
-    4:4:4 color -> (h, w, 3) uint8 RGB.
+    color -> (h, w, 3) uint8 RGB. Handles sampling factors 1-2 per axis
+    (4:4:4, 4:2:2, 4:2:0 — what real encoders emit; chroma is upsampled by
+    sample replication), so third-party-encoded photos decode too.
 
     Raises NotImplementedError for the honest remaining boundary:
-    subsampled (4:2:0/4:2:2) / progressive / restart-marker streams.
+    progressive / arithmetic / restart-marker streams.
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -494,7 +496,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_dc: dict[int, _HuffDecoder] = {}
     huff_ac: dict[int, _HuffDecoder] = {}
     h = w = None
-    frame_comps: list[tuple[int, int]] = []  # (component id, qtable id)
+    frame_comps: list[tuple[int, int, int, int]] = []  # (id, qtable, hi, vi)
     scan_tables: list[tuple[int, int]] = []  # (dc table id, ac table id)
     entropy_start = None
     while pos + 4 <= len(payload):
@@ -525,11 +527,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise NotImplementedError(f"{ncomp}-component JPEG unsupported")
             for ci in range(ncomp):
                 comp_id, sampling, qid = body[6 + 3 * ci : 9 + 3 * ci]
-                if sampling != 0x11:
+                hi, vi = sampling >> 4, sampling & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise NotImplementedError(
-                        "subsampled JPEG (4:2:0/4:2:2) unsupported; only 4:4:4"
+                        f"sampling factors {hi}x{vi} unsupported (1-2 only)"
                     )
-                frame_comps.append((comp_id, qid))
+                frame_comps.append((comp_id, qid, hi, vi))
         elif marker == 0xC4:  # DHT (may hold several tables)
             off = 0
             while off < len(body):
@@ -553,25 +556,43 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         pos += 2 + size
     if entropy_start is None or h is None:
         raise ValueError("JPEG missing SOS/SOF0")
-    for _, qid in frame_comps:
+    for _, qid, _, _ in frame_comps:
         if qid not in qtables:
             raise ValueError("JPEG scan references missing quantization table")
 
     reader = _BitReader(payload[entropy_start:])
-    bh, bw = -(-h // 8), -(-w // 8)
     ncomp = len(frame_comps)
-    zz = np.zeros((ncomp, bh * bw, 64), dtype=np.int64)
-    predictors = [0] * ncomp
-    for b in range(bh * bw):  # 4:4:4 MCU = one block per component
-        for ci in range(ncomp):
-            dc_id, ac_id = scan_tables[ci]
-            predictors[ci] = _read_block(
-                reader, huff_dc[dc_id], huff_ac[ac_id], predictors[ci], zz[ci, b]
-            )
-    planes = [
-        _blocks_to_channel(zz[ci], qtables[frame_comps[ci][1]], bh, bw)
-        for ci in range(ncomp)
+    hmax = max(c[2] for c in frame_comps)
+    vmax = max(c[3] for c in frame_comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    # Per-component block grid spans the full MCU grid (edge MCUs carry
+    # padding blocks that decode normally and are cropped away below).
+    grids = [
+        np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
+        for _, _, hi, vi in frame_comps
     ]
+    predictors = [0] * ncomp
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (_, _, hi, vi) in enumerate(frame_comps):
+                dc_id, ac_id = scan_tables[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        predictors[ci] = _read_block(
+                            reader,
+                            huff_dc[dc_id],
+                            huff_ac[ac_id],
+                            predictors[ci],
+                            grids[ci][my * vi + by, mx * hi + bx],
+                        )
+    planes = []
+    for ci, (_, qid, hi, vi) in enumerate(frame_comps):
+        gbh, gbw = grids[ci].shape[:2]
+        plane = _blocks_to_channel(grids[ci].reshape(-1, 64), qtables[qid], gbh, gbw)
+        if hi != hmax or vi != vmax:
+            # nearest-neighbor chroma upsampling (sample replication)
+            plane = np.repeat(np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1)
+        planes.append(plane[: mcuy * vmax * 8, : mcux * hmax * 8])
     if ncomp == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[:h, :w]
     rgb = _ycbcr_to_rgb(np.stack(planes, axis=-1))

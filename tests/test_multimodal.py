@@ -378,3 +378,48 @@ def test_jpeg_color_through_decode_images(spark):
     assert (row.width, row.height, row.ok) == (18, 12, "ok")
     # flat color image: luminance mean ~ mean of channel means
     assert abs(row.mean_pixel - (200 + 100 + 50) / 3) < 3
+
+
+def test_jpeg_decodes_third_party_420_stream(spark, tmp_path):
+    """The decoder reads a JPEG produced by a DIFFERENT encoder (the JVM's
+    ImageIO, which writes YCbCr 4:2:0) — the practically-universal wild
+    format. Tolerance vs Java's own decode covers the legitimate
+    chroma-upsampling-filter difference (we replicate, libjpeg smooths)."""
+    import struct as _s
+
+    import numpy as np
+
+    from ecom_snowflake_duckdb_migration_spark.multimodal import jpeg
+
+    jvm = spark._jvm
+    h, w = 32, 48
+    bimg = jvm.java.awt.image.BufferedImage(w, h, 1)  # TYPE_INT_RGB
+    for y in range(h):
+        for x in range(w):
+            bimg.setRGB(x, y, (((x * 5) % 256) << 16) | (((y * 7) % 256) << 8) | ((x + y) * 3) % 256)
+    path = str(tmp_path / "java.jpg")
+    jvm.javax.imageio.ImageIO.write(bimg, "jpg", jvm.java.io.File(path))
+    with open(path, "rb") as f:
+        data = f.read()
+    # prove the fixture really is subsampled 4:2:0 (else this test is vacuous)
+    pos = 2
+    samplings = []
+    while pos + 4 <= len(data):
+        size = _s.unpack_from(">H", data, pos + 2)[0]
+        if data[pos + 1] == 0xC0:
+            body = data[pos + 4 : pos + 2 + size]
+            samplings = [body[7 + 3 * ci] for ci in range(body[5])]
+            break
+        pos += 2 + size
+    assert samplings == [0x22, 0x11, 0x11]
+    ours = jpeg.decode_jpeg(data)
+    assert ours.shape == (h, w, 3)
+    bimg2 = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(path))
+    java = np.zeros((h, w, 3), dtype=np.int64)
+    for y in range(h):
+        for x in range(w):
+            argb = bimg2.getRGB(x, y)
+            java[y, x] = [(argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF]
+    diff = np.abs(java - ours.astype(np.int64))
+    assert diff.mean() < 3
+    assert diff.max() <= 16
