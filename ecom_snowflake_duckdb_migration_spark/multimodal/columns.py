@@ -8,15 +8,16 @@ preserved (no shuffle is introduced by any operator here).
 
 Three genuine standard formats decode natively (struct + numpy, no external
 libs): **BMP** (Windows bitmap, uncompressed BI_RGB, 8-bit-palette and
-24-bit), **WAV** (RIFF PCM, 16-bit), and **JPEG** (baseline sequential DCT,
-grayscale — full encoder + decoder in ``jpeg.py``, cross-validated against
-the JVM's javax.imageio to ±1 IDCT rounding). Remaining compressed formats
-(color/progressive JPEG, PNG, MP3, H.264) need PIL/librosa/ffmpeg, which
-are NOT in this container — those payloads raise ``NotImplementedError``
-naming the missing piece; swapping a real codec in is a per-row function
-change inside the same ``mapInPandas`` plumbing. A deterministic toy codec
-(``SIMG``/``SAUD``/``SVID`` headers + raw samples) remains for high-volume
-synthetic tests.
+24-bit), **WAV** (RIFF PCM, 16-bit), and **JPEG** (baseline sequential DCT:
+grayscale + YCbCr color, 4:4:4/4:2:2/4:2:0 subsampling, restart markers —
+full encoder + decoder in ``jpeg.py``, cross-validated against the JVM's
+javax.imageio, including decoding a 4:2:0 stream the JVM itself encoded).
+Remaining formats (progressive JPEG, PNG, MP3, H.264) need PIL/librosa/
+ffmpeg, which are NOT in this container — those payloads raise
+``NotImplementedError`` naming the missing piece; swapping a real codec in
+is a per-row function change inside the same ``mapInPandas`` plumbing. A
+deterministic toy codec (``SIMG``/``SAUD``/``SVID`` headers + raw samples)
+remains for high-volume synthetic tests.
 """
 
 from __future__ import annotations

@@ -1,11 +1,14 @@
 """Baseline JPEG (ITU-T T.81 / JFIF) codec in pure numpy — no PIL needed.
 
 Scope: 8-bit baseline sequential DCT, single interleaved scan — GRAYSCALE
-(1 component) and YCbCr COLOR at 4:4:4 (3 components, luma + chroma
-quant/Huffman tables). No restart markers, no progressive/arithmetic modes,
-no chroma subsampling; those payloads raise ``NotImplementedError`` naming
-what is missing (the multimodal operators capture that per row instead of
-failing the job — see ``multimodal/columns.py``).
+(1 component) and YCbCr COLOR (3 components, luma + chroma quant/Huffman
+tables). The decoder additionally handles chroma subsampling with factors
+1-2 per axis (4:4:4 / 4:2:2 / 4:2:0 — verified against a 4:2:0 stream
+produced by the JVM's own encoder) and restart intervals (DRI/RSTn, which
+the encoder can also emit). Progressive/arithmetic modes raise
+``NotImplementedError`` naming what is missing (the multimodal operators
+capture that per row instead of failing the job — see
+``multimodal/columns.py``).
 
 Why it exists: the multimodal column family (SURVEY §2.11) treats media as
 opaque binary + typed metadata and decodes inside Arrow-batched
@@ -215,6 +218,14 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)
         return bytes(self.bytes_)
 
+    def emit_restart(self, n: int) -> None:
+        """Byte-align (1-bit padding) and emit RSTn — marker bytes are raw,
+        never stuffed."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.bytes_ += bytes((0xFF, 0xD0 + (n % 8)))
+
 
 class _BitReader:
     def __init__(self, data: bytes) -> None:
@@ -236,8 +247,9 @@ class _BitReader:
                 if marker == 0x00:
                     self.pos += 1  # stuffed byte
                 elif 0xD0 <= marker <= 0xD7:
-                    raise NotImplementedError(
-                        "JPEG restart markers (DRI/RSTn) are not supported"
+                    raise ValueError(
+                        "unexpected restart marker inside an entropy segment "
+                        "(decoder restarts via restart(), not mid-fill)"
                     )
                 else:
                     # EOI or another marker inside our read window: treat as
@@ -257,6 +269,19 @@ class _BitReader:
         self._fill(length)
         self.nbits -= length
         return (self.acc >> self.nbits) & ((1 << length) - 1)
+
+    def restart(self) -> None:
+        """Consume an RSTn marker: drop pad bits to the byte boundary, then
+        skip the two marker bytes (T.81 F.2.1.3.1)."""
+        self.acc = 0
+        self.nbits = 0
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
+        ):
+            raise ValueError("expected restart marker at interval boundary")
+        self.pos += 2
 
 
 class _HuffDecoder:
@@ -368,11 +393,14 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
 
-def encode_jpeg(pixels: np.ndarray) -> bytes:
+def encode_jpeg(pixels: np.ndarray, restart_interval: int = 0) -> bytes:
     """Encode uint8 pixels into a baseline JFIF stream.
 
     (h, w) -> single-component grayscale; (h, w, 3) -> RGB as interleaved
     YCbCr 4:4:4 (luma quant/Huffman tables for Y, chroma tables for Cb/Cr).
+    ``restart_interval`` > 0 emits DRI + RSTn every that many MCUs — at
+    scale this is what makes a corrupted byte cost one restart segment
+    instead of the whole scan.
     """
     pixels = np.asarray(pixels, dtype=np.uint8)
     color = pixels.ndim == 3
@@ -391,7 +419,12 @@ def encode_jpeg(pixels: np.ndarray) -> bytes:
     writer = _BitWriter()
     predictors = [0] * len(comps)
     n_blocks = comps[0][0].shape[0]
+    n_restarts = 0
     for b in range(n_blocks):  # 4:4:4 MCU = one block per component
+        if restart_interval and b and b % restart_interval == 0:
+            writer.emit_restart(n_restarts)
+            n_restarts += 1
+            predictors = [0] * len(comps)
         for ci, (zz, dc_enc, ac_enc) in enumerate(comps):
             predictors[ci] = _write_block(writer, zz[b], predictors[ci], dc_enc, ac_enc)
     entropy = writer.flush()
@@ -417,6 +450,14 @@ def encode_jpeg(pixels: np.ndarray) -> bytes:
     else:
         out += _seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
         out += _seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+    if restart_interval:
+        # DRI must precede SOS; splice it in just before the SOS segment.
+        sos_at = out.rindex(b"\xff\xda")
+        out = (
+            out[:sos_at]
+            + _seg(0xDD, struct.pack(">H", restart_interval))
+            + out[sos_at:]
+        )
     out += entropy
     out += b"\xff\xd9"  # EOI
     return out
@@ -486,8 +527,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     (4:4:4, 4:2:2, 4:2:0 — what real encoders emit; chroma is upsampled by
     sample replication), so third-party-encoded photos decode too.
 
-    Raises NotImplementedError for the honest remaining boundary:
-    progressive / arithmetic / restart-marker streams.
+    Restart intervals (DRI/RSTn) are honored. Raises NotImplementedError
+    for the honest remaining boundary: progressive / arithmetic streams.
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -499,6 +540,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     frame_comps: list[tuple[int, int, int, int]] = []  # (id, qtable, hi, vi)
     scan_tables: list[tuple[int, int]] = []  # (dc table id, ac table id)
     entropy_start = None
+    restart_interval = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
@@ -542,8 +584,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[off + 17 : off + 17 + n])
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffDecoder(bits, vals)
                 off += 17 + n
-        elif marker == 0xDD:
-            raise NotImplementedError("JPEG restart intervals (DRI) unsupported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS
             ncomp_s = body[0]
             if ncomp_s != len(frame_comps):
@@ -572,8 +614,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         for _, _, hi, vi in frame_comps
     ]
     predictors = [0] * ncomp
+    mcu_index = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                reader.restart()
+                predictors = [0] * ncomp
+            mcu_index += 1
             for ci, (_, _, hi, vi) in enumerate(frame_comps):
                 dc_id, ac_id = scan_tables[ci]
                 for by in range(vi):

@@ -423,3 +423,31 @@ def test_jpeg_decodes_third_party_420_stream(spark, tmp_path):
     diff = np.abs(java - ours.astype(np.int64))
     assert diff.mean() < 3
     assert diff.max() <= 16
+
+
+def test_jpeg_restart_intervals(spark, tmp_path):
+    """DRI/RSTn: encoder emits restart markers, decoder resets predictors
+    at each; round-trip stays byte-exact and javax reads the stream."""
+    import numpy as np
+
+    from ecom_snowflake_duckdb_migration_spark.multimodal import jpeg
+
+    rng = np.random.default_rng(11)
+    img = np.clip(
+        (np.add.outer(np.arange(33), np.arange(47)) * 3 % 256).astype(int)
+        + rng.integers(-15, 15, size=(33, 47)),
+        0, 255,
+    ).astype(np.uint8)
+    cimg = np.stack([img, img[::-1], np.full_like(img, 90)], axis=-1)
+    for ri in (2, 5):
+        for im in (img, cimg):
+            dec = jpeg.decode_jpeg(jpeg.encode_jpeg(im, restart_interval=ri))
+            assert np.array_equal(dec, jpeg.reconstruct_reference(im))
+    data = jpeg.encode_jpeg(cimg, restart_interval=3)
+    assert b"\xff\xdd" in data and b"\xff\xd0" in data  # DRI + RST0 present
+    path = str(tmp_path / "dri.jpg")
+    with open(path, "wb") as f:
+        f.write(data)
+    jvm = spark._jvm
+    bimg = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(path))
+    assert (bimg.getHeight(), bimg.getWidth()) == (33, 47)
