@@ -6,18 +6,19 @@ decode/feature work runs in Arrow-batched Pandas UDFs (``mapInPandas``) so
 bytes never round-trip through row-at-a-time Python, and partitioning is
 preserved (no shuffle is introduced by any operator here).
 
-Three genuine standard formats decode natively (struct + numpy, no external
-libs): **BMP** (Windows bitmap, uncompressed BI_RGB, 8-bit-palette and
-24-bit), **WAV** (RIFF PCM, 16-bit), and **JPEG** (baseline sequential DCT:
+Four genuine standard formats decode natively (struct + numpy + stdlib
+zlib, no external libs): **BMP** (uncompressed BI_RGB, 8-bit-palette and
+24-bit), **WAV** (RIFF PCM, 16-bit), **JPEG** (baseline sequential DCT:
 grayscale + YCbCr color, 4:4:4/4:2:2/4:2:0 subsampling, restart markers —
 full encoder + decoder in ``jpeg.py``, cross-validated against the JVM's
-javax.imageio, including decoding a 4:2:0 stream the JVM itself encoded).
-Remaining formats (progressive JPEG, PNG, MP3, H.264) need PIL/librosa/
-ffmpeg, which are NOT in this container — those payloads raise
-``NotImplementedError`` naming the missing piece; swapping a real codec in
-is a per-row function change inside the same ``mapInPandas`` plumbing. A
-deterministic toy codec (``SIMG``/``SAUD``/``SVID`` headers + raw samples)
-remains for high-volume synthetic tests.
+javax.imageio, including decoding a 4:2:0 stream the JVM itself encoded),
+and **PNG** (all 8-bit color types and all five row filters in ``png.py``;
+lossless, so round-trips are exact). Remaining formats (progressive JPEG,
+MP3, H.264) need PIL/librosa/ffmpeg, which are NOT in this container —
+those payloads raise ``NotImplementedError`` naming the missing piece;
+swapping a real codec in is a per-row function change inside the same
+``mapInPandas`` plumbing. A deterministic toy codec (``SIMG``/``SAUD``/
+``SVID`` headers + raw samples) remains for high-volume synthetic tests.
 """
 
 from __future__ import annotations
@@ -177,10 +178,18 @@ def _decode_payload(payload: bytes) -> tuple[str, dict]:
         if px.ndim == 3:  # color: stats/resize operate on luminance
             px = px.mean(axis=2).round().astype(np.uint8)
         return "image", {"width": w, "height": h, "pixels": px.ravel()}
-    # Remaining compressed formats (PNG/MP3/H.264) would be handled here:
+    if magic == b"\x89PNG":
+        from .png import decode_png
+
+        px = decode_png(bytes(payload))
+        h, w = px.shape[:2]
+        if px.ndim == 3:
+            px = px.mean(axis=2).round().astype(np.uint8)
+        return "image", {"width": w, "height": h, "pixels": px.ravel()}
+    # Remaining compressed formats (MP3/H.264) would be handled here:
     raise NotImplementedError(
-        "decoding PNG/MP3/H.264 media requires PIL/librosa/ffmpeg, which "
-        f"are not installed; unknown magic {magic!r}"
+        "decoding MP3/H.264 media requires librosa/ffmpeg, which are not "
+        f"installed; unknown magic {magic!r}"
     )
 
 
@@ -254,6 +263,10 @@ def resize_images(
                     from .jpeg import encode_jpeg
 
                     resized.append(encode_jpeg(small))
+                elif bytes(payload[:4]) == b"\x89PNG":
+                    from .png import encode_png
+
+                    resized.append(encode_png(small))
                 else:
                     resized.append(
                         _IMG_MAGIC
@@ -365,6 +378,12 @@ def generate_media(
                             0, 255,
                         ).astype(np.uint8)
                         payload, fmt = encode_jpeg(px), "jpeg"
+                    elif media_format == "png":
+                        from .png import encode_png
+
+                        rng = np.random.default_rng(rng_base + i)
+                        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+                        payload, fmt = encode_png(px), "png"
                     else:
                         payload, fmt = encode_image(w, h, rng_base + i), "simg"
                     meta = {"modality": "image", "format": fmt, "width": w,

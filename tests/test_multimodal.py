@@ -190,10 +190,10 @@ def test_resize_preserves_bmp_format(spark):
 
 
 def test_compressed_formats_still_captured_as_unsupported(spark):
-    """A PNG payload reports NotImplementedError per row instead of killing
-    the batch."""
-    png_magic = b"\x89PNG\r\n\x1a\n" + b"\x00" * 64
-    df = spark.createDataFrame([("p1", bytearray(png_magic))], "media_id string, payload binary")
+    """An MP3 payload reports NotImplementedError per row instead of
+    killing the batch."""
+    mp3ish = b"ID3\x04" + b"\x00" * 64
+    df = spark.createDataFrame([("p1", bytearray(mp3ish))], "media_id string, payload binary")
     row = mm.decode_images(df).collect()[0]
     assert row.ok == "NotImplementedError"
 
@@ -451,3 +451,119 @@ def test_jpeg_restart_intervals(spark, tmp_path):
     jvm = spark._jvm
     bimg = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(path))
     assert (bimg.getHeight(), bimg.getWidth()) == (33, 47)
+
+
+# ---- PNG codec (multimodal/png.py) ----
+
+
+def test_png_lossless_roundtrip_property():
+    """PNG is lossless: decode(encode(x)) == x exactly for any uint8 image."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ecom_snowflake_duckdb_migration_spark.multimodal import png
+
+    @settings(max_examples=20, deadline=None)
+    @given(h=st.integers(1, 20), w=st.integers(1, 20), seed=st.integers(0, 2**31 - 1),
+           color=st.booleans())
+    def check(h, w, seed, color):
+        rng = np.random.default_rng(seed)
+        shape = (h, w, 3) if color else (h, w)
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert np.array_equal(png.decode_png(png.encode_png(img)), img)
+
+    check()
+
+
+def test_png_all_filter_types_reconstruct():
+    """Hand-filter rows with each of the five PNG filters (Sub/Up/Average/
+    Paeth use the spec's recurrences) and assert the decoder recovers the
+    identical image — javax's encoder always picks filter 0, so foreign
+    files alone would leave these paths untested."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from ecom_snowflake_duckdb_migration_spark.multimodal import png as p
+
+    rng = np.random.default_rng(9)
+    h, w, bpp = 9, 11, 3
+    img = np.clip(
+        np.add.outer(np.arange(h) * 8, np.arange(w) * 5)[..., None]
+        + rng.integers(0, 30, size=(h, w, 3)),
+        0, 255,
+    ).astype(np.uint8)
+    raw = img.reshape(h, w * 3).astype(np.int32)
+
+    def filtered_png(ftype):
+        rows = []
+        for y in range(h):
+            row = raw[y]
+            prev = raw[y - 1] if y else np.zeros_like(row)
+            left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
+            ul = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+            if ftype == 0:
+                f = row
+            elif ftype == 1:
+                f = (row - left) & 0xFF
+            elif ftype == 2:
+                f = (row - prev) & 0xFF
+            elif ftype == 3:
+                f = (row - ((left + prev) >> 1)) & 0xFF
+            else:
+                pr = left + prev - ul
+                pa, pb, pc = np.abs(pr - left), np.abs(pr - prev), np.abs(pr - ul)
+                pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+                f = (row - pred) & 0xFF
+            rows.append(bytes([ftype]) + bytes(f.astype(np.uint8)))
+        return (
+            p._PNG_MAGIC
+            + p._chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + p._chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + p._chunk(b"IEND", b"")
+        )
+
+    for ftype in range(5):
+        assert np.array_equal(p.decode_png(filtered_png(ftype)), img), ftype
+
+
+def test_png_cross_validated_with_jvm_both_directions(spark, tmp_path):
+    import numpy as np
+
+    from ecom_snowflake_duckdb_migration_spark.multimodal import png
+
+    rng = np.random.default_rng(5)
+    h, w = 16, 20
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    ours_path = str(tmp_path / "ours.png")
+    with open(ours_path, "wb") as f:
+        f.write(png.encode_png(img))
+    jvm = spark._jvm
+    bimg = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(ours_path))
+    java = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            argb = bimg.getRGB(x, y)
+            java[y, x] = [(argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF]
+    assert np.array_equal(java, img)  # javax reads ours exactly
+    # and we read a javax-written PNG exactly
+    bimg2 = jvm.java.awt.image.BufferedImage(w, h, 1)
+    for y in range(h):
+        for x in range(w):
+            bimg2.setRGB(x, y, (int(img[y, x, 0]) << 16) | (int(img[y, x, 1]) << 8) | int(img[y, x, 2]))
+    theirs_path = str(tmp_path / "java.png")
+    jvm.javax.imageio.ImageIO.write(bimg2, "png", jvm.java.io.File(theirs_path))
+    with open(theirs_path, "rb") as f:
+        assert np.array_equal(png.decode_png(f.read()), img)
+
+
+def test_png_through_spark_decode_and_resize(spark):
+    imgs = mm.generate_media(spark, 10, "image", seed=4, media_format="png")
+    rows = mm.decode_images(imgs).collect()
+    assert all(r.ok == "ok" for r in rows)
+    small = mm.resize_images(imgs, 8, 8)
+    srows = mm.decode_images(small).collect()
+    assert all((r.width, r.height, r.ok) == (8, 8, "ok") for r in srows)
+    assert all(bytes(r.payload)[:4] == b"\x89PNG" for r in small.collect())
