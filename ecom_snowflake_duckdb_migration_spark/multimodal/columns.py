@@ -6,19 +6,23 @@ decode/feature work runs in Arrow-batched Pandas UDFs (``mapInPandas``) so
 bytes never round-trip through row-at-a-time Python, and partitioning is
 preserved (no shuffle is introduced by any operator here).
 
-Four genuine standard formats decode natively (struct + numpy + stdlib
+Five genuine standard formats decode natively (struct + numpy + stdlib
 zlib, no external libs): **BMP** (uncompressed BI_RGB, 8-bit-palette and
 24-bit), **WAV** (RIFF PCM, 16-bit), **JPEG** (baseline sequential DCT:
 grayscale + YCbCr color, 4:4:4/4:2:2/4:2:0 subsampling, restart markers —
 full encoder + decoder in ``jpeg.py``, cross-validated against the JVM's
 javax.imageio, including decoding a 4:2:0 stream the JVM itself encoded),
-and **PNG** (all 8-bit color types and all five row filters in ``png.py``;
-lossless, so round-trips are exact). Remaining formats (progressive JPEG,
-MP3, H.264) need PIL/librosa/ffmpeg, which are NOT in this container —
-those payloads raise ``NotImplementedError`` naming the missing piece;
-swapping a real codec in is a per-row function change inside the same
-``mapInPandas`` plumbing. A deterministic toy codec (``SIMG``/``SAUD``/
-``SVID`` headers + raw samples) remains for high-volume synthetic tests.
+**PNG** (all 8-bit color types and all five row filters in ``png.py``;
+lossless, so round-trips are exact), and **GIF** (87a/89a incl. animation,
+LZW, interlace, transparency and disposal in ``gif.py`` — animated GIFs
+feed ``sample_video_frames`` with real decoded frames, upgrading the
+video modality beyond the toy codec). Remaining formats (progressive
+JPEG, MP3, H.264) need PIL/librosa/ffmpeg, which are NOT in this
+container — those payloads raise ``NotImplementedError`` naming the
+missing piece; swapping a real codec in is a per-row function change
+inside the same ``mapInPandas`` plumbing. A deterministic toy codec
+(``SIMG``/``SAUD``/``SVID`` headers + raw samples) remains for
+high-volume synthetic tests.
 """
 
 from __future__ import annotations
@@ -186,6 +190,19 @@ def _decode_payload(payload: bytes) -> tuple[str, dict]:
         if px.ndim == 3:
             px = px.mean(axis=2).round().astype(np.uint8)
         return "image", {"width": w, "height": h, "pixels": px.ravel()}
+    if magic[:3] == b"GIF":
+        from .gif import decode_gif
+
+        frames, delays = decode_gif(bytes(payload))
+        if len(frames) == 1:  # static GIF behaves as an image
+            px = frames[0].mean(axis=2).round().astype(np.uint8)
+            h, w = px.shape
+            return "image", {"width": w, "height": h, "pixels": px.ravel()}
+        return "video", {
+            "n_frames": len(frames),
+            "frame_list": frames,
+            "delays": delays,
+        }
     # Remaining compressed formats (MP3/H.264) would be handled here:
     raise NotImplementedError(
         "decoding MP3/H.264 media requires librosa/ffmpeg, which are not "
@@ -335,7 +352,14 @@ def sample_video_frames(
                 for i in range(0, d["n_frames"], every_nth):
                     ids.append(mid)
                     idxs.append(i)
-                    frames.append(d["frames"][i * frame_bytes : (i + 1) * frame_bytes])
+                    if "frame_list" in d:  # real container (GIF): re-encode
+                        from .png import encode_png
+
+                        frames.append(encode_png(d["frame_list"][i]))
+                    else:  # toy SVID: fixed-size raw frame slices
+                        frames.append(
+                            d["frames"][i * frame_bytes : (i + 1) * frame_bytes]
+                        )
             yield pd.DataFrame({id_col: ids, "frame_index": idxs, "frame": frames})
 
     return df.mapInPandas(_batches, out_schema)
@@ -402,9 +426,21 @@ def generate_media(
                 else:
                     nf = 4 + (i % 9)
                     rng = np.random.default_rng(rng_base + i)
-                    frames = rng.integers(0, 256, size=nf * 64, dtype=np.uint8).tobytes()
-                    payload = _VID_MAGIC + struct.pack("<I", nf) + frames
-                    meta = {"modality": "video", "format": "svid", "width": None,
+                    if media_format == "gif":
+                        from .gif import encode_gif
+
+                        fr = [
+                            rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+                            for _ in range(nf)
+                        ]
+                        payload, fmt = encode_gif(fr, delay_cs=4), "gif"
+                    else:
+                        frames = rng.integers(
+                            0, 256, size=nf * 64, dtype=np.uint8
+                        ).tobytes()
+                        payload = _VID_MAGIC + struct.pack("<I", nf) + frames
+                        fmt = "svid"
+                    meta = {"modality": "video", "format": fmt, "width": None,
                             "height": None, "sample_rate": None, "n_frames": nf}
                 rows["media_id"].append(f"{modality}-{i}")
                 rows["metadata"].append(meta)

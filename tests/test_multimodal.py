@@ -567,3 +567,99 @@ def test_png_through_spark_decode_and_resize(spark):
     srows = mm.decode_images(small).collect()
     assert all((r.width, r.height, r.ok) == (8, 8, "ok") for r in srows)
     assert all(bytes(r.payload)[:4] == b"\x89PNG" for r in small.collect())
+
+
+# ---- GIF codec (multimodal/gif.py) ----
+
+
+def test_gif_lossless_roundtrip_and_animation():
+    """Palette GIF is lossless: single frames and animations round-trip to
+    exact pixel equality with per-frame delays preserved."""
+    import numpy as np
+
+    from ecom_snowflake_duckdb_migration_spark.multimodal import gif
+
+    rng = np.random.default_rng(6)
+    g = rng.integers(0, 256, size=(7, 13), dtype=np.uint8)
+    frames, delays = gif.decode_gif(gif.encode_gif(g))
+    assert len(frames) == 1
+    assert np.array_equal(frames[0], np.repeat(g[..., None], 3, axis=2))
+
+    fs = [rng.integers(0, 256, size=(10, 14), dtype=np.uint8) for _ in range(5)]
+    frames, delays = gif.decode_gif(gif.encode_gif(fs, delay_cs=7))
+    assert len(frames) == 5 and delays == [7] * 5
+    for f, src in zip(frames, fs):
+        assert np.array_equal(f, np.repeat(src[..., None], 3, axis=2))
+
+    # dictionary growth + 4096-reset path
+    big = np.tile(np.arange(256, dtype=np.uint8), (64, 16))
+    frames, _ = gif.decode_gif(gif.encode_gif(big))
+    assert np.array_equal(frames[0][:, :, 0], big)
+
+
+def test_gif_cross_validated_with_jvm(spark, tmp_path):
+    """javax.imageio reads our GIFs exactly (incl. per-frame animation
+    access), and our decoder matches javax's decode of a javax-written GIF
+    byte-for-byte."""
+    import numpy as np
+
+    from ecom_snowflake_duckdb_migration_spark.multimodal import gif
+
+    jvm = spark._jvm
+    rng = np.random.default_rng(8)
+    fs = [rng.integers(0, 256, size=(8, 9), dtype=np.uint8) for _ in range(4)]
+    path = str(tmp_path / "anim.gif")
+    with open(path, "wb") as f:
+        f.write(gif.encode_gif(fs, delay_cs=5))
+    stream = jvm.javax.imageio.ImageIO.createImageInputStream(jvm.java.io.File(path))
+    reader = jvm.javax.imageio.ImageIO.getImageReaders(stream).next()
+    reader.setInput(stream)
+    assert reader.getNumImages(True) == 4
+    f2 = reader.read(2)
+    java = np.array(
+        [[f2.getRGB(x, y) & 0xFF for x in range(9)] for y in range(8)], dtype=np.uint8
+    )
+    assert np.array_equal(java, fs[2])
+
+    # javax-written GIF (its writer quantizes; we must match ITS read)
+    src = np.clip(np.add.outer(np.arange(12) * 9, np.arange(16) * 7), 0, 255).astype(np.uint8)
+    bimg = jvm.java.awt.image.BufferedImage(16, 12, 10)  # TYPE_BYTE_GRAY
+    for y in range(12):
+        for x in range(16):
+            v = int(src[y, x])
+            bimg.setRGB(x, y, (v << 16) | (v << 8) | v)
+    jpath = str(tmp_path / "java.gif")
+    jvm.javax.imageio.ImageIO.write(bimg, "gif", jvm.java.io.File(jpath))
+    with open(jpath, "rb") as f:
+        ours = gif.decode_gif(f.read())[0][0]
+    bimg2 = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(jpath))
+    java2 = np.zeros((12, 16, 3), dtype=np.uint8)
+    for y in range(12):
+        for x in range(16):
+            argb = bimg2.getRGB(x, y)
+            java2[y, x] = [(argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF]
+    assert np.array_equal(ours, java2)
+
+
+def test_gif_video_frame_sampling_through_spark(spark):
+    """Animated GIF payloads flow through sample_video_frames: real decoded
+    frames come out as PNG-encoded binaries."""
+    import numpy as np
+
+    from ecom_snowflake_duckdb_migration_spark.multimodal import png
+
+    videos = mm.generate_media(spark, 6, "video", seed=2, media_format="gif")
+    assert {r.metadata.format for r in videos.select("metadata").collect()} == {"gif"}
+    frames = mm.sample_video_frames(videos, every_nth=2)
+    got = frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    nf = {r.media_id: r.n_frames for r in videos.select("media_id", "metadata.n_frames").collect()}
+    for r in got:
+        assert r.n == (nf[r.media_id] + 1) // 2
+    f0 = frames.filter(F.col("frame_index") == 0).first()
+    px = png.decode_png(bytes(f0.frame))
+    assert px.shape == (8, 8, 3)
+    # frame content is the seeded generator's frame 0 for that media id
+    i = int(f0.media_id.split("-")[1])
+    rng = np.random.default_rng(2 + i)
+    want = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    assert np.array_equal(px, np.repeat(want[..., None], 3, axis=2))
