@@ -8,7 +8,9 @@ preserved (no shuffle is introduced by any operator here).
 
 Five genuine standard formats decode natively (struct + numpy + stdlib
 zlib, no external libs): **BMP** (uncompressed BI_RGB, 8-bit-palette and
-24-bit), **WAV** (RIFF PCM, 16-bit), **JPEG** (baseline sequential DCT:
+24-bit), **WAV** (RIFF: PCM 8/16/24/32-bit + IEEE float32/64, incl.
+WAVE_FORMAT_EXTENSIBLE, normalized to mono int16), **JPEG** (baseline
+sequential DCT:
 grayscale + YCbCr color, 4:4:4/4:2:2/4:2:0 subsampling, restart markers —
 full encoder + decoder in ``jpeg.py``, cross-validated against the JVM's
 javax.imageio, including decoding a 4:2:0 stream the JVM itself encoded),
@@ -127,8 +129,13 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
 
 
 def _decode_wav(payload: bytes) -> tuple[str, dict]:
+    """RIFF/WAVE decode normalized to mono int16. Sample formats: PCM
+    8-bit unsigned, 16/24/32-bit signed, and IEEE float32/float64 —
+    everything a mainstream writer emits; wider formats scale down to the
+    int16 contract (24/32-bit by arithmetic shift, float by *32767)."""
     pos, end = 12, 8 + struct.unpack_from("<I", payload, 4)[0]
     sample_rate = n_channels = None
+    audio_format = bits = None
     samples = None
     while pos + 8 <= min(end, len(payload)):
         chunk_id = bytes(payload[pos : pos + 4])
@@ -136,17 +143,39 @@ def _decode_wav(payload: bytes) -> tuple[str, dict]:
         if chunk_id == b"fmt ":
             audio_format, n_channels, sample_rate = struct.unpack_from("<HHI", payload, pos + 8)
             bits = struct.unpack_from("<H", payload, pos + 22)[0]
-            if audio_format != 1 or bits != 16:
+            if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: real
+                # format is the first 2 bytes of the SubFormat GUID
+                audio_format = struct.unpack_from("<H", payload, pos + 32)[0]
+            if (audio_format, bits) not in (
+                (1, 8), (1, 16), (1, 24), (1, 32), (3, 32), (3, 64),
+            ):
                 raise NotImplementedError(
-                    f"WAV format {audio_format}/{bits}-bit needs librosa; "
-                    "only 16-bit PCM is decoded natively"
+                    f"WAV format {audio_format}/{bits}-bit unsupported "
+                    "(PCM 8/16/24/32 and float 32/64 decode natively)"
                 )
         elif chunk_id == b"data":
             if n_channels is None:
                 raise ValueError("WAV data chunk before fmt chunk")
-            raw = np.frombuffer(payload, "<i2", size // 2, pos + 8)
+            if audio_format == 3:  # IEEE float
+                dt = "<f4" if bits == 32 else "<f8"
+                fl = np.frombuffer(payload, dt, size // (bits // 8), pos + 8)
+                raw = np.clip(np.round(fl * 32767.0), -32768, 32767).astype(np.int16)
+            elif bits == 8:  # unsigned with 128 bias
+                u8 = np.frombuffer(payload, np.uint8, size, pos + 8)
+                raw = ((u8.astype(np.int16) - 128) << 8).astype(np.int16)
+            elif bits == 16:
+                raw = np.frombuffer(payload, "<i2", size // 2, pos + 8)
+            elif bits == 24:
+                b = np.frombuffer(payload, np.uint8, size // 3 * 3, pos + 8)
+                tri = b.reshape(-1, 3).astype(np.int32)
+                val = tri[:, 0] | (tri[:, 1] << 8) | (tri[:, 2] << 16)
+                val = np.where(val >= 1 << 23, val - (1 << 24), val)
+                raw = (val >> 8).astype(np.int16)
+            else:  # 32-bit PCM
+                i32 = np.frombuffer(payload, "<i4", size // 4, pos + 8)
+                raw = (i32 >> 16).astype(np.int16)
             if n_channels > 1:  # downmix interleaved channels to mono
-                raw = raw[: size // 2 // n_channels * n_channels]
+                raw = raw[: raw.size // n_channels * n_channels]
                 raw = raw.reshape(-1, n_channels).mean(axis=1).round().astype(np.int16)
             samples = raw
         pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned

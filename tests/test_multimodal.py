@@ -663,3 +663,39 @@ def test_gif_video_frame_sampling_through_spark(spark):
     rng = np.random.default_rng(2 + i)
     want = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
     assert np.array_equal(px, np.repeat(want[..., None], 3, axis=2))
+
+
+def test_wav_extended_sample_formats():
+    """PCM 8/24/32-bit and IEEE float WAVs decode to the mono-int16
+    contract with exact scaling (hand-built fixtures)."""
+    import struct
+
+    import numpy as np
+
+    def wav(fmt_code, bits, body_bytes, rate=8000, nch=1):
+        fmt = struct.pack("<HHIIHH", fmt_code, nch, rate, rate * bits // 8, bits // 8, bits)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(body_bytes)) + body_bytes)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    # 8-bit unsigned: 128 -> 0, 255 -> 32512, 0 -> -32768
+    kind, d = mm.columns._decode_payload(wav(1, 8, bytes([128, 255, 0])))
+    assert list(d["samples"]) == [0, 32512, -32768]
+    # 24-bit: full-scale 24-bit samples scale to int16 via >> 8
+    vals24 = [8388607, -8388608, 65536, -256]
+    raw = b"".join(int(v).to_bytes(3, "little", signed=True) for v in vals24)
+    kind, d = mm.columns._decode_payload(wav(1, 24, raw))
+    assert list(d["samples"]) == [v >> 8 for v in vals24]
+    # 32-bit PCM: top 16 bits survive
+    raw = np.array([1 << 30, -(1 << 30), 0], dtype="<i4").tobytes()
+    kind, d = mm.columns._decode_payload(wav(1, 32, raw))
+    assert list(d["samples"]) == [16384, -16384, 0]
+    # float32: scaled by 32767
+    raw = np.array([0.0, 1.0, -0.5], dtype="<f4").tobytes()
+    kind, d = mm.columns._decode_payload(wav(3, 32, raw))
+    assert list(d["samples"]) == [0, 32767, -16384]
+    # unsupported (e.g. 4-bit ADPCM) still raises a named error
+    import pytest as _pt
+
+    with _pt.raises(NotImplementedError):
+        mm.columns._decode_payload(wav(2, 4, b"\x00\x00"))
