@@ -854,7 +854,42 @@ def q12_string_agg_nations(spark, sf_dir):
     tags=("A3", "A4", "A1", "F13"),
 )
 def q13_conditional_activity(spark, sf_dir):
+    if _parquet_bytes(sf_dir, "events") < _BROADCAST_GATE_BYTES:
+        return run_sql(spark, sf_dir, Q13_SQL_DAYPART)
     return run_sql(spark, sf_dir, Q13_SQL)
+
+
+# Below the 64 MB gate: ONE exchange. REPARTITION(day) hash-partitions raw
+# events on day alone; HashPartitioning(day) satisfies the clustered
+# distribution of BOTH aggregate levels ((day, user_id) and (day)), so the
+# cascade runs partition-local with no second shuffle (measured 0.49 ->
+# 0.39 s at sf1). Past the gate this would be a skew bomb — |distinct days|
+# is small and bounded, so a day partitioning caps parallelism at |days| —
+# and the two-level cascade below is the scale shape.
+Q13_SQL_DAYPART = f"""
+    WITH ev AS (
+        SELECT /*+ REPARTITION(day) */ to_date(ts) AS day, user_id,
+               event_type = 'purchase' AS is_p, event_type = 'click' AS is_c,
+               value
+        FROM {{events}}
+    ),
+    per_user AS (
+        SELECT day, user_id,
+               count(CASE WHEN is_p THEN 1 END) AS n_purch,
+               count(CASE WHEN is_c THEN 1 END) AS n_click,
+               sum(CAST(floor((CASE WHEN is_p THEN value ELSE 0D END) * {BP} + 0.5D) AS BIGINT)) AS val_bp
+        FROM ev
+        GROUP BY day, user_id
+    )
+    SELECT day,
+           CAST(sum(n_purch) AS BIGINT)            AS purchases,
+           count(CASE WHEN n_purch > 0 THEN 1 END) AS purchasers,
+           CAST(sum(n_click) AS BIGINT)            AS clicks,
+           count(*)                                AS active_users,
+           CAST(sum(val_bp) / {BP}.0D AS DOUBLE)   AS purchase_value
+    FROM per_user
+    GROUP BY day
+"""
 
 
 # Both DISTINCTs range over user_id, so the aggregate cascades through

@@ -133,6 +133,17 @@ def test_q05_hash_joins_the_fact_join(spark, sf_dir, specs):
     assert stats.broadcast_joins >= 3
 
 
+def test_q13_single_exchange_below_gate(spark, sf_dir, specs):
+    # Under the 64 MB gate REPARTITION(day) feeds both aggregate levels
+    # partition-local (HashPartitioning(day) satisfies both clustered
+    # distributions), so the whole query carries exactly ONE exchange.
+    # Past the gate the two-level cascade takes over (|days| is bounded, so
+    # a day-only partitioning would cap parallelism at |days|).
+    df = specs["q13_conditional_activity"].fn(spark, sf_dir)
+    stats = plans.plan_stats(df)
+    assert stats.shuffles == 1, f"q13 daypart shape regressed: {stats}"
+
+
 def test_q22_uses_expand_below_gate(spark, sf_dir, specs):
     # Under the 64 MB gate the single-scan multi-distinct Expand is the
     # right shape (one task reads the whole file); the cascade takes over
