@@ -54,23 +54,32 @@ def time_min_of_n(fn, n: int = N_RUNS) -> float:
 
 
 def time_blocked(fns: dict[str, callable], n: int = N_RUNS) -> dict[str, float]:
-    """Min-of-n with each query's samples CONSECUTIVE (per-query blocks).
+    """Min-of-n, samples taken in per-query CONSECUTIVE blocks, with the
+    whole block sequence run in TWO separated macro-passes.
 
-    Measured A/B on this host (same process, macro-alternated blocks):
-    consecutive blocks total 2.38 s vs 3.98 s round-robin at sf0.1 — Spark's
-    whole-stage-codegen queries are 1.5-2.3x slower when ten different
+    Why blocks: measured A/B on this host (same process, macro-alternated):
+    per-query blocks total 2.38 s vs 3.98 s round-robin at sf0.1 — Spark's
+    whole-stage-codegen queries run 1.5-2.3x slower when ten different
     generated classes rotate through the JIT/i-cache between runs, while a
-    block keeps one query's code hot. DuckDB shows no such sensitivity.
-    Blocks match how each engine would actually serve a repeated query, so
-    both engines are timed at their per-query steady state."""
+    block keeps one query's code hot (DuckDB shows no such sensitivity).
+    Blocks time each engine at its per-query steady state.
+
+    Why two macro-passes: the host's interference windows last multiple
+    seconds, so a single block can have ALL its samples swallowed (observed:
+    q05 read 1.79 s in one run vs 0.55 s steady). Splitting the same sample
+    budget into two time-separated visits keeps the JIT-hot block property
+    while requiring a noise window to hit both visits to corrupt a min.
+    Applied symmetrically to both engines."""
     best: dict[str, float] = {}
-    for name, fn in fns.items():
-        for _ in range(n):
-            start = time.perf_counter()
-            fn()
-            elapsed = time.perf_counter() - start
-            if name not in best or elapsed < best[name]:
-                best[name] = elapsed
+    first = n - n // 2
+    for pass_n in (first, n - first):
+        for name, fn in fns.items():
+            for _ in range(pass_n):
+                start = time.perf_counter()
+                fn()
+                elapsed = time.perf_counter() - start
+                if name not in best or elapsed < best[name]:
+                    best[name] = elapsed
     return {name: round(v, 4) for name, v in best.items()}
 
 

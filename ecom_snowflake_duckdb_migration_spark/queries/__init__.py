@@ -158,6 +158,6 @@ def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...]
 
 def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect registration.
-    from . import catalog_core, catalog_ext, catalog_llm  # noqa: F401
+    from . import catalog_core, catalog_ext, catalog_llm, catalog_sketches  # noqa: F401
 
     return dict(REGISTRY)

@@ -1,0 +1,109 @@
+"""Sketch operators: merge algebra, error guarantees, plan shape.
+
+Cross-engine value parity for the catalog entries (x64-x68) is covered by
+the tests/test_parity.py sweep; this file pins the properties the sweep
+can't see: mergeability (sketch(A ∪ B) == merge(sketch(A), sketch(B))),
+the one-sided count-min guarantee, HLL/KMV error bounds, and JVM-only
+plans with bounded output."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ecom_snowflake_duckdb_migration_spark import plans
+from ecom_snowflake_duckdb_migration_spark.operators import sketches as sk
+from ecom_snowflake_duckdb_migration_spark.queries import load
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_hll_merge_equals_sketch_of_union(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    merged = sk.hll_merge(sk.hll_sketch(a, "user_id"), sk.hll_sketch(b, "user_id"))
+    whole = sk.hll_sketch(ev, "user_id")
+    assert _rows(merged) == _rows(whole)
+
+
+def test_hll_estimate_within_bound(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    est = sk.hll_estimate(sk.hll_sketch(ev, "user_id", p=9), p=9).collect()[0]
+    true = ev.select("user_id").distinct().count()
+    # 3 sigma of the published 1.04/sqrt(m) relative error at m=512.
+    assert abs(est.estimate - true) <= max(3, 3 * 1.04 / (512**0.5) * true)
+    assert est.m == 512
+    assert est.nonempty_buckets <= 512
+
+
+def test_countmin_merge_and_guarantee(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    merged = sk.countmin_merge(
+        sk.countmin_sketch(a, "user_id"), sk.countmin_sketch(b, "user_id")
+    )
+    whole = sk.countmin_sketch(ev, "user_id")
+    assert _rows(merged) == _rows(whole)
+
+    keys = ev.select("user_id").distinct()
+    est = sk.countmin_lookup(whole, keys, "user_id")
+    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("t"))
+    joined = est.join(truth, "user_id").collect()
+    assert joined and all(r.estimate >= r.t for r in joined)
+    # eps-bound with overwhelming probability: overshoot <= e/w * total rows
+    # (loose 3x slack for the fixed seed).
+    total = ev.count()
+    assert all(r.estimate - r.t <= 3 * 2.72 / 256 * total + 1 for r in joined)
+
+
+def test_kmv_merge_and_estimate(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 2 == 0)
+    b = o.filter(F.col("o_orderkey") % 2 == 1)
+    merged = sk.kmv_merge(
+        sk.kmv_sketch(a, "o_custkey"), sk.kmv_sketch(b, "o_custkey")
+    )
+    whole = sk.kmv_sketch(o, "o_custkey")
+    assert _rows(merged) == _rows(whole)
+
+    rows = whole.collect()
+    est = sk.kmv_estimate_distinct(rows)
+    true = o.select("o_custkey").distinct().count()
+    if len(rows) < 256:
+        assert est == float(true)  # sub-k: sketch is exhaustive, estimate exact
+    else:
+        assert abs(est - true) / true < 0.25
+
+
+def test_kmv_join_size_exact_below_k(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    a = sk.kmv_sketch(o, "o_custkey", k=4096)
+    b = sk.kmv_sketch(c, "c_custkey", k=4096)
+    r = sk.kmv_join_size(a, b, k=4096).collect()[0]
+    true = (
+        o.select(F.col("o_custkey").alias("k"))
+        .distinct()
+        .join(c.select(F.col("c_custkey").alias("k")).distinct(), "k")
+        .count()
+    )
+    if r.u_n < 4096:
+        assert r.intersection_estimate == true
+    else:
+        assert abs(r.intersection_estimate - true) / max(true, 1) < 0.3
+
+
+def test_sketch_plans_jvm_only_and_bounded(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    for df in (
+        sk.hll_sketch(ev, "user_id"),
+        sk.countmin_sketch(ev, "user_id"),
+        sk.hll_estimate(sk.hll_sketch(ev, "user_id")),
+    ):
+        plans.assert_no_python_in_plan(df)
+        assert plans.executed_codegen_spans(df) >= 1
+    assert sk.hll_sketch(ev, "user_id", p=9).count() <= 512
+    assert sk.countmin_sketch(ev, "user_id", d=4, w=256).count() <= 1024
