@@ -144,12 +144,15 @@ def test_q13_single_exchange_below_gate(spark, sf_dir, specs):
     assert stats.shuffles == 1, f"q13 daypart shape regressed: {stats}"
 
 
-def test_q22_uses_expand_below_gate(spark, sf_dir, specs):
-    # Under the 64 MB gate the single-scan multi-distinct Expand is the
-    # right shape (one task reads the whole file); the cascade takes over
-    # past the gate (pinned by the sf1 bench, not reachable in unit scale).
+def test_q22_bitmap_distinct_no_expand(spark, sf_dir, specs):
+    # COUNT(DISTINCT dense-int) via 64-bit bitmap words: bit_or partials
+    # combine map-side, shipping <= min(ndv, max_key/64) words per task —
+    # never worse than a dedup cascade, 64x less on dense domains, and no
+    # 3x|rows| Expand at any scale.
     df = specs["q22_count_distinct_quirk"].fn(spark, sf_dir)
-    assert "Expand" in df._jdf.queryExecution().executedPlan().toString()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    assert "bit_or" in plan and "bit_count" in plan
 
 
 NEW_CATALYST_ONLY = [
