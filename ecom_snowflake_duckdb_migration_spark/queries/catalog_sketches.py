@@ -139,3 +139,36 @@ def x68_kmv_join_size(spark, sf_dir):
     a = sk.kmv_sketch(load(spark, sf_dir, "orders"), "o_custkey", k=_K)
     b = sk.kmv_sketch(load(spark, sf_dir, "customer"), "c_custkey", k=_K)
     return sk.kmv_join_size(a, b, k=_K)
+
+
+def _zorder_sql(div_op: str) -> str:
+    from ..operators import layout
+
+    qa = layout.quantize_minmax_sql("o_custkey", "lo_a", "hi_a", div_op=div_op)
+    qb = layout.quantize_minmax_sql("o_orderkey", "lo_b", "hi_b", div_op=div_op)
+    return f"""
+    WITH r AS (SELECT min(o_custkey) AS lo_a, max(o_custkey) AS hi_a,
+                      min(o_orderkey) AS lo_b, max(o_orderkey) AS hi_b
+               FROM {{orders}}),
+    keyed AS (SELECT o_orderkey, {layout.zorder_key_sql(qa, qb)} AS zkey
+              FROM {{orders}}, r)
+    SELECT o_orderkey, CAST(zkey AS BIGINT) AS zkey FROM keyed
+    """
+
+
+@register(
+    "x69_zorder_keys",
+    oracle=_zorder_sql("//").replace("{orders}", "orders"),
+    doc="Z-order (Morton) keys over orders (custkey x orderkey): min-max "
+    "quantize each dimension to 16 bits (integer math, runtime range from "
+    "a min/max CTE so one query serves every scale factor), interleave via "
+    "the 4-step magic-number spread — pure &,|,<< both engines evaluate "
+    "identically. cluster_by_zorder (operators/layout.py) range-partitions "
+    "on this key so row-group min/max stats prune scans on EITHER column; "
+    "tests/test_layout.py quantifies the pruning against linear sorts.",
+    tags=("LAYOUT", "S10"),
+)
+def x69_zorder_keys(spark, sf_dir):
+    from . import run_sql
+
+    return run_sql(spark, sf_dir, _zorder_sql("DIV"))
