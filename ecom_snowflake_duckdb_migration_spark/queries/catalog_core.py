@@ -198,6 +198,8 @@ def q01_pricing_summary_df(spark, sf_dir):
 def q02_revenue_by_nation(spark, sf_dir):
     if _parquet_bytes(sf_dir, "orders") < _SMALL_FACT_GATE_BYTES:
         return run_sql(spark, sf_dir, Q02_SQL_SMALL)
+    if _parquet_bytes(sf_dir, "lineitem") < _NODE_LOCAL_FACT_GATE_BYTES:
+        return run_sql(spark, sf_dir, Q02_SQL_RAWJOIN)
     return run_sql(spark, sf_dir, Q02_SQL)
 
 
@@ -216,6 +218,37 @@ Q02_SQL_SMALL = f"""
         GROUP BY o.o_custkey
     )
     SELECT /*+ BROADCAST(c), BROADCAST(n), BROADCAST(r) */
+           r.r_name, n.n_name,
+           CAST(sum(_crev) / {BP}.0D AS DOUBLE) AS revenue,
+           count(*)                             AS n_customers
+    FROM per_cust pc
+    JOIN {{customer}} c ON pc.o_custkey = c.c_custkey
+    JOIN {{nation}} n   ON n.n_nationkey = c.c_nationkey
+    JOIN {{region}} r   ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name, n.n_name
+"""
+
+
+# Between the gates (orders too big to broadcast, lineitem still node-local
+# sized): SHUFFLE_HASH the RAW projected lineitem rows against orders and
+# aggregate straight to o_custkey. Shuffling |lineitem| 2-long rows costs
+# more bytes than the per-order rollup ships, but skips two 1.5M-entry hash
+# aggregations — and below the node-local gate the shuffle rides memory/
+# tmpfs bandwidth where bytes are nearly free while agg CPU is the binding
+# cost (measured 0.80 -> 0.61 s at sf1). Past the gate bytes cross a real
+# network and the 4x row cut of the rollup cascade wins — Q02_SQL below.
+Q02_SQL_RAWJOIN = f"""
+    WITH lraw AS (
+        SELECT l_orderkey,
+               CAST(floor((l_extendedprice * (1 - l_discount)) * {BP} + 0.5D) AS BIGINT) AS _rev
+        FROM {{lineitem}}
+    ),
+    per_cust AS (
+        SELECT /*+ SHUFFLE_HASH(o) */ o.o_custkey, sum(_rev) AS _crev
+        FROM {{orders}} o JOIN lraw ON lraw.l_orderkey = o.o_orderkey
+        GROUP BY o.o_custkey
+    )
+    SELECT /*+ BROADCAST(n), BROADCAST(r) */
            r.r_name, n.n_name,
            CAST(sum(_crev) / {BP}.0D AS DOUBLE) AS revenue,
            count(*)                             AS n_customers
@@ -277,6 +310,18 @@ def q02_revenue_by_nation_df(spark, sf_dir):
             .groupBy("o_custkey")
             .agg(F.sum(rev_bp).alias("_crev"))
         )
+    elif _parquet_bytes(sf_dir, "lineitem") < _NODE_LOCAL_FACT_GATE_BYTES:
+        # Node-local fact: raw-row SHUFFLE_HASH join, no pre-agg (see
+        # Q02_SQL_RAWJOIN's comment for the byte-vs-CPU trade).
+        lraw = load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", rev_bp.alias("_rev")
+        )
+        per_cust = (
+            o.hint("shuffle_hash")
+            .join(lraw, F.col("l_orderkey") == o.o_orderkey, "inner")
+            .groupBy("o_custkey")
+            .agg(F.sum("_rev").alias("_crev"))
+        )
     else:
         lrev = (
             load(spark, sf_dir, "lineitem")
@@ -322,6 +367,14 @@ _BROADCAST_GATE_BYTES = 64 * 1024 * 1024  # matches session autoBroadcastJoinThr
 # Above it, queries fall back to the cascade/shuffle shapes that hold at
 # 100 TB, and shuffle widths come from spark.sql.shuffle.partitions.
 _SMALL_FACT_GATE_BYTES = 8 * 1024 * 1024
+
+# Gate between "shuffle bytes are nearly free" (single-node-class fact:
+# shuffle rides memory/tmpfs or node-local NVMe bandwidth, so trading extra
+# shuffled rows for fewer hash-aggregation passes wins) and "shuffle bytes
+# cross a network" (aggregate-below-join is the only sane shape). 256 MB of
+# columnar parquet ~ a low-GB row payload — comfortably node-local; past it
+# the rollup cascade's 4x row cut pays for itself.
+_NODE_LOCAL_FACT_GATE_BYTES = 256 * 1024 * 1024
 
 
 def _broadcast_hints(sf_dir: str, *tables: tuple[str, str]) -> str:
