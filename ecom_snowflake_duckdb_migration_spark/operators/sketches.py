@@ -391,3 +391,236 @@ def o_kmv_join_size(a_sql: str, b_sql: str, k: int = 256) -> str:
                       END + CAST(0.5 AS DOUBLE)) AS BIGINT) AS intersection_estimate
     FROM us, mt
     """
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram — mergeable quantile estimation
+# ---------------------------------------------------------------------------
+
+
+def histogram_sketch(
+    df: DataFrame, value_expr: str, w: int = 256, bp: int = 10_000
+) -> DataFrame:
+    """Equi-width histogram over a money-domain double column; <= w rows.
+
+    The column is fixed-pointed (``bp`` basis points — exact for <=4-decimal
+    sources, same convention as the catalog) and bucketed by pure integer
+    math against the runtime min/max, so both engines bucket identically.
+    One aggregation, map-side combinable (<= w-entry partials); merging
+    shards = bucket-wise sum IF built against the same (lo, hi) frame —
+    store the frame with the sketch (lo_bp/hi_bp ride every row).
+    """
+    v = f"CAST(floor(({value_expr}) * {bp} + 0.5D) AS BIGINT)"
+    return _hist(df, v, w)
+
+
+def _hist(df: DataFrame, v_bp: str, w: int) -> DataFrame:
+    src = df
+    src.createOrReplaceTempView("_hist_src")
+    return src.sparkSession.sql(
+        f"""
+        WITH r AS (SELECT min({v_bp}) AS lo_bp, max({v_bp}) AS hi_bp FROM _hist_src),
+        b AS (
+            SELECT CASE WHEN hi_bp <= lo_bp THEN 0
+                        ELSE ({v_bp} - lo_bp) * {w} DIV (hi_bp - lo_bp + 1) END AS bucket,
+                   lo_bp, hi_bp
+            FROM _hist_src, r
+        )
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n, lo_bp, hi_bp
+        FROM b GROUP BY bucket, lo_bp, hi_bp
+        """
+    )
+
+
+def o_histogram_sketch(table_expr: str, value_expr: str, w: int = 256, bp: int = 10_000) -> str:
+    """DuckDB twin of :func:`histogram_sketch`."""
+    v = f"CAST(floor(({value_expr}) * {bp} + 0.5) AS BIGINT)"
+    return f"""
+    WITH r AS (SELECT min({v}) AS lo_bp, max({v}) AS hi_bp FROM {table_expr}),
+    b AS (
+        SELECT CASE WHEN hi_bp <= lo_bp THEN 0
+                    ELSE ({v} - lo_bp) * {w} // (hi_bp - lo_bp + 1) END AS bucket,
+               lo_bp, hi_bp
+        FROM {table_expr}, r
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n, lo_bp, hi_bp
+    FROM b GROUP BY bucket, lo_bp, hi_bp
+    """
+
+
+_QUANTILE_PROBS_BP = (2500, 5000, 7500, 9000, 9900)  # p in basis points
+
+
+def histogram_quantiles(hist: DataFrame, w: int = 256) -> DataFrame:
+    """Quantile estimates from a histogram sketch; one row per probe prob.
+
+    For each p: the first bucket whose cumulative count reaches
+    ceil(p * total) (the discrete lower-quantile convention), reported as
+    the bucket's midpoint in exact integer bp -> DOUBLE. Integer cumsum +
+    one shared IEEE division — bit-stable across engines. O(w log w) on
+    <= w rows: the cumulative window is over the sketch, never the data.
+    """
+    hist.createOrReplaceTempView("_hq_hist")
+    probs = ", ".join(f"({p})" for p in _QUANTILE_PROBS_BP)
+    return hist.sparkSession.sql(
+        f"""
+        WITH cum AS (
+            SELECT bucket, lo_bp, hi_bp,
+                   sum(n) OVER (ORDER BY bucket
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+                   sum(n) OVER () AS total_n
+            FROM _hq_hist
+        ),
+        probe AS (SELECT col1 AS p_bp FROM (VALUES {probs})),
+        hit AS (
+            SELECT p_bp, min(bucket) AS qbucket, min(lo_bp) AS lo_bp,
+                   min(hi_bp) AS hi_bp, min(total_n) AS total_n
+            FROM probe JOIN cum
+              ON cum.cum_n * 10000 >= p_bp * cum.total_n
+            GROUP BY p_bp
+        )
+        SELECT CAST(p_bp AS BIGINT) AS p_bp,
+               CAST(qbucket AS BIGINT) AS bucket,
+               CAST((lo_bp + (2 * qbucket + 1) * (hi_bp - lo_bp + 1) DIV (2 * {w}))
+                    / 10000.0D AS DOUBLE) AS value_estimate
+        FROM hit
+        """
+    )
+
+
+def o_histogram_quantiles(hist_sql: str, w: int = 256) -> str:
+    """DuckDB twin of :func:`histogram_quantiles`."""
+    probs = ", ".join(f"({p})" for p in _QUANTILE_PROBS_BP)
+    return f"""
+    WITH h AS ({hist_sql}),
+    cum AS (
+        SELECT bucket, lo_bp, hi_bp,
+               sum(n) OVER (ORDER BY bucket
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+               sum(n) OVER () AS total_n
+        FROM h
+    ),
+    probe AS (SELECT col0 AS p_bp FROM (VALUES {probs}) t(col0)),
+    hit AS (
+        SELECT p_bp, min(bucket) AS qbucket, min(lo_bp) AS lo_bp,
+               min(hi_bp) AS hi_bp, min(total_n) AS total_n
+        FROM probe JOIN cum
+          ON cum.cum_n * 10000 >= p_bp * cum.total_n
+        GROUP BY p_bp
+    )
+    SELECT CAST(p_bp AS BIGINT) AS p_bp,
+           CAST(qbucket AS BIGINT) AS bucket,
+           CAST(CAST(lo_bp + (2 * qbucket + 1) * (hi_bp - lo_bp + 1) // (2 * {w})
+                AS BIGINT) / 10000.0 AS DOUBLE) AS value_estimate
+    FROM hit
+    """
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — storable runtime join filter
+# ---------------------------------------------------------------------------
+
+
+def _bloom_positions(key_col: Column, k: int, m_bits: int) -> Column:
+    return F.array(
+        *[
+            (h60(F.concat(F.lit(f"b{i}:"), key_col.cast("string"))) % m_bits)
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build(df: DataFrame, key: str | Column, m_bits: int = 8192, k: int = 4) -> DataFrame:
+    """Bloom filter over a key column as (word, bits); <= m_bits/63 + 1 rows.
+
+    Each key sets k seeded bit positions; positions pack into 63-bit words
+    (63, not 64: DuckDB raises on `1 << 63` where Java wraps, and 63 keeps
+    every word a positive BIGINT on both engines)
+    via bit_or — the same fully-aggregative machinery as the q22 bitmap
+    distinct, so partials combine map-side and merging two filters is a
+    word-wise OR. The artifact is a storable runtime join filter: build it
+    once from the small side of a 100 TB join, ship kilobytes to every
+    scan task, and drop fact rows BEFORE they reach the shuffle. (Spark's
+    own injected bloom filters are per-query and engine-private; this one
+    is deterministic — DuckDB rebuilds it bit-for-bit — and persistable.)
+    """
+    key_col = F.col(key) if isinstance(key, str) else key
+    return (
+        df.select(F.explode(_bloom_positions(key_col, k, m_bits)).alias("pos"))
+        .select(
+            F.expr("pos div 63").alias("word"),
+            F.expr("shiftleft(1L, CAST(pos % 63 AS INT))").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+
+
+def bloom_merge(*filters: DataFrame) -> DataFrame:
+    """Merge Bloom filters of identical (m_bits, k): word-wise OR."""
+    out = filters[0]
+    for f in filters[1:]:
+        out = out.unionByName(f)
+    return out.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_might_contain(
+    bloom: DataFrame, keys: DataFrame, key: str, m_bits: int = 8192, k: int = 4
+) -> DataFrame:
+    """Probe: key passes iff ALL k bits are set; (key, might_contain).
+
+    Never a false negative (pinned in tests); false-positive rate
+    ~ (1 - e^(-kn/m))^k. The probe explodes k positions per key and joins
+    the <= m_bits/64-row broadcast filter — the fact side never shuffles.
+    """
+    probes = keys.select(
+        key, F.explode(_bloom_positions(F.col(key), k, m_bits)).alias("pos")
+    ).select(
+        key,
+        F.expr("pos div 63").alias("word"),
+        F.col("pos").cast("long").alias("pos"),
+    )
+    return (
+        probes.join(F.broadcast(bloom), "word", "left")
+        .select(
+            key,
+            F.coalesce(
+                F.expr("(shiftright(bits, CAST(pos % 63 AS INT)) & 1L) = 1L"),
+                F.lit(False),
+            ).alias("bit_set"),
+        )
+        .groupBy(key)
+        .agg(F.bool_and("bit_set").alias("might_contain"))
+    )
+
+
+def o_bloom_build(table_expr: str, key_expr: str, m_bits: int = 8192, k: int = 4) -> str:
+    """DuckDB twin of :func:`bloom_build`."""
+    branches = []
+    for i in range(k):
+        seeded = f"'b{i}:' || CAST(({key_expr}) AS VARCHAR)"
+        branches.append(f"SELECT {o_h60(seeded)} % {m_bits} AS pos FROM {table_expr}")
+    union = " UNION ALL ".join(branches)
+    return f"""
+    SELECT pos // 63 AS word, CAST(bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS BIGINT) AS bits
+    FROM ({union}) GROUP BY pos // 63
+    """
+
+
+def o_bloom_might_contain(
+    bloom_sql: str, keys_sql: str, key: str, m_bits: int = 8192, k: int = 4
+) -> str:
+    """DuckDB twin of :func:`bloom_might_contain`."""
+    branches = []
+    for i in range(k):
+        seeded = f"'b{i}:' || CAST({key} AS VARCHAR)"
+        branches.append(f"SELECT {key}, {o_h60(seeded)} % {m_bits} AS pos FROM keys")
+    union = " UNION ALL ".join(branches)
+    return f"""
+    WITH bl AS ({bloom_sql}), keys AS ({keys_sql}), probes AS ({union})
+    SELECT probes.{key},
+           bool_and(coalesce((bl.bits >> CAST(probes.pos % 63 AS INT)) & 1 = 1, FALSE))
+               AS might_contain
+    FROM probes LEFT JOIN bl ON bl.word = probes.pos // 63
+    GROUP BY probes.{key}
+    """

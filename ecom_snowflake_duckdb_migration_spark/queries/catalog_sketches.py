@@ -172,3 +172,77 @@ def x69_zorder_keys(spark, sf_dir):
     from . import run_sql
 
     return run_sql(spark, sf_dir, _zorder_sql("DIV"))
+
+
+_HW = 256  # histogram buckets
+
+
+@register(
+    "x70_histogram_quantiles",
+    oracle=sk.o_histogram_quantiles(
+        sk.o_histogram_sketch("orders", "o_totalprice", _HW), _HW
+    ),
+    doc="Quantile estimates (p25/50/75/90/99) from a 256-bucket equi-width "
+    "histogram sketch of orders.o_totalprice: fixed-point bucketing "
+    "against the runtime min/max (integer math), cumulative window over "
+    "<=256 sketch rows — never the data. Mergeable bucket-wise given a "
+    "shared (lo,hi) frame; estimates exact-compare checked vs DuckDB "
+    "running the identical algorithm.",
+    tags=("SKETCH", "A2"),
+)
+def x70_histogram_quantiles(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return sk.histogram_quantiles(sk.histogram_sketch(o, "o_totalprice", _HW), _HW)
+
+
+_BM, _BK = 8192, 4  # bloom: m bits, k hashes
+
+
+@register(
+    "x71_bloom_filter_probe",
+    oracle=f"""
+    WITH probes AS ({sk.o_bloom_might_contain(
+        sk.o_bloom_build("(SELECT c_custkey FROM customer WHERE c_acctbal > 5000)",
+                         "c_custkey", _BM, _BK),
+        "SELECT DISTINCT o_custkey AS c_custkey FROM orders",
+        "c_custkey", _BM, _BK)}),
+    truth AS (SELECT c_custkey, TRUE AS in_set FROM customer WHERE c_acctbal > 5000)
+    SELECT count(*)                                                    AS n_probed,
+           count(CASE WHEN might_contain THEN 1 END)                   AS n_might,
+           count(CASE WHEN in_set THEN 1 END)                          AS n_true,
+           count(CASE WHEN might_contain AND in_set IS NULL THEN 1 END) AS n_false_positives,
+           count(CASE WHEN NOT might_contain AND in_set THEN 1 END)    AS n_false_negatives
+    FROM probes LEFT JOIN truth USING (c_custkey)
+    """,
+    doc="Bloom-filter runtime join filter, end to end: build over the rich-"
+    "customer subset (word/bit_or bitmap, <=m/64 rows — mergeable, "
+    "storable), probe every distinct ordering customer, score against "
+    "truth. n_false_negatives is structurally 0 (the Bloom guarantee, "
+    "also pinned in tests); n_false_positives shows the ~(1-e^(-kn/m))^k "
+    "rate. At 100 TB: ship the kilobyte filter to fact-scan tasks and "
+    "drop rows BEFORE the join shuffle.",
+    tags=("SKETCH", "J4"),
+)
+def x71_bloom_filter_probe(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    bloom = sk.bloom_build(rich, "c_custkey", _BM, _BK)
+    keys = (
+        load(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    probes = sk.bloom_might_contain(bloom, keys, "c_custkey", _BM, _BK)
+    truth = rich.withColumn("in_set", F.lit(True))
+    j = probes.join(truth, "c_custkey", "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.count(F.when(F.col("might_contain"), 1)).alias("n_might"),
+        F.count(F.when(F.col("in_set"), 1)).alias("n_true"),
+        F.count(F.when(F.col("might_contain") & F.col("in_set").isNull(), 1)).alias(
+            "n_false_positives"
+        ),
+        F.count(F.when(~F.col("might_contain") & F.col("in_set"), 1)).alias(
+            "n_false_negatives"
+        ),
+    )

@@ -107,3 +107,47 @@ def test_sketch_plans_jvm_only_and_bounded(spark, sf_dir):
         assert plans.executed_codegen_spans(df) >= 1
     assert sk.hll_sketch(ev, "user_id", p=9).count() <= 512
     assert sk.countmin_sketch(ev, "user_id", d=4, w=256).count() <= 1024
+
+
+def test_bloom_no_false_negatives_and_merge(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    keys = c.select("c_custkey")
+    a = keys.filter(F.col("c_custkey") % 2 == 0)
+    b = keys.filter(F.col("c_custkey") % 2 == 1)
+    merged = sk.bloom_merge(
+        sk.bloom_build(a, "c_custkey"), sk.bloom_build(b, "c_custkey")
+    )
+    whole = sk.bloom_build(keys, "c_custkey")
+    assert _rows(merged) == _rows(whole)
+
+    # Every key that went in must probe positive — the Bloom guarantee.
+    probes = sk.bloom_might_contain(whole, keys, "c_custkey").collect()
+    assert probes and all(r.might_contain for r in probes)
+
+
+def test_bloom_false_positive_rate(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    members = c.filter(F.col("c_custkey") % 5 == 0).select("c_custkey")
+    non_members = c.filter(F.col("c_custkey") % 5 != 0).select("c_custkey")
+    bloom = sk.bloom_build(members, "c_custkey", m_bits=8192, k=4)
+    hits = sk.bloom_might_contain(bloom, non_members, "c_custkey", m_bits=8192, k=4)
+    n = non_members.count()
+    fp = sum(1 for r in hits.collect() if r.might_contain)
+    n_mem = members.count()
+    # (1 - e^(-kn/m))^k with 5x slack (small-sample variance at unit scale).
+    import math
+
+    expected = (1 - math.exp(-4 * n_mem / 8192)) ** 4
+    assert fp / n <= max(5 * expected, 0.05), (fp, n, expected)
+
+
+def test_histogram_quantiles_within_bucket_width(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    hist = sk.histogram_sketch(o, "o_totalprice", 256)
+    assert hist.count() <= 256
+    est = {r.p_bp: r.value_estimate for r in sk.histogram_quantiles(hist, 256).collect()}
+    lo, hi = o.agg(F.min("o_totalprice"), F.max("o_totalprice")).collect()[0]
+    width = (hi - lo) / 256
+    for p_bp, v in est.items():
+        exact = o.approxQuantile("o_totalprice", [p_bp / 10000], 0.0)[0]
+        assert abs(v - exact) <= width + 1e-6, (p_bp, v, exact, width)
