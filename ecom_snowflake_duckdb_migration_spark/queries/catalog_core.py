@@ -524,11 +524,18 @@ def q05_nation_trade_roles(spark, sf_dir):
     # REPARTITION exchanges ARE the join shuffles (the join's required
     # distribution is satisfied), so the pin adds no extra stage.
     pin = _parquet_bytes(sf_dir, "lineitem") < _BROADCAST_GATE_BYTES
+    # The bp conversion happens IN the scan projection, before the join
+    # shuffle: one BIGINT crosses the exchange instead of two DOUBLEs
+    # (measured 0.71 -> 0.65 s at sf1, 0.34 -> 0.33 s at sf0.1 — strictly
+    # fewer bytes at any scale, same integer-exact math).
+    l_proj = (
+        "l_orderkey, l_suppkey,"
+        f" CAST(floor((l_extendedprice * (1 - l_discount)) * {BP} + 0.5D) AS BIGINT) AS _rev"
+    )
     l_src = (
-        "(SELECT /*+ REPARTITION(16, l_orderkey) */"
-        " l_orderkey, l_suppkey, l_extendedprice, l_discount FROM {lineitem})"
+        f"(SELECT /*+ REPARTITION(16, l_orderkey) */ {l_proj} FROM {{lineitem}})"
         if pin
-        else "{lineitem}"
+        else f"(SELECT {l_proj} FROM {{lineitem}})"
     )
     o_src = (
         "(SELECT /*+ REPARTITION(16, o_orderkey) */ o_orderkey, o_custkey FROM {orders})"
@@ -556,8 +563,8 @@ def q05_nation_trade_roles(spark, sf_dir):
 Q05_SQL = f"""
     SELECT /*+ SHUFFLE_HASH(o) */ __HINTS__
            cn.n_name AS cust_nation, sn.n_name AS supp_nation,
-           count(*)                                           AS n_lines,
-           {s_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS volume
+           count(*)                                          AS n_lines,
+           CAST(CAST(sum(l._rev) AS BIGINT) / {BP}.0D AS DOUBLE) AS volume
     FROM __LSRC__ l
     JOIN __OSRC__ o     ON o.o_orderkey = l.l_orderkey
     JOIN {{customer}} c ON c.c_custkey = o.o_custkey
@@ -569,12 +576,16 @@ Q05_SQL = f"""
 
 
 def q05_nation_trade_roles_df(spark, sf_dir):
-    l = load(spark, sf_dir, "lineitem")
+    # bp conversion in the scan projection — one BIGINT crosses the join
+    # exchange instead of two DOUBLEs (see Q05_SQL's comment).
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        to_bp(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+    )
     o = load(spark, sf_dir, "orders")
     if _parquet_bytes(sf_dir, "lineitem") < _BROADCAST_GATE_BYTES:
-        l = l.select(
-            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
-        ).repartition(16, "l_orderkey")
+        l = l.repartition(16, "l_orderkey")
         o = o.select("o_orderkey", "o_custkey").repartition(16, "o_orderkey")
     o = o.hint("shuffle_hash")
     c = load(spark, sf_dir, "customer")
@@ -594,7 +605,7 @@ def q05_nation_trade_roles_df(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            (F.sum("_rev").cast("long") / F.lit(float(BP))).cast("double").alias("volume"),
         )
     )
 
