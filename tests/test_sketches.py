@@ -151,3 +151,48 @@ def test_histogram_quantiles_within_bucket_width(spark, sf_dir):
     for p_bp, v in est.items():
         exact = o.approxQuantile("o_totalprice", [p_bp / 10000], 0.0)[0]
         assert abs(v - exact) <= width + 1e-6, (p_bp, v, exact, width)
+
+
+def test_streaming_incremental_hll(spark, sf_dir, tmp_path):
+    """Sketch x streaming integration: maintain a running HLL under a real
+    readStream/foreachBatch loop (per-batch partial sketch, merged into a
+    parquet-persisted running sketch) and land on the exact sketch a batch
+    build over all data produces — the daily-ingest pattern (per-day
+    sketches, merge forever, never re-scan history)."""
+    from ecom_snowflake_duckdb_migration_spark import streaming
+
+    events = load(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    events.repartition(3).write.mode("overwrite").parquet(src)
+    state = str(tmp_path / "hll_state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def merge_batch(batch, batch_id):
+        part = sk.hll_sketch(batch, "user_id")
+        try:
+            prev = batch.sparkSession.read.parquet(state)
+            merged = sk.hll_merge(prev, part)
+        except Exception:
+            merged = part
+        merged.toPandas().to_parquet(state + ".tmp.parquet")  # atomic-ish swap
+        import os, shutil
+
+        if os.path.isdir(state):
+            shutil.rmtree(state)
+        os.makedirs(state)
+        shutil.move(state + ".tmp.parquet", state + "/part-0.parquet")
+
+    stream = streaming.read_event_stream(
+        spark, src, events.schema, max_files_per_trigger=1
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    running = spark.read.parquet(state)
+    whole = sk.hll_sketch(events, "user_id")
+    assert _rows(running.select("bucket", "rho")) == _rows(whole)
