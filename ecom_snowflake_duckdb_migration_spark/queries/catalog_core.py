@@ -918,65 +918,44 @@ def q12_string_agg_nations(spark, sf_dir):
     tags=("A3", "A4", "A1", "F13"),
 )
 def q13_conditional_activity(spark, sf_dir):
-    if _parquet_bytes(sf_dir, "events") < _BROADCAST_GATE_BYTES:
-        return run_sql(spark, sf_dir, Q13_SQL_DAYPART)
-    return run_sql(spark, sf_dir, Q13_SQL)
+    return run_sql(spark, sf_dir, Q13_SQL_BITMAP)
 
 
-# Below the 64 MB gate: ONE exchange. REPARTITION(day) hash-partitions raw
-# events on day alone; HashPartitioning(day) satisfies the clustered
-# distribution of BOTH aggregate levels ((day, user_id) and (day)), so the
-# cascade runs partition-local with no second shuffle (measured 0.49 ->
-# 0.39 s at sf1). Past the gate this would be a skew bomb — |distinct days|
-# is small and bounded, so a day partitioning caps parallelism at |days| —
-# and the two-level cascade below is the scale shape.
-Q13_SQL_DAYPART = f"""
-    WITH ev AS (
-        SELECT /*+ REPARTITION(day) */ to_date(ts) AS day, user_id,
-               event_type = 'purchase' AS is_p, event_type = 'click' AS is_c,
-               value
+# Both DISTINCTs range over user_id — a NON-NEGATIVE INTEGER — so the same
+# bitmap-word rewrite as q22 applies: per (day, user_id div 63) word, OR
+# each user's bit into an "active" bitmap and (purchase-only) a "purchaser"
+# bitmap, with the plain counts/sums riding the same aggregate; then
+# SUM(bit_count(word)) per day. Key cardinality drops 63x vs the (day,
+# user) cascade (|days| x |users|/63), partials combine map-side into tiny
+# hash tables, and the worst case (sparse user ids, one user per word)
+# degenerates to exactly the cascade's volume — so this is the universal
+# shape, no size gate (measured 0.34 -> 0.28 s at sf1, 0.19 -> 0.18 s at
+# sf0.1; the former shapes — multi-distinct Expand, (day,user) cascade,
+# REPARTITION(day) daypart — all lose to it at every scale tried). 63-bit
+# words keep every word a positive BIGINT (DuckDB raises on 1<<63).
+Q13_SQL_BITMAP = f"""
+    WITH words AS (
+        SELECT to_date(ts) AS day, user_id div 63 AS w,
+               CASE WHEN event_type = 'purchase'
+                    THEN shiftleft(1L, CAST(user_id % 63 AS INT)) ELSE 0L END AS pbit,
+               shiftleft(1L, CAST(user_id % 63 AS INT)) AS abit,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END    AS is_c,
+               CAST(floor((CASE WHEN event_type = 'purchase' THEN value ELSE 0D END) * {BP} + 0.5D) AS BIGINT) AS val_bp
         FROM {{events}}
     ),
-    per_user AS (
-        SELECT day, user_id,
-               count(CASE WHEN is_p THEN 1 END) AS n_purch,
-               count(CASE WHEN is_c THEN 1 END) AS n_click,
-               sum(CAST(floor((CASE WHEN is_p THEN value ELSE 0D END) * {BP} + 0.5D) AS BIGINT)) AS val_bp
-        FROM ev
-        GROUP BY day, user_id
+    perword AS (
+        SELECT day, w, bit_or(pbit) AS pbits, bit_or(abit) AS abits,
+               sum(is_p) AS n_purch, sum(is_c) AS n_click, sum(val_bp) AS val_bp
+        FROM words GROUP BY day, w
     )
     SELECT day,
-           CAST(sum(n_purch) AS BIGINT)            AS purchases,
-           count(CASE WHEN n_purch > 0 THEN 1 END) AS purchasers,
-           CAST(sum(n_click) AS BIGINT)            AS clicks,
-           count(*)                                AS active_users,
-           CAST(sum(val_bp) / {BP}.0D AS DOUBLE)   AS purchase_value
-    FROM per_user
-    GROUP BY day
-"""
-
-
-# Both DISTINCTs range over user_id, so the aggregate cascades through
-# (day, user_id): the first level partial-combines map-side and removes the
-# Expand (x3 row multiplication) a multi-distinct plan needs; the second
-# level turns the distincts into plain counts over one row per (day, user).
-# Shuffle volume drops from 3x|events| expanded rows to |day x user| rows.
-Q13_SQL = f"""
-    WITH per_user AS (
-        SELECT to_date(ts) AS day, user_id,
-               count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purch,
-               count(CASE WHEN event_type = 'click' THEN 1 END)    AS n_click,
-               sum(CAST(floor((CASE WHEN event_type = 'purchase' THEN value ELSE 0D END) * {BP} + 0.5D) AS BIGINT)) AS val_bp
-        FROM {{events}}
-        GROUP BY to_date(ts), user_id
-    )
-    SELECT day,
-           CAST(sum(n_purch) AS BIGINT)            AS purchases,
-           count(CASE WHEN n_purch > 0 THEN 1 END) AS purchasers,
-           CAST(sum(n_click) AS BIGINT)            AS clicks,
-           count(*)                                AS active_users,
-           CAST(sum(val_bp) / {BP}.0D AS DOUBLE)   AS purchase_value
-    FROM per_user
+           CAST(sum(n_purch) AS BIGINT)           AS purchases,
+           CAST(sum(bit_count(pbits)) AS BIGINT)  AS purchasers,
+           CAST(sum(n_click) AS BIGINT)           AS clicks,
+           CAST(sum(bit_count(abits)) AS BIGINT)  AS active_users,
+           CAST(sum(val_bp) / {BP}.0D AS DOUBLE)  AS purchase_value
+    FROM perword
     GROUP BY day
 """
 
@@ -984,23 +963,32 @@ Q13_SQL = f"""
 def q13_conditional_activity_df(spark, sf_dir):
     e = load(spark, sf_dir, "events")
     is_purchase = F.col("event_type") == "purchase"
-    per_user = (
-        e.groupBy(F.to_date("ts").alias("day"), F.col("user_id"))
+    ubit = F.expr("shiftleft(1L, CAST(user_id % 63 AS INT))")
+    perword = (
+        e.select(
+            F.to_date("ts").alias("day"),
+            F.expr("user_id div 63").alias("w"),
+            F.when(is_purchase, ubit).otherwise(F.lit(0).cast("long")).alias("pbit"),
+            ubit.alias("abit"),
+            F.when(is_purchase, 1).otherwise(0).alias("is_p"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_c"),
+            to_bp(F.when(is_purchase, F.col("value")).otherwise(0)).alias("val_bp"),
+        )
+        .groupBy("day", "w")
         .agg(
-            F.count(F.when(is_purchase, 1)).alias("n_purch"),
-            F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
-            F.sum(to_bp(F.when(is_purchase, F.col("value")).otherwise(0))).alias("val_bp"),
+            F.bit_or("pbit").alias("pbits"),
+            F.bit_or("abit").alias("abits"),
+            F.sum("is_p").alias("n_purch"),
+            F.sum("is_c").alias("n_click"),
+            F.sum("val_bp").alias("val_bp"),
         )
     )
-    return (
-        per_user.groupBy("day")
-        .agg(
-            F.sum("n_purch").cast("long").alias("purchases"),
-            F.count(F.when(F.col("n_purch") > 0, 1)).alias("purchasers"),
-            F.sum("n_click").cast("long").alias("clicks"),
-            F.count(F.lit(1)).alias("active_users"),
-            (F.sum("val_bp") / F.lit(float(BP))).cast("double").alias("purchase_value"),
-        )
+    return perword.groupBy("day").agg(
+        F.sum("n_purch").cast("long").alias("purchases"),
+        F.sum(F.bit_count("pbits")).cast("long").alias("purchasers"),
+        F.sum("n_click").cast("long").alias("clicks"),
+        F.sum(F.bit_count("abits")).cast("long").alias("active_users"),
+        (F.sum("val_bp") / F.lit(float(BP))).cast("double").alias("purchase_value"),
     )
 
 

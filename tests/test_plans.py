@@ -133,15 +133,16 @@ def test_q05_hash_joins_the_fact_join(spark, sf_dir, specs):
     assert stats.broadcast_joins >= 3
 
 
-def test_q13_single_exchange_below_gate(spark, sf_dir, specs):
-    # Under the 64 MB gate REPARTITION(day) feeds both aggregate levels
-    # partition-local (HashPartitioning(day) satisfies both clustered
-    # distributions), so the whole query carries exactly ONE exchange.
-    # Past the gate the two-level cascade takes over (|days| is bounded, so
-    # a day-only partitioning would cap parallelism at |days|).
+def test_q13_bitmap_distinct_no_expand(spark, sf_dir, specs):
+    # Distinct users per day via 63-bit bitmap words (same rewrite as q22):
+    # key cardinality |days| x |users|/63, map-side combinable, no Expand,
+    # no raw-row repartition — the universal shape at every scale.
     df = specs["q13_conditional_activity"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    assert "bit_or" in plan and "bit_count" in plan
     stats = plans.plan_stats(df)
-    assert stats.shuffles == 1, f"q13 daypart shape regressed: {stats}"
+    assert stats.shuffles <= 2, f"q13 bitmap shape regressed: {stats}"
 
 
 def test_q22_bitmap_distinct_no_expand(spark, sf_dir, specs):
