@@ -624,3 +624,108 @@ def o_bloom_might_contain(
     FROM probes LEFT JOIN bl ON bl.word = probes.pos // 63
     GROUP BY probes.{key}
     """
+
+
+# ---------------------------------------------------------------------------
+# Grouped HLL — per-group approximate distinct counts
+# ---------------------------------------------------------------------------
+
+
+def hll_group_sketch(
+    df: DataFrame, group_cols: list[str], key: str | Column, p: int = 9
+) -> DataFrame:
+    """Per-group HLL sketch: (group_cols..., bucket, rho); <= |groups| * 2^p rows.
+
+    The per-group twin of :func:`hll_sketch` — approximate COUNT(DISTINCT key)
+    GROUP BY group_cols for ARBITRARY key types (strings included), where the
+    bitmap-word rewrite (q22/q13) needs dense non-negative integers. Shuffle
+    is bounded by |groups| x 2^p regardless of data size; merging shards is
+    (group, bucket)-wise max.
+    """
+    key_col = F.col(key) if isinstance(key, str) else key
+    rem_bits = HASH_BITS - p
+    h = h60(key_col)
+    rem = h % F.lit(1 << rem_bits)
+    bitlen = F.when(rem == 0, F.lit(0)).otherwise(F.length(F.conv(rem, 10, 2)))
+    return (
+        df.select(
+            *group_cols,
+            F.shiftright(h, rem_bits).alias("bucket"),
+            (F.lit(rem_bits + 1) - bitlen).cast("int").alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_group_estimate(sketch: DataFrame, group_cols: list[str], p: int = 9) -> DataFrame:
+    """Per-group estimates from a grouped sketch; one row per group.
+
+    Same integer-exact harmonic sum + single IEEE expression as
+    :func:`hll_estimate`, evaluated per group.
+    """
+    m, rem_bits, alpha, scale = _hll_consts(p)
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("nonempty_buckets"),
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(rem_bits + 1) - F.col("rho")).cast("decimal(38,0)")
+        ).alias("_t"),
+    )
+    harmonic = (
+        F.col("_t")
+        + (F.lit(m) - F.col("nonempty_buckets")).cast("decimal(38,0)")
+        * F.lit(1 << (rem_bits + 1)).cast("decimal(38,0)")
+    ).cast("double")
+    raw_est = F.lit(alpha * m * m * scale) / harmonic
+    zeros = F.lit(m) - F.col("nonempty_buckets")
+    lin_est = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    return agg.select(
+        *group_cols,
+        "nonempty_buckets",
+        F.floor(
+            F.when((zeros > 0) & (raw_est <= F.lit(2.5 * m)), lin_est).otherwise(raw_est)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("estimate"),
+    )
+
+
+def o_hll_group_sketch(table_expr: str, group_cols: list[str], key_expr: str, p: int = 9) -> str:
+    """DuckDB twin of :func:`hll_group_sketch`."""
+    rem_bits = HASH_BITS - p
+    h = o_h60(key_expr)
+    rem = f"({h} % {1 << rem_bits})"
+    gcols = ", ".join(group_cols)
+    return f"""
+    SELECT {gcols}, {h} // {1 << rem_bits} AS bucket,
+           CAST(max({rem_bits + 1} - (CASE WHEN {rem} = 0 THEN 0
+                                           ELSE length(bin({rem})) END)) AS INT) AS rho
+    FROM {table_expr}
+    GROUP BY {gcols}, bucket
+    """
+
+
+def o_hll_group_estimate(sketch_sql: str, group_cols: list[str], p: int = 9) -> str:
+    """DuckDB twin of :func:`hll_group_estimate`."""
+    m, rem_bits, alpha, scale = _hll_consts(p)
+    gcols = ", ".join(group_cols)
+    harmonic = (
+        f"CAST(CAST(_t AS HUGEINT) + CAST({m} - nonempty_buckets AS HUGEINT)"
+        f" * CAST({1 << (rem_bits + 1)} AS HUGEINT) AS DOUBLE)"
+    )
+    raw_est = f"(CAST({alpha * m * m * scale!r} AS DOUBLE) / {harmonic})"
+    lin_est = f"(CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / CAST({m} - nonempty_buckets AS DOUBLE)))"
+    return f"""
+    WITH sk AS ({sketch_sql}),
+    agg AS (
+        SELECT {gcols}, count(*) AS nonempty_buckets,
+               sum(CAST(2 ** ({rem_bits + 1} - rho) AS HUGEINT)) AS _t
+        FROM sk GROUP BY {gcols}
+    )
+    SELECT {gcols},
+           CAST(nonempty_buckets AS BIGINT) AS nonempty_buckets,
+           CAST(floor(CASE WHEN ({m} - nonempty_buckets) > 0 AND {raw_est} <= {2.5 * m!r}
+                           THEN {lin_est} ELSE {raw_est} END + 0.5) AS BIGINT) AS estimate
+    FROM agg
+    """

@@ -246,3 +246,35 @@ def x71_bloom_filter_probe(spark, sf_dir):
             "n_false_negatives"
         ),
     )
+
+
+@register(
+    "x72_hll_grouped_distinct",
+    oracle=f"""
+    WITH est AS ({sk.o_hll_group_estimate(
+        sk.o_hll_group_sketch("events", ["event_type"], "user_id"),
+        ["event_type"])}),
+    truth AS (SELECT event_type, count(DISTINCT user_id) AS true_distinct
+              FROM events GROUP BY event_type)
+    SELECT est.event_type, est.estimate, CAST(truth.true_distinct AS BIGINT) AS true_distinct
+    FROM est JOIN truth ON truth.event_type = est.event_type
+    """,
+    doc="Per-group approximate COUNT(DISTINCT): HLL sketch keyed by (group, "
+    "bucket) — the workhorse for distinct-per-group over ARBITRARY key "
+    "types at 100 TB (the q22/q13 bitmap rewrite needs dense ints; this "
+    "needs nothing). Shuffle bounded by |groups| x 2^p; merge = (group, "
+    "bucket)-wise max. Estimates exact-compare oracled, true counts "
+    "joined alongside so the error is visible in the result.",
+    tags=("SKETCH", "A1"),
+)
+def x72_hll_grouped_distinct(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    est = sk.hll_group_estimate(
+        sk.hll_group_sketch(e, ["event_type"], "user_id"), ["event_type"]
+    )
+    truth = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("true_distinct")
+    )
+    return est.join(truth, "event_type").select(
+        "event_type", "estimate", "true_distinct"
+    )

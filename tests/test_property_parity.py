@@ -369,3 +369,57 @@ def test_rollup_any_split_equals_full_recompute(spark, tmp_path_factory, assignm
         want[key] = (n + 1, round(v + float(i % 7) / 2, 4))
     want = {k: (n, round(v, 4)) for k, (n, v) in want.items()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Bitmap-word distinct counting (the q22/q13 rewrite) and grouped HLL
+# ---------------------------------------------------------------------------
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=300),
+)
+@settings(**SETTINGS)
+def test_bitmap_word_distinct_equals_exact(spark, keys):
+    """The 63-bit-word bitmap rewrite counts EXACTLY (it is not a sketch):
+    sum(bit_count(bit_or(1 << k%63))) grouped by k div 63 == COUNT(DISTINCT k)
+    for any multiset of non-negative ints — the precondition documented on
+    Q22_SQL_BITMAP/Q13_SQL_BITMAP."""
+    df = spark.createDataFrame([(k,) for k in keys], "k BIGINT")
+    got = (
+        df.selectExpr("k div 63 AS w", "shiftleft(1L, CAST(k % 63 AS INT)) AS b")
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .agg(F.sum(F.bit_count("bits")).cast("long").alias("n"))
+        .collect()[0]
+        .n
+    )
+    assert got == len(set(keys))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.text(min_size=0, max_size=8)),
+        min_size=1,
+        max_size=200,
+    ),
+)
+@settings(**SETTINGS)
+def test_hll_group_merge_equals_whole(spark, rows):
+    """Grouped-HLL merge algebra under arbitrary splits: building per-half
+    sketches and (group, bucket)-max-merging them equals the whole-data
+    sketch, for any (group, string-key) multiset."""
+    from ecom_snowflake_duckdb_migration_spark.operators import sketches as sk
+
+    df = spark.createDataFrame(rows, "g STRING, k STRING")
+    # split on a stable hash so the two halves partition the multiset
+    a = df.filter(F.crc32(F.concat_ws("|", "g", "k")) % 2 == 0)
+    b = df.filter(F.crc32(F.concat_ws("|", "g", "k")) % 2 == 1)
+    merged = (
+        sk.hll_group_sketch(a, ["g"], "k")
+        .unionByName(sk.hll_group_sketch(b, ["g"], "k"))
+        .groupBy("g", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    whole = sk.hll_group_sketch(df, ["g"], "k")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
