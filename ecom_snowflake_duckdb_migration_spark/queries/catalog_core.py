@@ -431,17 +431,26 @@ def q03_top_parts_by_revenue(spark, sf_dir):
 # 100 TB shape unconditionally — at any scale the post-agg join input is
 # the smaller relation. The part hint stays size-gated (_broadcast_hints):
 # past the gate AQE picks the join strategy on the 200k x sf-row join.
+# Top-k BELOW the join: the ordering key (revenue, partkey) is computable
+# before part is joined (p_partkey == the join key), so only 10 rows ever
+# reach the dimension join — TakeOrderedAndProject runs per-partition top-k
+# on the aggregate output and the join probes 10 rows instead of |parts|.
+# The outer ORDER BY re-asserts the result order after the join.
 Q03_SQL = f"""
     SELECT __HINTS__
            p.p_partkey, p.p_name,
            CAST(la.rev_bp / {BP}.0D AS DOUBLE) AS revenue,
            CAST(la.qty_bp / {BP}.0D AS DOUBLE) AS total_qty
     FROM (
-        SELECT l_partkey,
-               sum(CAST(floor((l_extendedprice * (1 - l_discount)) * {BP} + 0.5D) AS BIGINT)) AS rev_bp,
-               sum(CAST(floor(l_quantity * {BP} + 0.5D) AS BIGINT))                           AS qty_bp
-        FROM {{lineitem}}
-        GROUP BY l_partkey
+        SELECT l_partkey, rev_bp, qty_bp FROM (
+            SELECT l_partkey,
+                   sum(CAST(floor((l_extendedprice * (1 - l_discount)) * {BP} + 0.5D) AS BIGINT)) AS rev_bp,
+                   sum(CAST(floor(l_quantity * {BP} + 0.5D) AS BIGINT))                           AS qty_bp
+            FROM {{lineitem}}
+            GROUP BY l_partkey
+        )
+        ORDER BY rev_bp DESC, l_partkey
+        LIMIT 10
     ) la
     JOIN {{part}} p ON p.p_partkey = la.l_partkey
     ORDER BY revenue DESC, p_partkey
@@ -450,6 +459,7 @@ Q03_SQL = f"""
 
 
 def q03_top_parts_by_revenue_df(spark, sf_dir):
+    # Top-k below the join (see Q03_SQL's comment): only 10 rows reach part.
     la = (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_partkey")
@@ -457,6 +467,8 @@ def q03_top_parts_by_revenue_df(spark, sf_dir):
             F.sum(to_bp(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("rev_bp"),
             F.sum(to_bp(F.col("l_quantity"))).alias("qty_bp"),
         )
+        .orderBy(F.desc("rev_bp"), F.asc("l_partkey"))
+        .limit(10)
     )
     p = _maybe_broadcast(load(spark, sf_dir, "part"), sf_dir, "part")
     return (
