@@ -278,3 +278,98 @@ def x72_hll_grouped_distinct(spark, sf_dir):
     return est.join(truth, "event_type").select(
         "event_type", "estimate", "true_distinct"
     )
+
+
+@register(
+    "x73_heavy_hitters",
+    oracle=f"""
+    WITH est AS ({sk.o_countmin_lookup(
+        sk.o_countmin_sketch("events", "user_id", _D, _W),
+        "SELECT DISTINCT user_id FROM events",
+        "user_id", _D, _W)}),
+    cand AS (SELECT user_id FROM est, (SELECT count(*) AS total FROM events) t
+             WHERE est.estimate * 200 >= t.total),
+    verified AS (
+        SELECT e.user_id, count(*) AS n_events
+        FROM events e JOIN cand ON cand.user_id = e.user_id
+        GROUP BY e.user_id
+    )
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events
+    FROM verified, (SELECT count(*) AS total FROM events) t
+    WHERE n_events * 200 >= t.total
+    """,
+    doc="Sketch-guided heavy hitters (>=0.5% of events): count-min point "
+    "estimates nominate candidates (no false negatives — the one-sided "
+    "guarantee means every true heavy hitter is nominated), then ONE "
+    "semi-join pass verifies exact counts and drops the false positives. "
+    "The 100 TB pattern: the sketch bounds the second pass to |candidates| "
+    "keys instead of re-aggregating every key.",
+    tags=("SKETCH", "A2"),
+)
+def x73_heavy_hitters(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    cm = sk.countmin_sketch(e, "user_id", d=_D, w=_W)
+    keys = e.select("user_id").distinct()
+    est = sk.countmin_lookup(cm, keys, "user_id", d=_D, w=_W)
+    total = e.count()  # scalar driver-side: one count job, same as the oracle's t
+    cand = est.filter(F.col("estimate") * 200 >= F.lit(total)).select("user_id")
+    verified = (
+        e.join(F.broadcast(cand), "user_id")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return verified.filter(F.col("n_events") * 200 >= F.lit(total)).select(
+        "user_id", F.col("n_events").cast("long").alias("n_events")
+    )
+
+
+@register(
+    "x74_table_stats",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name,
+           CAST(min(o_orderkey) AS DOUBLE) AS min_value,
+           CAST(max(o_orderkey) AS DOUBLE) AS max_value,
+           count(*) - count(o_orderkey)    AS n_nulls,
+           count(DISTINCT o_orderkey)      AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE),
+           count(*) - count(o_custkey), count(DISTINCT o_custkey)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE),
+           count(*) - count(o_totalprice), count(DISTINCT o_totalprice)
+    FROM orders
+    """,
+    doc="ANALYZE-style column statistics (min/max/nulls/ndv) in ONE scan: "
+    "all three columns' aggregates ride a single Aggregate operator (no "
+    "per-column scans), unpivoted to stats rows. The optimizer-feeding "
+    "pattern: these numbers size broadcasts, pick bitmap-vs-cascade "
+    "distincts, and bound z-order quantization ranges.",
+    tags=("SKETCH", "S12"),
+)
+def x74_table_stats(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.min("o_orderkey").cast("double").alias("k_min"),
+        F.max("o_orderkey").cast("double").alias("k_max"),
+        (F.count(F.lit(1)) - F.count("o_orderkey")).alias("k_nulls"),
+        F.countDistinct("o_orderkey").alias("k_ndv"),
+        F.min("o_custkey").cast("double").alias("c_min"),
+        F.max("o_custkey").cast("double").alias("c_max"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("c_nulls"),
+        F.countDistinct("o_custkey").alias("c_ndv"),
+        F.min("o_totalprice").cast("double").alias("p_min"),
+        F.max("o_totalprice").cast("double").alias("p_max"),
+        (F.count(F.lit(1)) - F.count("o_totalprice")).alias("p_nulls"),
+        F.countDistinct("o_totalprice").alias("p_ndv"),
+    )
+    return agg.selectExpr(
+        """stack(3,
+            'o_orderkey',  k_min, k_max, k_nulls, k_ndv,
+            'o_custkey',   c_min, c_max, c_nulls, c_ndv,
+            'o_totalprice', p_min, p_max, p_nulls, p_ndv
+        ) AS (column_name, min_value, max_value, n_nulls, n_distinct)"""
+    )
