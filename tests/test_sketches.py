@@ -196,3 +196,42 @@ def test_streaming_incremental_hll(spark, sf_dir, tmp_path):
     running = spark.read.parquet(state)
     whole = sk.hll_sketch(events, "user_id")
     assert _rows(running.select("bucket", "rho")) == _rows(whole)
+
+
+def test_sketch_store_fold_equals_whole(spark, sf_dir, tmp_path):
+    """Durable shard-and-merge: folding per-shard sketches through the store
+    lands on the whole-data sketch, for every kind; param mismatches refuse."""
+    from ecom_snowflake_duckdb_migration_spark.sources import sketch_store as store
+
+    ev = load(spark, sf_dir, "events")
+    shards = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+
+    cases = {
+        "hll": (lambda d: sk.hll_sketch(d, "user_id", p=9), {"p": 9}),
+        "countmin": (lambda d: sk.countmin_sketch(d, "user_id"), {"d": 4, "w": 256}),
+        "kmv": (lambda d: sk.kmv_sketch(d, "user_id", k=64), {"k": 64}),
+        "bloom": (lambda d: sk.bloom_build(d, "user_id"), {"m_bits": 8192, "k": 4}),
+    }
+    for kind, (build, params) in cases.items():
+        path = str(tmp_path / kind)
+        for shard in shards:
+            store.merge_into(spark, path, build(shard), kind, **params)
+        folded, meta = store.read_sketch(spark, path)
+        assert meta == {"kind": kind, "params": params}
+        assert _rows(folded) == _rows(build(ev)), kind
+
+    # grouped HLL rides the same hll merge (extra group columns join the key)
+    gpath = str(tmp_path / "hll_group")
+    for shard in shards:
+        store.merge_into(
+            spark, gpath, sk.hll_group_sketch(shard, ["event_type"], "user_id"), "hll", p=9
+        )
+    folded, _ = store.read_sketch(spark, gpath)
+    assert _rows(folded) == _rows(sk.hll_group_sketch(ev, ["event_type"], "user_id"))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="refusing to merge"):
+        store.merge_into(
+            spark, str(tmp_path / "hll"), sk.hll_sketch(ev, "user_id", p=10), "hll", p=10
+        )
