@@ -196,11 +196,20 @@ def q01_pricing_summary_df(spark, sf_dir):
     tags=("J1", "J3", "A1", "A2"),
 )
 def q02_revenue_by_nation(spark, sf_dir):
+    # customer's broadcast rides the same 64 MB dim gate as every other
+    # explicit hint (at sf16 its 25 MB broadcast saves re-shuffling the
+    # 2.4M-row per-customer rollup; at 100 TB the gate refuses and AQE
+    # owns the decision).
+    chint = (
+        "BROADCAST(c), "
+        if _parquet_bytes(sf_dir, "customer") < _BROADCAST_GATE_BYTES
+        else ""
+    )
     if _parquet_bytes(sf_dir, "orders") < _SMALL_FACT_GATE_BYTES:
         return run_sql(spark, sf_dir, Q02_SQL_SMALL)
     if _parquet_bytes(sf_dir, "lineitem") < _NODE_LOCAL_FACT_GATE_BYTES:
-        return run_sql(spark, sf_dir, Q02_SQL_RAWJOIN)
-    return run_sql(spark, sf_dir, Q02_SQL)
+        return run_sql(spark, sf_dir, Q02_SQL_RAWJOIN.replace("__CHINT__", chint))
+    return run_sql(spark, sf_dir, Q02_SQL.replace("__CHINT__", chint))
 
 
 # While orders is small enough to broadcast cheaply (sub-bench scales), skip
@@ -334,7 +343,11 @@ def q02_revenue_by_nation_df(spark, sf_dir):
             .groupBy("o_custkey")
             .agg(F.sum("_rev").alias("_crev"))
         )
-    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    c = _maybe_broadcast(
+        load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+        sf_dir,
+        "customer",
+    )
     n = F.broadcast(load(spark, sf_dir, "nation"))
     r = F.broadcast(load(spark, sf_dir, "region"))
     return (
@@ -559,7 +572,11 @@ def q05_nation_trade_roles(spark, sf_dir):
         Q05_SQL.replace("__LSRC__", l_src).replace("__OSRC__", o_src).replace(
             "__HINTS__",
             _broadcast_hints(
-                sf_dir, ("supplier", "s"), ("nation", "cn"), ("nation", "sn")
+                sf_dir,
+                ("customer", "c"),
+                ("supplier", "s"),
+                ("nation", "cn"),
+                ("nation", "sn"),
             ),
         ),
     )
@@ -600,7 +617,7 @@ def q05_nation_trade_roles_df(spark, sf_dir):
         l = l.repartition(16, "l_orderkey")
         o = o.select("o_orderkey", "o_custkey").repartition(16, "o_orderkey")
     o = o.hint("shuffle_hash")
-    c = load(spark, sf_dir, "customer")
+    c = _maybe_broadcast(load(spark, sf_dir, "customer"), sf_dir, "customer")
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     cn = F.broadcast(n.alias("cn"))
