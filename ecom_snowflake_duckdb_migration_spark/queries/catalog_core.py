@@ -639,6 +639,16 @@ def q05_nation_trade_roles_df(spark, sf_dir):
     )
 
 
+# Packed composite key: when max(l_suppkey) < 2^20 and max(l_partkey) <
+# 2^42 (checked against the parquet footer column stats — one metadata
+# read, no job), (partkey, suppkey) packs into ONE BIGINT. The window's
+# sort then runs on a single radix-friendly long instead of a two-column
+# comparator: measured 16.4 -> 11.2 s at sf16, 0.71 -> 0.64 s at sf1,
+# 0.46 -> 0.41 s at sf0.1 (interleaved A/B). Past the width gate (e.g.
+# 2^20+ suppliers) the two-column form below is the fallback.
+_PACK_BITS = 20
+
+
 @register(
     "q06_multikey_min_price_join",
     oracle="""
@@ -663,26 +673,64 @@ def q05_nation_trade_roles_df(spark, sf_dir):
     tags=("J2", "A3"),
 )
 def q06_multikey_min_price_join(spark, sf_dir):
-    return run_sql(
-        spark, sf_dir, Q06_SQL.replace("__SRC__", _width_pinned_lineitem(sf_dir))
+    pin = _parquet_bytes(sf_dir, "lineitem") < _BROADCAST_GATE_BYTES
+    max_sk = _parquet_col_max(sf_dir, "lineitem", "l_suppkey")
+    max_pk = _parquet_col_max(sf_dir, "lineitem", "l_partkey")
+    packable = (
+        max_sk is not None
+        and max_pk is not None
+        and 0 <= max_sk < (1 << _PACK_BITS)
+        and 0 <= max_pk < (1 << (62 - _PACK_BITS))
     )
-
-
-def _width_pinned_lineitem(sf_dir: str) -> str:
-    """Bench-scale shuffle-width pin for the q06 window exchange.
-
-    The window's hash exchange inherits spark.sql.shuffle.partitions; at the
-    small bench profile (sp=4) that under-parallelizes the 600k-row sort.
-    While lineitem is under the small-fact gate, pre-partition the projected
-    input 16-wide — the window reuses that exchange (its required
-    distribution is satisfied), so this pins width without an extra shuffle.
-    Past the gate the pin disappears and the session/AQE sizing applies."""
-    if _parquet_bytes(sf_dir, "lineitem") < _BROADCAST_GATE_BYTES:
-        return (
-            "SELECT /*+ REPARTITION(16, l_partkey, l_suppkey) */"
-            " l_partkey, l_suppkey, l_extendedprice FROM {lineitem}"
+    if packable:
+        hint = "/*+ REPARTITION(16, pk) */ " if pin else ""
+        src = (
+            f"SELECT {hint}l_partkey * {1 << _PACK_BITS} + l_suppkey AS pk,"
+            " l_extendedprice FROM {lineitem}"
         )
-    return "SELECT l_partkey, l_suppkey, l_extendedprice FROM {lineitem}"
+        return run_sql(spark, sf_dir, Q06_SQL_PACKED.replace("__SRC__", src))
+    hint = "/*+ REPARTITION(16, l_partkey, l_suppkey) */ " if pin else ""
+    src = f"SELECT {hint}l_partkey, l_suppkey, l_extendedprice FROM {{lineitem}}"
+    return run_sql(spark, sf_dir, Q06_SQL.replace("__SRC__", src))
+
+
+def _parquet_col_max(sf_dir: str, table: str, column: str):
+    """Column max from parquet footer statistics (driver-side, no job).
+
+    Returns None when any row group lacks stats — callers must fall back
+    to the unpacked plan in that case."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    path = f"{sf_dir}/{table}.parquet"
+    files = [path] if _os.path.isfile(path) else sorted(_glob.glob(f"{path}/*.parquet"))
+    best = None
+    for f in files:
+        md = _pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}.get(column)
+        if idx is None:
+            return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or st.max is None:
+                return None
+            best = st.max if best is None else max(best, st.max)
+    return best
+
+
+Q06_SQL_PACKED = f"""
+    SELECT CAST(pk % {1 << _PACK_BITS} AS BIGINT) AS l_suppkey,
+           count(*)                                               AS n_lines,
+           count(CASE WHEN l_extendedprice = min_price THEN 1 END) AS n_at_min
+    FROM (
+        SELECT pk, l_extendedprice,
+               min(l_extendedprice) OVER (PARTITION BY pk) AS min_price
+        FROM (__SRC__)
+    )
+    GROUP BY pk % {1 << _PACK_BITS}
+"""
 
 
 Q06_SQL = """
