@@ -291,3 +291,70 @@ def test_restart_same_checkpoint_exactly_once(spark, tmp_path):
         (day(2026, 1, 1), "click", 1),
         (day(2026, 1, 2), "click", 1),
     ]
+
+
+def test_stream_stream_interval_join_matches_batch(spark, event_source):
+    """Purchases joined to same-user clicks within a 30-minute lookback,
+    streaming vs the identical batch join — row-for-row equal once the
+    availableNow run drains (watermarks only gate lateness here; all data
+    arrives, so no row is lost to eviction)."""
+    from ecom_snowflake_duckdb_migration_spark.streaming import joins as sj
+
+    src, schema, root = event_source
+    events = spark.read.parquet(src)
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    stream = streaming.read_event_stream(spark, src, schema, max_files_per_trigger=1)
+    s_clicks, s_purch = split(stream)
+    joined = sj.attribute_purchases_to_clicks(s_clicks, s_purch)
+    out = str(root / "join_out")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(root / "join_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    b_clicks, b_purch = split(events)
+    batch = sj.attribute_purchases_to_clicks(b_clicks, b_purch)
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert len(want) > 0, "no purchase/click pairs in the fixture window"
+    assert got == want
+
+
+def test_stream_static_enrichment(spark, event_source, sf_dir):
+    from ecom_snowflake_duckdb_migration_spark.streaming import joins as sj
+
+    src, schema, root = event_source
+    dim = (
+        load(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_key"), "c_mktsegment")
+    )
+    stream = streaming.read_event_stream(spark, src, schema, max_files_per_trigger=1)
+    enriched = sj.enrich_stream_with_dim(stream, dim, "user_id", "user_key")
+    out = str(root / "enrich_out")
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(root / "enrich_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    events = spark.read.parquet(src)
+    assert got.count() == events.count()  # LEFT join preserves the stream
+    matched = got.filter(F.col("c_mktsegment").isNotNull()).count()
+    want_matched = events.join(dim, events.user_id == dim.user_key, "inner").count()
+    assert matched == want_matched
