@@ -1,0 +1,98 @@
+"""Spark 4 Python DataSource for the envelope format: parity with the
+JVM-path reader, per-file validation, inference, and file-parallel scan."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecom_snowflake_duckdb_migration_spark import sources
+from ecom_snowflake_duckdb_migration_spark.queries import load
+from ecom_snowflake_duckdb_migration_spark.sources import envelope_datasource as eds
+
+
+@pytest.fixture(scope="module")
+def envelope_dir(spark, sf_dir, tmp_path_factory):
+    """Three reference-style envelope files (one pretty-printed object per
+    file, like the S3 drops) holding disjoint slices of events."""
+    path = str(tmp_path_factory.mktemp("eds") / "env")
+    os.makedirs(path)
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    rows = [r.asDict() for r in ev.collect()]
+    for i in range(3):
+        chunk = rows[i::3]
+        env = {
+            "metadata": {
+                "table": "events",
+                "recordCount": len(chunk),
+                "generatedAt": f"2026-08-14T0{i}:00:00+00:00",
+                "version": "1.0",
+            },
+            "data": chunk,
+        }
+        with open(os.path.join(path, f"drop_{i}.json"), "w") as f:
+            json.dump(env, f)
+    eds.register(spark)
+    return path, ev
+
+
+def test_reads_match_jvm_reader(spark, envelope_dir):
+    path, ev = envelope_dir
+    df = (
+        spark.read.format("ecom_envelope")
+        .option("path", path)
+        .option("validate_count", "true")
+        .load()
+    )
+    got = sorted(map(tuple, df.drop("_envelope_file", "_generated_at").collect()))
+    want = sorted(map(tuple, ev.collect()))
+    assert got == want
+    # lineage columns populated
+    row = df.limit(1).collect()[0]
+    assert row._envelope_file.startswith(path)
+    assert row._generated_at
+
+
+def test_partition_per_file(spark, envelope_dir):
+    path, _ = envelope_dir
+    df = spark.read.format("ecom_envelope").option("path", path).load()
+    n_files = len([f for f in os.listdir(path) if not f.startswith(("_", "."))])
+    assert n_files >= 3
+    assert df.rdd.getNumPartitions() == n_files
+
+
+def test_validation_fails_on_corrupt_envelope(spark, envelope_dir, tmp_path):
+    path, _ = envelope_dir
+    bad_dir = str(tmp_path / "bad")
+    os.makedirs(bad_dir)
+    bad = {
+        "metadata": {"table": "events", "recordCount": 99, "generatedAt": "x", "version": "1.0"},
+        "data": [{"event_id": 1, "user_id": 2, "event_type": "click", "value": 1.0}],
+    }
+    with open(os.path.join(bad_dir, "drop.json"), "w") as f:
+        json.dump(bad, f)
+    df = (
+        spark.read.format("ecom_envelope")
+        .option("path", bad_dir)
+        .option("validate_count", "true")
+        .load()
+    )
+    with pytest.raises(Exception, match="recordCount"):
+        df.collect()
+    # without validation the same file reads fine
+    ok = spark.read.format("ecom_envelope").option("path", bad_dir).load()
+    assert ok.count() == 1
+
+
+def test_schema_inference_types(spark, envelope_dir):
+    path, _ = envelope_dir
+    df = spark.read.format("ecom_envelope").option("path", path).load()
+    kinds = dict(df.dtypes)
+    assert kinds["event_id"] == "bigint"
+    assert kinds["value"] == "double"
+    assert kinds["event_type"] == "string"
