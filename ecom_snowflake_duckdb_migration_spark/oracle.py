@@ -90,6 +90,22 @@ def compare_to_oracle(name: str, df: DataFrame, oracle_sql: str, sf_dir: str) ->
     return ParityResult(name, True, f"{len(spark_rows)} rows match")
 
 
+def driver_canonicalize(columns: list[str], rows: list[tuple]):
+    """Replicate the DRIVER's pandas canonicalizer exactly (round-5 lesson:
+    q61 passed the local tuple-sort compare but died at the gate because the
+    driver pandas-``sort_values`` the frame, and ``Categorical(list)`` raises
+    ``TypeError: unhashable type: 'list'`` on array columns). Any entry whose
+    result frame this function cannot canonicalize would be a RED driver row
+    regardless of value correctness — so the local sweep runs it and fails
+    loudly first."""
+    import pandas as pd
+
+    cols = sorted(columns)
+    pdf = pd.DataFrame(rows, columns=columns)[cols]
+    pdf = pdf.sort_values(by=cols).reset_index(drop=True)  # raises on unhashables
+    return pdf
+
+
 def driver_style_result(name: str, fn, oracle_sql: str | None, spark, sf_dir: str) -> dict:
     """Run one catalog entry and report it in the driver's CORRECTNESS row
     schema (rows_match / schema_match / hash_match / spark_rows / oracle_rows
@@ -107,6 +123,7 @@ def driver_style_result(name: str, fn, oracle_sql: str | None, spark, sf_dir: st
         spark_cols = list(df.columns)
         spark_rows = [tuple(r) for r in df.collect()]
         row["spark_rows"] = len(spark_rows)
+        driver_canonicalize(spark_cols, spark_rows)  # raises like the driver would
         if oracle_sql is None:
             row["err"] = "no_oracle"
             return row

