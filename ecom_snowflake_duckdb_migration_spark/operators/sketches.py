@@ -86,7 +86,11 @@ def hll_sketch(df: DataFrame, key: str | Column, p: int = 9) -> DataFrame:
     # contributes bitlen 0. rho = rem_bits - bitlen + 1, in [1, rem_bits+1].
     bitlen = F.when(rem == 0, F.lit(0)).otherwise(F.length(F.conv(rem, 10, 2)))
     return (
-        df.select(
+        # NULL keys would produce a (NULL, NULL) bucket row, skewing the
+        # nonempty-bucket count in the estimator; COUNT(DISTINCT) ignores
+        # NULLs, so the sketch does too (mirrored in o_hll_sketch).
+        df.where(key_col.isNotNull())
+        .select(
             F.shiftright(h, rem_bits).alias("bucket"),
             (F.lit(rem_bits + 1) - bitlen).cast("int").alias("rho"),
         )
@@ -164,6 +168,7 @@ def o_hll_sketch(table_expr: str, key_expr: str, p: int = 9) -> str:
            CAST(max({rem_bits + 1} - (CASE WHEN {rem} = 0 THEN 0
                                            ELSE length(bin({rem})) END)) AS INT) AS rho
     FROM {table_expr}
+    WHERE ({key_expr}) IS NOT NULL
     GROUP BY 1
     """
 
@@ -317,7 +322,17 @@ def kmv_sketch(df: DataFrame, key: str | Column, k: int = 256) -> DataFrame:
     locally-distinct key. The k-row result is the mergeable artifact.
     """
     key_col = F.col(key) if isinstance(key, str) else key
-    return df.select(h60(key_col).alias("h")).distinct().orderBy("h").limit(k)
+    # NULL keys hash to NULL, and ORDER BY sorts NULLs first in Spark but
+    # last in DuckDB — one NULL would break the bit-identical cross-engine
+    # sketch and poison kth/h in the estimators. Distinct-count semantics
+    # ignore NULLs anyway (COUNT(DISTINCT) convention).
+    return (
+        df.where(key_col.isNotNull())
+        .select(h60(key_col).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
 
 
 def kmv_merge(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
@@ -368,9 +383,12 @@ def kmv_join_size(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
 
 
 def o_kmv_sketch(table_expr: str, key_expr: str, k: int = 256) -> str:
-    """DuckDB SQL producing the identical KMV sketch."""
+    """DuckDB SQL producing the identical KMV sketch (NULL keys excluded,
+    matching :func:`kmv_sketch` — NULLs sort opposite ways in the two
+    engines and carry no distinct-count information)."""
     return (
-        f"SELECT DISTINCT {o_h60(key_expr)} AS h FROM {table_expr} ORDER BY h LIMIT {k}"
+        f"SELECT DISTINCT {o_h60(key_expr)} AS h FROM {table_expr} "
+        f"WHERE ({key_expr}) IS NOT NULL ORDER BY h LIMIT {k}"
     )
 
 
@@ -414,22 +432,37 @@ def histogram_sketch(
     return _hist(df, v, w)
 
 
+def _temp_view(df: DataFrame, prefix: str) -> str:
+    """Register ``df`` under a per-call unique view name. A fixed name lets
+    two interleaved builds on the same SparkSession stomp each other's view
+    between createOrReplaceTempView and sql() analysis, silently sketching
+    the wrong DataFrame. The caller drops the view after sql() returns —
+    Spark resolves views eagerly at analysis, so the plan keeps working."""
+    import uuid
+
+    name = f"_{prefix}_{uuid.uuid4().hex}"
+    df.createOrReplaceTempView(name)
+    return name
+
+
 def _hist(df: DataFrame, v_bp: str, w: int) -> DataFrame:
-    src = df
-    src.createOrReplaceTempView("_hist_src")
-    return src.sparkSession.sql(
-        f"""
-        WITH r AS (SELECT min({v_bp}) AS lo_bp, max({v_bp}) AS hi_bp FROM _hist_src),
-        b AS (
-            SELECT CASE WHEN hi_bp <= lo_bp THEN 0
-                        ELSE ({v_bp} - lo_bp) * {w} DIV (hi_bp - lo_bp + 1) END AS bucket,
-                   lo_bp, hi_bp
-            FROM _hist_src, r
+    src = _temp_view(df, "hist_src")
+    try:
+        return df.sparkSession.sql(
+            f"""
+            WITH r AS (SELECT min({v_bp}) AS lo_bp, max({v_bp}) AS hi_bp FROM {src}),
+            b AS (
+                SELECT CASE WHEN hi_bp <= lo_bp THEN 0
+                            ELSE ({v_bp} - lo_bp) * {w} DIV (hi_bp - lo_bp + 1) END AS bucket,
+                       lo_bp, hi_bp
+                FROM {src}, r
+            )
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n, lo_bp, hi_bp
+            FROM b GROUP BY bucket, lo_bp, hi_bp
+            """
         )
-        SELECT bucket, CAST(count(*) AS BIGINT) AS n, lo_bp, hi_bp
-        FROM b GROUP BY bucket, lo_bp, hi_bp
-        """
-    )
+    finally:
+        df.sparkSession.catalog.dropTempView(src)
 
 
 def o_histogram_sketch(table_expr: str, value_expr: str, w: int = 256, bp: int = 10_000) -> str:
@@ -460,16 +493,17 @@ def histogram_quantiles(hist: DataFrame, w: int = 256) -> DataFrame:
     one shared IEEE division — bit-stable across engines. O(w log w) on
     <= w rows: the cumulative window is over the sketch, never the data.
     """
-    hist.createOrReplaceTempView("_hq_hist")
+    src = _temp_view(hist, "hq_hist")
     probs = ", ".join(f"({p})" for p in _QUANTILE_PROBS_BP)
-    return hist.sparkSession.sql(
-        f"""
+    try:
+        return hist.sparkSession.sql(
+            f"""
         WITH cum AS (
             SELECT bucket, lo_bp, hi_bp,
                    sum(n) OVER (ORDER BY bucket
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
                    sum(n) OVER () AS total_n
-            FROM _hq_hist
+            FROM {src}
         ),
         probe AS (SELECT col1 AS p_bp FROM (VALUES {probs})),
         hit AS (
@@ -485,7 +519,9 @@ def histogram_quantiles(hist: DataFrame, w: int = 256) -> DataFrame:
                     / 10000.0D AS DOUBLE) AS value_estimate
         FROM hit
         """
-    )
+        )
+    finally:
+        hist.sparkSession.catalog.dropTempView(src)
 
 
 def o_histogram_quantiles(hist_sql: str, w: int = 256) -> str:

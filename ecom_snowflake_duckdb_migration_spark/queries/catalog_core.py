@@ -449,6 +449,13 @@ def q03_top_parts_by_revenue(spark, sf_dir):
 # reach the dimension join — TakeOrderedAndProject runs per-partition top-k
 # on the aggregate output and the join probes 10 rows instead of |parts|.
 # The outer ORDER BY re-asserts the result order after the join.
+# The oracle's INNER join drops partkeys with no part row BEFORE ranking,
+# so the pre-join top-k must rank only FK-matching keys: the semi-join
+# (IN subquery) against part's key column makes the rewrite exact on ANY
+# data, not just FK-clean data. Cost: one key-only scan of part feeding a
+# (broadcast-gated) semi-join over the |part|-sized aggregate output —
+# negligible next to the fact aggregate, and scale-safe (both semi sides
+# are |part|-sized, never |lineitem|).
 Q03_SQL = f"""
     SELECT __HINTS__
            p.p_partkey, p.p_name,
@@ -462,6 +469,7 @@ Q03_SQL = f"""
             FROM {{lineitem}}
             GROUP BY l_partkey
         )
+        WHERE l_partkey IN (SELECT p_partkey FROM {{part}})
         ORDER BY rev_bp DESC, l_partkey
         LIMIT 10
     ) la
@@ -473,6 +481,9 @@ Q03_SQL = f"""
 
 def q03_top_parts_by_revenue_df(spark, sf_dir):
     # Top-k below the join (see Q03_SQL's comment): only 10 rows reach part.
+    # Semi-join against part keys BEFORE the top-k so FK-orphan partkeys
+    # can't displace real top-10 rows (oracle joins first, then ranks).
+    pk = load(spark, sf_dir, "part").select("p_partkey")
     la = (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_partkey")
@@ -480,6 +491,8 @@ def q03_top_parts_by_revenue_df(spark, sf_dir):
             F.sum(to_bp(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("rev_bp"),
             F.sum(to_bp(F.col("l_quantity"))).alias("qty_bp"),
         )
+        .join(_maybe_broadcast(pk, sf_dir, "part"),
+              F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .orderBy(F.desc("rev_bp"), F.asc("l_partkey"))
         .limit(10)
     )
@@ -674,13 +687,16 @@ _PACK_BITS = 20
 )
 def q06_multikey_min_price_join(spark, sf_dir):
     pin = _parquet_bytes(sf_dir, "lineitem") < _BROADCAST_GATE_BYTES
-    max_sk = _parquet_col_max(sf_dir, "lineitem", "l_suppkey")
-    max_pk = _parquet_col_max(sf_dir, "lineitem", "l_partkey")
+    sk = _parquet_col_minmax(sf_dir, "lineitem", "l_suppkey")
+    pk = _parquet_col_minmax(sf_dir, "lineitem", "l_partkey")
+    # The min >= 0 check matters: a column whose MAX fits the width gate
+    # but contains negative keys would alias packed (partkey,suppkey)
+    # values and silently corrupt the window partitioning.
     packable = (
-        max_sk is not None
-        and max_pk is not None
-        and 0 <= max_sk < (1 << _PACK_BITS)
-        and 0 <= max_pk < (1 << (62 - _PACK_BITS))
+        sk is not None
+        and pk is not None
+        and 0 <= sk[0] and sk[1] < (1 << _PACK_BITS)
+        and 0 <= pk[0] and pk[1] < (1 << (62 - _PACK_BITS))
     )
     if packable:
         hint = "/*+ REPARTITION(16, pk) */ " if pin else ""
@@ -694,8 +710,10 @@ def q06_multikey_min_price_join(spark, sf_dir):
     return run_sql(spark, sf_dir, Q06_SQL.replace("__SRC__", src))
 
 
-def _parquet_col_max(sf_dir: str, table: str, column: str):
-    """Column max from parquet footer statistics (driver-side, no job).
+def _parquet_col_minmax(sf_dir: str, table: str, column: str):
+    """Column (min, max) from parquet footer statistics (driver-side, no
+    job). Both bounds are needed by the packed-key gate: max for width,
+    min for non-negativity (negative keys would alias packed values).
 
     Returns None when any row group lacks stats — callers must fall back
     to the unpacked plan in that case."""
@@ -706,7 +724,7 @@ def _parquet_col_max(sf_dir: str, table: str, column: str):
 
     path = f"{sf_dir}/{table}.parquet"
     files = [path] if _os.path.isfile(path) else sorted(_glob.glob(f"{path}/*.parquet"))
-    best = None
+    lo = hi = None
     for f in files:
         md = _pq.ParquetFile(f).metadata
         idx = {md.schema.column(i).name: i for i in range(md.num_columns)}.get(column)
@@ -714,10 +732,11 @@ def _parquet_col_max(sf_dir: str, table: str, column: str):
             return None
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
-            if st is None or st.max is None:
+            if st is None or st.max is None or st.min is None:
                 return None
-            best = st.max if best is None else max(best, st.max)
-    return best
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    return None if lo is None else (lo, hi)
 
 
 Q06_SQL_PACKED = f"""

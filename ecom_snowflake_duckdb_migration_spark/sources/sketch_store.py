@@ -79,8 +79,13 @@ def merge_into(spark: SparkSession, path: str, new_sketch: DataFrame, kind: str,
 
     Refuses kind/param mismatches (merging an HLL(p=9) into an HLL(p=10)
     or a (d,w)-mismatched count-min is algebraically meaningless). First
-    call creates the store. The swap is write-to-sibling + rename, so a
-    reader never sees a half-written artifact.
+    call creates the store. The swap is write-to-sibling then rename: the
+    sidecar is written INTO the sibling before any rename, so a reader
+    never sees a parquet dir without its metadata, and every directory on
+    disk is complete at all times. The swap itself is two renames (old
+    aside, sibling in) — not a single atomic exchange, so a concurrent
+    reader can hit ENOENT in that instant and should retry; a crash leaves
+    a complete ``.old`` or ``.tmp`` to recover from, never a torn store.
     """
     if os.path.exists(_meta_path(path)):
         prev, meta = read_sketch(spark, path)
@@ -94,13 +99,21 @@ def merge_into(spark: SparkSession, path: str, new_sketch: DataFrame, kind: str,
         merged = merge_sketches(prev, new_sketch, kind, **params)
     else:
         merged = new_sketch
-    tmp = path.rstrip("/") + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp)
     import shutil
 
-    if os.path.isdir(path):
-        shutil.rmtree(path)
-    os.rename(tmp, path)
-    with open(_meta_path(path), "w") as f:
+    tmp = path.rstrip("/") + ".tmp"
+    old = path.rstrip("/") + ".old"
+    merged.write.mode("overwrite").parquet(tmp)
+    # Sidecar goes into the sibling BEFORE the swap: the rename then moves
+    # parquet + metadata together, so no reader window sees one without
+    # the other. (Spark ignores _-prefixed files inside parquet dirs.)
+    with open(_meta_path(tmp), "w") as f:
         json.dump({"kind": kind, "params": dict(params)}, f)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    if os.path.isdir(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
     return spark.read.parquet(path)
