@@ -246,6 +246,70 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def lsh_band_stack(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Band a signature frame into (id, band, bucket) rows — the LSH index.
+
+    One row per (doc, band); bucket = hash of the band's signature slice.
+    This narrow 3-column table is the DURABLE artifact of incremental
+    dedup (operators.incremental_dedup): candidates at any later time are
+    equi-joins against it, so the corpus is never re-signed.
+    """
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for band in range(bands):
+        cols = [F.col(f"mh_{seed}") for seed in range(band * rows_per_band, (band + 1) * rows_per_band)]
+        if hash_fn == "md5":
+            band_cols.append(F.md5(F.concat_ws("|", *cols)).alias(f"band_{band}"))
+        else:
+            band_cols.append(F.xxhash64(*cols, F.lit(10_000 + band)).alias(f"band_{band}"))
+    banded = sig.select(id_col, *band_cols)
+    return banded.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band"), F.col(f"band_{i}").alias("bucket"))
+                for i in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
+def jaccard_verify_pairs(
+    candidates: DataFrame,
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    threshold_e6: int = 800_000,
+) -> DataFrame:
+    """Exact-Jaccard verification restricted to candidate (d1, d2) pairs.
+
+    Explode each candidate by d1's shingles, keep the ones d2 also has
+    (equi-join on (d2, shingle)), count -> |A∩B|; |A∪B| = |A|+|B|-|A∩B|.
+    Cost is linear in (candidates x doc shingle count) — NOT the
+    all-shared-shingle-pairs self-join, which would defeat LSH at scale.
+    Candidate pairs sharing zero shingles simply drop out (Jaccard 0).
+    """
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        candidates.join(sh.select(F.col(id_col).alias("d1"), "shingle"), "d1")
+        .join(sh.select(F.col(id_col).alias("d2"), "shingle"), ["d2", "shingle"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("d1"), F.col("sz").alias("sz1")), "d1")
+        .join(sizes.select(F.col(id_col).alias("d2"), F.col("sz").alias("sz2")), "d2")
+        .withColumn("jaccard_e6", F.expr(f"n_inter * {SCALE} div (sz1 + sz2 - n_inter)"))
+        .filter(F.col("jaccard_e6") >= threshold_e6)
+        .select("d1", "d2", "jaccard_e6")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -267,27 +331,10 @@ def minhash_lsh_pairs(
     same asymptotics) so the whole pipeline has a DuckDB twin — the oracled
     catalog entry (q48) runs that variant; this default stays xxhash64.
     """
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, k, num_hashes, hash_fn)
-    # (computed below) candidates: LSH band-bucket equi-join, then exact
-    # Jaccard for THOSE pairs only — never the all-shared-shingle-pairs join.
-    band_cols = []
-    for band in range(bands):
-        cols = [F.col(f"mh_{seed}") for seed in range(band * rows_per_band, (band + 1) * rows_per_band)]
-        if hash_fn == "md5":
-            band_cols.append(F.md5(F.concat_ws("|", *cols)).alias(f"band_{band}"))
-        else:
-            band_cols.append(F.xxhash64(*cols, F.lit(10_000 + band)).alias(f"band_{band}"))
-    banded = sig.select(id_col, *band_cols)
-    stacked = banded.select(
-        id_col,
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(i).alias("band"), F.col(f"band_{i}").alias("bucket"))
-                for i in range(bands)
-            ])
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    # candidates: LSH band-bucket equi-join, then exact Jaccard for THOSE
+    # pairs only — never the all-shared-shingle-pairs join.
+    stacked = lsh_band_stack(sig, id_col, num_hashes, bands, hash_fn)
     a = stacked.alias("a")
     b = stacked.alias("b")
     candidates = (
@@ -300,27 +347,8 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
         .distinct()
     )
-    # Exact-Jaccard verification restricted to the candidate pairs: explode
-    # each candidate by d1's shingles, keep the ones d2 also has (equi-join on
-    # (d2, shingle)), count -> |A∩B|; |A∪B| = |A|+|B|-|A∩B|. Cost is linear
-    # in (candidates x doc shingle count) — NOT the all-shared-shingle-pairs
-    # self-join ngram_jaccard_pairs runs, which would defeat LSH at scale.
-    # Candidate pairs sharing zero shingles simply drop out (Jaccard 0).
     sh = char_shingles(df, text_col, id_col, k)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    inter = (
-        candidates.join(sh.select(F.col(id_col).alias("d1"), "shingle"), "d1")
-        .join(sh.select(F.col(id_col).alias("d2"), "shingle"), ["d2", "shingle"])
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    return (
-        inter.join(sizes.select(F.col(id_col).alias("d1"), F.col("sz").alias("sz1")), "d1")
-        .join(sizes.select(F.col(id_col).alias("d2"), F.col("sz").alias("sz2")), "d2")
-        .withColumn("jaccard_e6", F.expr(f"n_inter * {SCALE} div (sz1 + sz2 - n_inter)"))
-        .filter(F.col("jaccard_e6") >= threshold_e6)
-        .select("d1", "d2", "jaccard_e6")
-    )
+    return jaccard_verify_pairs(candidates, sh, id_col, threshold_e6)
 
 
 def simhash_bits(hash_fn: str) -> int:

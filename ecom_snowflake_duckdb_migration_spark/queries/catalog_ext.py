@@ -83,9 +83,13 @@ def q30_catalog_rowcounts(spark, sf_dir):
     """,
     doc="S2/S5 envelope JSON round-trip: write {metadata, data:[...]} "
     "envelopes (src/pipeline/0_generate_historic_synthetic_data.py:429-461), "
-    "read them back with the declared schema + explode "
-    "(ingest_latest_synthetic_data.py:131-146), aggregate. The oracle runs "
-    "on the original table — round-trip must be lossless.",
+    "read them back through BOTH scan paths — the JVM reader with declared "
+    "schema + explode (ingest_latest_synthetic_data.py:131-146) AND the "
+    "Spark-4 Python DataSource (format('ecom_envelope'), recordCount "
+    "validated per file during the scan) — aggregate each and inner-join on "
+    "every output column, so any disagreement between the two readers (or "
+    "with the original table) reds this row. The oracle runs on the "
+    "original table — the round-trip must be lossless.",
     tags=("S2", "S5", "A6"),
 )
 def q31_envelope_roundtrip(spark, sf_dir):
@@ -94,7 +98,7 @@ def q31_envelope_roundtrip(spark, sf_dir):
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     from ..functions.core import string_agg_distinct_ordered
-    from ..sources import read_envelope_json, write_envelope_json
+    from ..sources import envelope_datasource, read_envelope_json, write_envelope_json
 
     nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     out = tempfile.mkdtemp(prefix="envelope_rt_")
@@ -107,10 +111,28 @@ def q31_envelope_roundtrip(spark, sf_dir):
         ]
     )
     back = read_envelope_json(spark, out + "/*.txt", data_schema=schema, validate_count=True)
-    return back.groupBy("n_regionkey").agg(
-        F.count(F.lit(1)).alias("n_nations"),
-        string_agg_distinct_ordered("n_name").alias("nations"),
+    envelope_datasource.register(spark)
+    back_py = (
+        spark.read.format("ecom_envelope")
+        .schema(
+            "n_nationkey bigint, n_name string, n_regionkey bigint,"
+            " _envelope_file string, _generated_at string"
+        )
+        .option("path", out)
+        .option("validate_count", "true")
+        .load()
+        .select("n_nationkey", "n_name", "n_regionkey")
     )
+
+    def agg(df):
+        return df.groupBy("n_regionkey").agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            string_agg_distinct_ordered("n_name").alias("nations"),
+        )
+
+    # Equi-join on EVERY column: identical reader outputs keep exactly one
+    # row per group; any divergence drops rows -> driver hash mismatch.
+    return agg(back).join(agg(back_py), ["n_regionkey", "n_nations", "nations"], "inner")
 
 
 @register(

@@ -1068,3 +1068,41 @@ def q63_decontamination(spark, sf_dir):
     corpus = d.filter(F.col("source") != "src0")
     bench = d.filter(F.col("source") == "src0")
     return tx.decontaminate(corpus, bench, n=8)
+
+
+# Batch split for the incremental-dedup entry: doc_id >= 400 is "today's
+# drop", the rest is the already-indexed corpus (500 docs at every SF).
+_INC_CUTOFF = 400
+
+
+@register(
+    "x75_incremental_dedup",
+    # Oracle: the FULL-corpus LSH pairs (q48's oracle verbatim) restricted
+    # to pairs touching the new batch. The incremental probe must reproduce
+    # exactly this set — LSH candidacy and Jaccard verification are both
+    # pairwise, so batch-vs-(corpus ∪ batch) probing loses nothing.
+    oracle=f"""
+    SELECT * FROM ({_minhash_oracle(num_hashes=32, bands=8, threshold_e6=800_000)})
+    WHERE d1 >= {_INC_CUTOFF} OR d2 >= {_INC_CUTOFF}
+    """,
+    doc="Incremental corpus dedup (operators.incremental_dedup): sign only "
+    "the new batch, probe its band rows against the stored corpus band "
+    "table (the durable sketch_store 'lsh_bands' artifact), verify exact "
+    "Jaccard on candidates only, with corpus text read back solely for "
+    "candidate ids. Batch-equivalence contract: incremental pairs == "
+    "full-run pairs touching the batch (this oracle). md5 hash variant for "
+    "the cross-engine check; xxhash64 is the production path "
+    "(tests/test_operators.py pins store round-trip + equivalence).",
+    tags=("LLM", "dedup", "lsh", "incremental"),
+)
+def x75_incremental_dedup(spark, sf_dir):
+    from ..operators import incremental_dedup as inc
+
+    d = load(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") < _INC_CUTOFF)
+    batch = d.filter(F.col("doc_id") >= _INC_CUTOFF)
+    corpus_bands = inc.lsh_band_table(corpus, k=3, num_hashes=32, bands=8, hash_fn="md5")
+    return inc.incremental_minhash_pairs(
+        batch, corpus, corpus_bands,
+        k=3, num_hashes=32, bands=8, threshold_e6=800_000, hash_fn="md5",
+    )

@@ -33,6 +33,11 @@ _MERGE_KEYS = {
     "countmin": (["r", "cell"], {"total": "sum"}, ("d", "w")),
     "kmv": (None, None, ("k",)),  # special-cased: distinct + top-k
     "bloom": (["word"], {"bits": "bit_or"}, ("m_bits", "k")),
+    # LSH band index for incremental corpus dedup (operators.incremental_dedup):
+    # no value columns — merge is a distinct union of (id, band, bucket) rows,
+    # idempotent on re-delivered batches. Params pin the signing scheme:
+    # probing with mismatched k/num_hashes/bands/hash_fn is meaningless.
+    "lsh_bands": (["band", "bucket"], {}, ("k", "num_hashes", "bands", "hash_fn")),
 }
 
 
@@ -67,6 +72,8 @@ def merge_sketches(a: DataFrame, b: DataFrame, kind: str, **params) -> DataFrame
         return a.unionByName(b).distinct().orderBy("h").limit(k)
     keys, aggs, _ = _MERGE_KEYS[kind]
     u = a.unionByName(b)
+    if not aggs:  # pure set-union kinds (lsh_bands): dedup rows, no agg
+        return u.distinct()
     agg_cols = [getattr(F, fn)(c).alias(c) for c, fn in aggs.items()]
     # hll_group sketches carry extra group columns ahead of the bucket —
     # merge on every non-value column so the same code serves both.

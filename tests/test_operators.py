@@ -500,3 +500,48 @@ def test_decontaminate_planted(spark):
     )
     got = {r.doc_id: r.contaminated for r in tx.decontaminate(corpus, bench, n=8).collect()}
     assert got == {1: True, 2: False, 3: False, 4: False}
+
+
+def test_incremental_dedup_batch_equivalence_and_store(spark, sf_dir, tmp_path):
+    """Batch-equivalence oracle (xxhash64 production path): probing a new
+    batch against the stored corpus band table reproduces exactly the
+    full-run pairs that touch the batch, and the durable lsh_bands store
+    folds to the whole-union band table."""
+    from ecom_snowflake_duckdb_migration_spark.operators import incremental_dedup as inc
+    from ecom_snowflake_duckdb_migration_spark.sources import sketch_store as store
+
+    d = _docs(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") < 400)
+    batch = d.filter(F.col("doc_id") >= 400)
+    params = dict(k=3, num_hashes=32, bands=8, hash_fn="xxhash64")
+
+    path = str(tmp_path / "bands")
+    store.write_sketch(inc.lsh_band_table(corpus, **params), path, "lsh_bands", **params)
+    corpus_bands, meta = store.read_sketch(spark, path)
+    assert meta["kind"] == "lsh_bands"
+
+    got = {
+        (r.d1, r.d2): r.jaccard_e6
+        for r in inc.incremental_minhash_pairs(
+            batch, corpus, corpus_bands, threshold_e6=800_000, **params
+        ).collect()
+    }
+    full = {
+        (r.d1, r.d2): r.jaccard_e6
+        for r in tx.minhash_lsh_pairs(d, threshold_e6=800_000).collect()
+        if r.d1 >= 400 or r.d2 >= 400
+    }
+    assert got == full and got, "incremental probe must equal full-run pairs touching the batch"
+
+    # Fold the batch in; the store must now equal the whole-union band table.
+    store.merge_into(spark, path, inc.lsh_band_table(batch, **params), "lsh_bands", **params)
+    folded, _ = store.read_sketch(spark, path)
+    whole = inc.lsh_band_table(d, **params)
+    assert sorted(map(tuple, folded.collect())) == sorted(map(tuple, whole.collect()))
+
+    # Param mismatch must refuse, not silently merge.
+    import pytest as _pytest
+
+    bad = dict(params, bands=16)
+    with _pytest.raises(ValueError):
+        store.merge_into(spark, path, inc.lsh_band_table(batch, **bad), "lsh_bands", **bad)
