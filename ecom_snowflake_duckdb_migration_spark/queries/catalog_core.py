@@ -205,6 +205,20 @@ def q02_revenue_by_nation(spark, sf_dir):
         if _parquet_bytes(sf_dir, "customer") < _BROADCAST_GATE_BYTES
         else ""
     )
+    bt = _bucketed_facts(spark, sf_dir)
+    if bt:
+        # Bucketed facts: the raw-row join is exchange-free (merge join
+        # over co-located buckets), so the only shuffle left is the
+        # o_custkey aggregation — strictly fewer exchanges than either
+        # raw shape at ANY scale, which is why the bucketed branch
+        # replaces both size gates rather than adding a third.
+        sql = (
+            Q02_SQL_RAWJOIN.replace("SHUFFLE_HASH(o)", "MERGE(o)")
+            .replace("__CHINT__", chint)
+            .replace("{lineitem}", bt["lineitem"])
+            .replace("{orders}", bt["orders"])
+        )
+        return run_sql(spark, sf_dir, sql)
     if _parquet_bytes(sf_dir, "orders") < _SMALL_FACT_GATE_BYTES:
         return run_sql(spark, sf_dir, Q02_SQL_SMALL)
     if _parquet_bytes(sf_dir, "lineitem") < _NODE_LOCAL_FACT_GATE_BYTES:
@@ -390,6 +404,22 @@ _SMALL_FACT_GATE_BYTES = 8 * 1024 * 1024
 _NODE_LOCAL_FACT_GATE_BYTES = 256 * 1024 * 1024
 
 
+def _bucketed_facts(spark, sf_dir: str):
+    """Orderkey-bucketed lineitem/orders table names when registered in
+    this session's catalog (sources.bucketed.ensure_bucketed_facts), else
+    None — raw-parquet plans stay untouched unless a user opted in."""
+    from ..sources.bucketed import bucketed_fact_names
+
+    return bucketed_fact_names(spark, sf_dir)
+
+
+def _bucketed_lineitem_pk(spark, sf_dir: str):
+    """The (l_partkey, l_suppkey)-clustered lineitem copy, if registered."""
+    from ..sources.bucketed import bucketed_table
+
+    return bucketed_table(spark, sf_dir, "lineitem_pk")
+
+
 def _broadcast_hints(sf_dir: str, *tables: tuple[str, str]) -> str:
     """Explicit BROADCAST hints, gated on the dim's actual on-disk size.
 
@@ -431,10 +461,13 @@ def _maybe_broadcast(df, sf_dir: str, table: str):
     tags=("J6", "O1", "A2"),
 )
 def q03_top_parts_by_revenue(spark, sf_dir):
-    return run_sql(
-        spark, sf_dir,
-        Q03_SQL.replace("__HINTS__", _broadcast_hints(sf_dir, ("part", "p"))),
-    )
+    sql = Q03_SQL.replace("__HINTS__", _broadcast_hints(sf_dir, ("part", "p")))
+    bpk = _bucketed_lineitem_pk(spark, sf_dir)
+    if bpk:
+        # partkey-bucketed lineitem: the per-partkey aggregate (the whole
+        # query's dominant shuffle) runs exchange-free on bucket layout.
+        sql = sql.replace("{lineitem}", bpk)
+    return run_sql(spark, sf_dir, sql)
 
 
 # Aggregate lineitem by l_partkey BEFORE touching part: the group-by
@@ -558,10 +591,6 @@ def q04_semi_join_large_parts(spark, sf_dir):
     tags=("J5", "J3"),
 )
 def q05_nation_trade_roles(spark, sf_dir):
-    # Bench-scale width pin for the fact-fact SHJ, same gate as q24: the
-    # REPARTITION exchanges ARE the join shuffles (the join's required
-    # distribution is satisfied), so the pin adds no extra stage.
-    pin = _parquet_bytes(sf_dir, "lineitem") < _BROADCAST_GATE_BYTES
     # The bp conversion happens IN the scan projection, before the join
     # shuffle: one BIGINT crosses the exchange instead of two DOUBLEs
     # (measured 0.71 -> 0.65 s at sf1, 0.34 -> 0.33 s at sf0.1 — strictly
@@ -570,19 +599,34 @@ def q05_nation_trade_roles(spark, sf_dir):
         "l_orderkey, l_suppkey,"
         f" CAST(floor((l_extendedprice * (1 - l_discount)) * {BP} + 0.5D) AS BIGINT) AS _rev"
     )
-    l_src = (
-        f"(SELECT /*+ REPARTITION(16, l_orderkey) */ {l_proj} FROM {{lineitem}})"
-        if pin
-        else f"(SELECT {l_proj} FROM {{lineitem}})"
-    )
-    o_src = (
-        "(SELECT /*+ REPARTITION(16, o_orderkey) */ o_orderkey, o_custkey FROM {orders})"
-        if pin
-        else "{orders}"
-    )
+    bt = _bucketed_facts(spark, sf_dir)
+    if bt:
+        # Orderkey-bucketed facts: co-located, pre-sorted buckets — the
+        # fact-fact join plans with ZERO exchanges and ZERO sorts (merge
+        # join over bucket order, pinned in tests/test_plans.py). The one
+        # shuffle the raw plan pays per run was paid once at bucketing time.
+        l_src = f"(SELECT {l_proj} FROM {bt['lineitem']})"
+        o_src = bt["orders"]
+        sql = Q05_SQL.replace("SHUFFLE_HASH(o)", "MERGE(o)")
+    else:
+        # Bench-scale width pin for the fact-fact SHJ, same gate as q24:
+        # the REPARTITION exchanges ARE the join shuffles (the join's
+        # required distribution is satisfied), so the pin adds no stage.
+        pin = _parquet_bytes(sf_dir, "lineitem") < _BROADCAST_GATE_BYTES
+        l_src = (
+            f"(SELECT /*+ REPARTITION(16, l_orderkey) */ {l_proj} FROM {{lineitem}})"
+            if pin
+            else f"(SELECT {l_proj} FROM {{lineitem}})"
+        )
+        o_src = (
+            "(SELECT /*+ REPARTITION(16, o_orderkey) */ o_orderkey, o_custkey FROM {orders})"
+            if pin
+            else "{orders}"
+        )
+        sql = Q05_SQL
     return run_sql(
         spark, sf_dir,
-        Q05_SQL.replace("__LSRC__", l_src).replace("__OSRC__", o_src).replace(
+        sql.replace("__LSRC__", l_src).replace("__OSRC__", o_src).replace(
             "__HINTS__",
             _broadcast_hints(
                 sf_dir,
@@ -686,6 +730,16 @@ _PACK_BITS = 20
     tags=("J2", "A3"),
 )
 def q06_multikey_min_price_join(spark, sf_dir):
+    bpk = _bucketed_lineitem_pk(spark, sf_dir)
+    if bpk:
+        # (partkey, suppkey)-clustered+sorted lineitem: the window's
+        # required distribution is satisfied by the bucket hash and its
+        # required sort by the bucket sort order — the TWO-COLUMN window
+        # form runs with no exchange and no sort before the window, which
+        # is strictly better than the packed-key form (whose only purpose
+        # is cheapening the sort that no longer exists).
+        src = f"SELECT l_partkey, l_suppkey, l_extendedprice FROM {bpk}"
+        return run_sql(spark, sf_dir, Q06_SQL.replace("__SRC__", src))
     pin = _parquet_bytes(sf_dir, "lineitem") < _BROADCAST_GATE_BYTES
     sk = _parquet_col_minmax(sf_dir, "lineitem", "l_suppkey")
     pk = _parquet_col_minmax(sf_dir, "lineitem", "l_partkey")
@@ -1441,6 +1495,17 @@ def q23_limit_preview(spark, sf_dir):
     tags=("A8", "F4", "J3"),
 )
 def q24_grouped_column_reuse(spark, sf_dir):
+    bt = _bucketed_facts(spark, sf_dir)
+    if bt:
+        # Bucketed facts: the merge join AND the o_orderkey group-by are
+        # both satisfied by the bucket distribution — ZERO exchanges in the
+        # whole query (pinned in tests/test_plans.py).
+        return run_sql(
+            spark, sf_dir,
+            Q24_SQL.replace("SHUFFLE_HASH(o)", "MERGE(o)")
+            .replace("__O__", f"(SELECT o_orderkey, o_totalprice FROM {bt['orders']})")
+            .replace("__L__", f"(SELECT l_orderkey, l_partkey FROM {bt['lineitem']})"),
+        )
     width = 16 if _parquet_bytes(sf_dir, "lineitem") < _BROADCAST_GATE_BYTES else 0
     return run_sql(
         spark, sf_dir,

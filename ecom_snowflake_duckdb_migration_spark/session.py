@@ -59,6 +59,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Trust bucketed tables' sortBy order when each bucket holds one
+        # file (sources.bucketed writes exactly that): windows/merge-joins
+        # keyed on the sort columns then skip their SortExec entirely.
+        # Spark re-verifies the one-file-per-bucket precondition at plan
+        # time, so multi-file buckets still sort correctly.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     )
     # Local-mode shuffle files on tmpfs: a single-JVM local master has no
     # network and spills/shuffles are transient, so RAM-backed local.dir
