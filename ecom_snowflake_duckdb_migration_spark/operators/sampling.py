@@ -64,3 +64,53 @@ def stratified_sample(
             .otherwise(threshold)
         )
     return df.filter(sample_hash(id_col, seed) < threshold)
+
+
+def mix_rates_e6(counts: dict[str, int], weights_e6: dict[str, int]) -> dict[str, int]:
+    """Per-source keep rates achieving target mixture proportions.
+
+    Given observed counts n_s and target weights w_s (e6 fixed-point over
+    the listed sources), the largest achievable corpus with exact target
+    proportions is T = min_s(n_s / w_s); each source then keeps
+    c_s = T * w_s rows -> rate_s = c_s / n_s. All math in the integer e6
+    domain so Spark and the DuckDB oracle derive bit-identical rates.
+    Sources absent from ``weights_e6`` get rate 0 (dropped from the mix).
+    """
+    if not weights_e6:
+        raise ValueError("weights_e6 must name at least one source")
+    missing = [s for s in weights_e6 if s not in counts or counts[s] == 0]
+    if missing:
+        raise ValueError(f"weighted sources empty/absent from corpus: {missing}")
+    t = min(counts[s] * 1_000_000 // w for s, w in weights_e6.items() if w > 0)
+    return {
+        s: (t * w // 1_000_000) * 1_000_000 // counts[s]
+        for s, w in weights_e6.items()
+    }
+
+
+def domain_mix(
+    df: DataFrame,
+    weights_e6: dict[str, int],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Rebalance a corpus to target source proportions (training-data
+    mixture construction): downsample each source deterministically so the
+    surviving corpus matches ``weights_e6`` at the largest achievable size.
+
+    The per-source counts are one tiny aggregate collected to the driver
+    (|sources| rows — same class as the incremental high-water-mark scalar,
+    not a data-path collect); the selection itself is the pure-hash
+    stratified filter, so membership is reproducible across engines, runs
+    and partitionings. Proportions are exact in expectation (hash sampling
+    is binomial per row, like every rate-based sampler at scale).
+    """
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rates = mix_rates_e6(counts, weights_e6)
+    return stratified_sample(
+        df, rates, strata_col=strata_col, id_col=id_col, seed=seed, default_rate_e6=0
+    )

@@ -1106,3 +1106,48 @@ def x75_incremental_dedup(spark, sf_dir):
         batch, corpus, corpus_bands,
         k=3, num_hashes=32, bands=8, threshold_e6=800_000, hash_fn="md5",
     )
+
+
+# Target mixture for the domain-mix entry (e6 weights; unlisted sources
+# are dropped). The oracle derives the SAME per-source rates in SQL
+# integer math that operators.sampling.mix_rates_e6 derives in Python:
+# T = min_s(n_s * 1e6 // w_s); rate_s = (T * w_s // 1e6) * 1e6 // n_s;
+# threshold_hex = printf('%08x', rate * 16^8 // 1e6) (rate<1e6 always
+# holds here because T is the binding minimum).
+_MIX_WEIGHTS_E6 = {"src0": 600_000, "src1": 300_000, "src2": 100_000}
+
+
+@register(
+    "x76_domain_mix",
+    oracle=f"""
+    WITH w(source, w_e6) AS (VALUES {", ".join(f"('{s}', {w})" for s, w in sorted(_MIX_WEIGHTS_E6.items()))}),
+    n AS (
+        SELECT d.source, count(*) AS n_s, min(w.w_e6) AS w_e6
+        FROM documents d JOIN w ON d.source = w.source
+        GROUP BY d.source
+    ),
+    t AS (SELECT min(n_s * 1000000 // w_e6) AS t_e6 FROM n),
+    r AS (
+        SELECT source,
+               printf('%08x', ((t_e6 * w_e6 // 1000000) * 1000000 // n_s)
+                              * 4294967296 // 1000000) AS thr
+        FROM n, t
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN r ON d.source = r.source
+    WHERE substring(md5('42:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < r.thr
+    """,
+    doc="Domain mixing for training-corpus construction "
+    "(operators.sampling.domain_mix): rebalance source proportions to "
+    "target weights at the largest achievable size (T = min n_s/w_s), "
+    "then keep rows by the deterministic hash filter. The per-source "
+    "counts are a |sources|-row driver scalar (like dbt's max(ts) "
+    "high-water mark); the selection is pure Catalyst hash+filter — "
+    "no shuffle, engine-reproducible membership.",
+    tags=("LLM", "sampling", "mixing"),
+)
+def x76_domain_mix(spark, sf_dir):
+    from ..operators.sampling import domain_mix
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return domain_mix(d, _MIX_WEIGHTS_E6, strata_col="source", id_col="doc_id", seed=42)

@@ -49,6 +49,21 @@ def main() -> None:
             "spark.local.dir": "/dev/shm/spark-bench",
         },
     )
+    # Bucketed fact layout, same default-on flag as bench.py (prep untimed,
+    # reused across runs via the warehouse dir).
+    bucketed = os.environ.get("SPARK_GRAFT_BENCH_BUCKETED", "1").lower() not in ("0", "false")
+    bucket_prep = None
+    if bucketed:
+        from ecom_snowflake_duckdb_migration_spark.sources.bucketed import (
+            ensure_bucketed_facts,
+        )
+
+        t0 = time.perf_counter()
+        ensure_bucketed_facts(
+            spark, sf_dir, buckets=int(os.environ.get("SPARK_GRAFT_BENCH_BUCKETS", "32"))
+        )
+        bucket_prep = round(time.perf_counter() - t0, 3)
+
     for name in HEADLINE:  # one warm pass (codegen + page cache)
         specs[name].fn(spark, sf_dir).toArrow()
     timings = time_blocked(
@@ -65,6 +80,8 @@ def main() -> None:
         "n": n,
         "spark_queries": timings,
         "duckdb_queries": duck,
+        "bucketed": bucketed,
+        "bucketed_prep_sec": bucket_prep,
     }
     line = json.dumps(result)
     print(line)

@@ -545,3 +545,33 @@ def test_incremental_dedup_batch_equivalence_and_store(spark, sf_dir, tmp_path):
     bad = dict(params, bands=16)
     with _pytest.raises(ValueError):
         store.merge_into(spark, path, inc.lsh_band_table(batch, **bad), "lsh_bands", **bad)
+
+
+def test_domain_mix_rates_and_proportions(spark, sf_dir):
+    """mix_rates_e6 integer math + domain_mix proportions: the surviving
+    corpus matches the target weights at the largest achievable size."""
+    import pytest as _pytest
+
+    from ecom_snowflake_duckdb_migration_spark.operators.sampling import (
+        domain_mix,
+        mix_rates_e6,
+    )
+
+    # T = min(40/0.8, 10/0.2) = 50 -> keep all 10 of b, 40 of a
+    rates = mix_rates_e6({"a": 40, "b": 10, "c": 99}, {"a": 800_000, "b": 200_000})
+    assert rates == {"a": 1_000_000, "b": 1_000_000}
+    # binding source changes: T = min(100/0.5, 10/0.5) = 20 -> a keeps 10/100
+    rates = mix_rates_e6({"a": 100, "b": 10}, {"a": 500_000, "b": 500_000})
+    assert rates == {"a": 100_000, "b": 1_000_000}
+    with _pytest.raises(ValueError):
+        mix_rates_e6({"a": 10}, {"a": 500_000, "ghost": 500_000})
+    with _pytest.raises(ValueError):
+        mix_rates_e6({"a": 10}, {})
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    out = domain_mix(d, {"src0": 600_000, "src1": 300_000, "src2": 100_000})
+    by_src = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    assert set(by_src) <= {"src0", "src1", "src2"}  # unlisted sources dropped
+    # hash sampling is binomial; proportions land near target at n=25/source
+    total = sum(by_src.values())
+    assert total > 0 and by_src.get("src0", 0) >= by_src.get("src1", 0) >= by_src.get("src2", 0)
