@@ -80,6 +80,15 @@ def mix_rates_e6(counts: dict[str, int], weights_e6: dict[str, int]) -> dict[str
         raise ValueError("weights_e6 must name at least one source")
     missing = [s for s in weights_e6 if s not in counts or counts[s] == 0]
     if missing:
+        if len(missing) == len(weights_e6):
+            # whole corpus (or every weighted slice of it) is empty: the
+            # largest corpus matching the mixture is empty — not an error,
+            # so empty-input pipelines compose (same contract as every
+            # other catalog operator).
+            return {s: 0 for s in weights_e6}
+        # some weighted sources have rows while others are absent — a
+        # mixture with a positive weight on an empty source is impossible
+        # at any size, and an absent name is most likely a typo: raise.
         raise ValueError(f"weighted sources empty/absent from corpus: {missing}")
     t = min(counts[s] * 1_000_000 // w for s, w in weights_e6.items() if w > 0)
     return {

@@ -91,6 +91,8 @@ def ensure_bucketed_facts(
     Returns the table-name map. One-time cost ~ one shuffle of each fact —
     amortized over every subsequent orderkey join.
     """
+    import json
+
     from ..queries import load
 
     warehouse = spark.conf.get(
@@ -103,17 +105,31 @@ def ensure_bucketed_facts(
         if spark.catalog.tableExists(name):
             continue
         location = os.path.join(warehouse, name)
-        if os.path.isdir(location) and any(
-            f.startswith("part-") for f in os.listdir(location)
-        ):
+        sidecar = os.path.join(location, "_bucket_layout.json")
+        if os.path.isfile(sidecar):
+            # Re-register existing files. The bucket count MUST come from
+            # the layout they were written with: registering N-bucket files
+            # as M buckets would hash rows to the wrong buckets and
+            # silently drop join matches. (Spark ignores _-prefixed files.)
+            with open(sidecar) as f:
+                layout = json.load(f)
             schema = spark.read.parquet(location).schema
             ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
             spark.sql(
                 f"CREATE TABLE {name} ({ddl}) USING parquet"
-                f" CLUSTERED BY ({key}) SORTED BY ({', '.join(sort_cols)})"
-                f" INTO {buckets} BUCKETS LOCATION '{location}'"
+                f" CLUSTERED BY ({layout['key']})"
+                f" SORTED BY ({', '.join(layout['sort_cols'])})"
+                f" INTO {layout['buckets']} BUCKETS LOCATION '{location}'"
             )
             continue
+        if os.path.isdir(location):
+            # Files without a layout sidecar are unverifiable (pre-sidecar
+            # writes or a torn copy) — rewrite rather than guess, and clear
+            # the dir first (Spark refuses managed tables on non-empty
+            # locations).
+            import shutil
+
+            shutil.rmtree(location, ignore_errors=True)
         (
             load(spark, sf_dir, table)
             .repartition(buckets, key)
@@ -122,6 +138,8 @@ def ensure_bucketed_facts(
             .sortBy(*sort_cols)
             .saveAsTable(name)
         )
+        with open(sidecar, "w") as f:
+            json.dump({"key": key, "sort_cols": sort_cols, "buckets": buckets}, f)
     return out
 
 

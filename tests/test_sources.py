@@ -287,3 +287,70 @@ def test_sync_to_targets_verifies_counts(spark, sf_dir, tmp_path):
     }
     assert broken["csv"].ok is False
     assert broken["parquet"].ok is True
+
+
+def test_bucketed_reregister_preserves_layout(spark, sf_dir):
+    """Cross-session reuse: files written with N buckets must re-register
+    with N buckets from the layout sidecar (a different count would hash
+    rows to the wrong buckets and silently lose join matches), and the
+    re-registered pair still joins with zero exchanges."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ecom_snowflake_duckdb_migration_spark import plans
+    from ecom_snowflake_duckdb_migration_spark.sources.bucketed import (
+        bucketed_name,
+        drop_bucketed_facts,
+        ensure_bucketed_facts,
+    )
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    stash = None
+    try:
+        names = ensure_bucketed_facts(spark, sf_dir, buckets=4)
+        # simulate a fresh session: drop catalog entries but keep the files
+        stash = warehouse + "_stash"
+        shutil.rmtree(stash, ignore_errors=True)
+        os.makedirs(stash)
+        for alias, name in names.items():
+            shutil.copytree(os.path.join(warehouse, name), os.path.join(stash, name))
+        drop_bucketed_facts(spark, sf_dir)
+        for name in names.values():
+            shutil.copytree(os.path.join(stash, name), os.path.join(warehouse, name))
+
+        # re-register asks for a DIFFERENT count; sidecar must win
+        names2 = ensure_bucketed_facts(spark, sf_dir, buckets=16)
+        assert names2 == names
+        li, od = names["lineitem"], names["orders"]
+        meta = json.load(
+            open(os.path.join(warehouse, li, "_bucket_layout.json"))
+        )
+        assert meta["buckets"] == 4
+        joined = (
+            spark.table(od)
+            .join(spark.table(li), F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert plans.plan_stats(joined).shuffles == 0
+        # row-count identical to the raw join (no matches lost)
+        from ecom_snowflake_duckdb_migration_spark.queries import load
+
+        raw = (
+            load(spark, sf_dir, "orders")
+            .join(
+                load(spark, sf_dir, "lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .count()
+        )
+        assert spark.table(od).join(
+            spark.table(li), F.col("o_orderkey") == F.col("l_orderkey")
+        ).count() == raw
+    finally:
+        drop_bucketed_facts(spark, sf_dir)
+        if stash:
+            shutil.rmtree(stash, ignore_errors=True)
