@@ -93,13 +93,16 @@ def incremental_minhash_pairs(
         .select(nid.alias("d1"), F.col(f"m.{id_col}").alias("d2"))
     )
     candidates = cross.unionByName(within).distinct()
-    # Text read-back only for matched corpus docs: candidate ids -> semi-join.
+    # Text read-back only for docs that actually appear in a candidate
+    # pair — BOTH sides semi-join on the candidate ids. On a large daily
+    # batch where few docs have near-dups, shingling the whole batch a
+    # second time would dominate the verify cost for nothing.
     cand_ids = (
         candidates.select(F.col("d1").alias(id_col))
         .unionByName(candidates.select(F.col("d2").alias(id_col)))
         .distinct()
     )
     corpus_needed = corpus_docs.select(id_col, text_col).join(cand_ids, id_col, "left_semi")
-    docs_needed = new_docs.select(id_col, text_col).unionByName(corpus_needed)
-    sh = char_shingles(docs_needed, text_col, id_col, k)
+    new_needed = new_docs.select(id_col, text_col).join(cand_ids, id_col, "left_semi")
+    sh = char_shingles(new_needed.unionByName(corpus_needed), text_col, id_col, k)
     return jaccard_verify_pairs(candidates, sh, id_col, threshold_e6)

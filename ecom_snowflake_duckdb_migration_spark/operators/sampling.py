@@ -78,6 +78,12 @@ def mix_rates_e6(counts: dict[str, int], weights_e6: dict[str, int]) -> dict[str
     """
     if not weights_e6:
         raise ValueError("weights_e6 must name at least one source")
+    # zero-weight entries cannot constrain the mixture and should not trip
+    # the absent-source check (they mean "drop this source", same as not
+    # listing it) — but ALL weights zero is a contradiction, not a mixture.
+    weights_e6 = {s: w for s, w in weights_e6.items() if w > 0}
+    if not weights_e6:
+        raise ValueError("weights_e6 must carry at least one positive weight")
     missing = [s for s in weights_e6 if s not in counts or counts[s] == 0]
     if missing:
         if len(missing) == len(weights_e6):

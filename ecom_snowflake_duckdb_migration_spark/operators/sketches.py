@@ -684,7 +684,11 @@ def hll_group_sketch(
     rem = h % F.lit(1 << rem_bits)
     bitlen = F.when(rem == 0, F.lit(0)).otherwise(F.length(F.conv(rem, 10, 2)))
     return (
-        df.select(
+        # same NULL-key hygiene as hll_sketch/kmv_sketch: COUNT(DISTINCT)
+        # ignores NULLs; a NULL key would otherwise emit a (group, NULL,
+        # NULL) row and skew the per-group nonempty-bucket counts.
+        df.where(key_col.isNotNull())
+        .select(
             *group_cols,
             F.shiftright(h, rem_bits).alias("bucket"),
             (F.lit(rem_bits + 1) - bitlen).cast("int").alias("rho"),
@@ -738,6 +742,7 @@ def o_hll_group_sketch(table_expr: str, group_cols: list[str], key_expr: str, p:
            CAST(max({rem_bits + 1} - (CASE WHEN {rem} = 0 THEN 0
                                            ELSE length(bin({rem})) END)) AS INT) AS rho
     FROM {table_expr}
+    WHERE ({key_expr}) IS NOT NULL
     GROUP BY {gcols}, bucket
     """
 

@@ -102,6 +102,19 @@ def driver_canonicalize(columns: list[str], rows: list[tuple]):
 
     cols = sorted(columns)
     pdf = pd.DataFrame(rows, columns=columns)[cols]
+    # sort_values only routes through Categorical/factorize (where lists
+    # blow up) for MULTI-column sorts — a single-column frame of lists
+    # sorts fine locally yet still dies in the driver's hash step. Reject
+    # unhashable cell types explicitly so the guarantee holds for every
+    # arity.
+    for c in cols:
+        if pdf[c].dtype == object:
+            bad = pdf[c].map(lambda v: isinstance(v, (list, dict, set))).any()
+            if bad:
+                raise TypeError(
+                    f"column {c!r} holds unhashable values (list/dict/set) — "
+                    "the driver's canonicalizer cannot process them"
+                )
     pdf = pdf.sort_values(by=cols).reset_index(drop=True)  # raises on unhashables
     return pdf
 

@@ -271,7 +271,7 @@ Q02_SQL_RAWJOIN = f"""
         FROM {{orders}} o JOIN lraw ON lraw.l_orderkey = o.o_orderkey
         GROUP BY o.o_custkey
     )
-    SELECT /*+ BROADCAST(n), BROADCAST(r) */
+    SELECT /*+ __CHINT__BROADCAST(n), BROADCAST(r) */
            r.r_name, n.n_name,
            CAST(sum(_crev) / {BP}.0D AS DOUBLE) AS revenue,
            count(*)                             AS n_customers
@@ -297,7 +297,7 @@ Q02_SQL = f"""
         FROM {{orders}} o JOIN lrev ON lrev.l_orderkey = o.o_orderkey
         GROUP BY o.o_custkey
     )
-    SELECT /*+ BROADCAST(n), BROADCAST(r) */
+    SELECT /*+ __CHINT__BROADCAST(n), BROADCAST(r) */
            r.r_name, n.n_name,
            CAST(sum(_crev) / {BP}.0D AS DOUBLE) AS revenue,
            count(*)                             AS n_customers

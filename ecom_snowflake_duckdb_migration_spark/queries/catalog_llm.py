@@ -1112,9 +1112,16 @@ def x75_incremental_dedup(spark, sf_dir):
 # are dropped). The oracle derives the SAME per-source rates in SQL
 # integer math that operators.sampling.mix_rates_e6 derives in Python:
 # T = min_s(n_s * 1e6 // w_s); rate_s = (T * w_s // 1e6) * 1e6 // n_s;
-# threshold_hex = printf('%08x', rate * 16^8 // 1e6) (rate<1e6 always
-# holds here because T is the binding minimum).
-_MIX_WEIGHTS_E6 = {"src0": 600_000, "src1": 300_000, "src2": 100_000}
+# threshold_hex = printf('%08x', rate * 16^8 // 1e6), EXCEPT rate ==
+# 1_000_000 which must map to 'g' exactly like rate_to_threshold_hex —
+# printf would yield the 9-char '100000000', which sorts BELOW most hex
+# strings and would keep ~6% instead of all rows. A full-keep rate occurs
+# whenever a source's count divides the weights exactly (the binding
+# source always has it), so the clamp is load-bearing, not defensive.
+# 500k/300k/200k over 25-doc sources makes src0 the binding source with
+# an EXACT full-keep rate (T=50, c=25, rate=1e6) — so the oracle's 'g'
+# clamp is exercised by the gate, not latent.
+_MIX_WEIGHTS_E6 = {"src0": 500_000, "src1": 300_000, "src2": 200_000}
 
 
 @register(
@@ -1129,8 +1136,10 @@ _MIX_WEIGHTS_E6 = {"src0": 600_000, "src1": 300_000, "src2": 100_000}
     t AS (SELECT min(n_s * 1000000 // w_e6) AS t_e6 FROM n),
     r AS (
         SELECT source,
-               printf('%08x', ((t_e6 * w_e6 // 1000000) * 1000000 // n_s)
-                              * 4294967296 // 1000000) AS thr
+               CASE WHEN ((t_e6 * w_e6 // 1000000) * 1000000 // n_s) >= 1000000
+                    THEN 'g'
+                    ELSE printf('%08x', ((t_e6 * w_e6 // 1000000) * 1000000 // n_s)
+                                * 4294967296 // 1000000) END AS thr
         FROM n, t
     )
     SELECT d.doc_id, d.source

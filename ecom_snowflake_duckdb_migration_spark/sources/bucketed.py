@@ -55,6 +55,21 @@ def _tag(sf_dir: str) -> str:
     return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
 
 
+def _source_fingerprint(sf_dir: str, table: str) -> list[list]:
+    """(name, size, mtime_ns) of the source parquet file(s): regenerated
+    data at the same path must invalidate the cached bucketed copy, or the
+    bucketed queries would silently read stale facts while every other
+    query reads the new files."""
+    import glob
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    files = [path] if os.path.isfile(path) else sorted(glob.glob(f"{path}/*.parquet"))
+    return [
+        [os.path.basename(f), os.path.getsize(f), os.stat(f).st_mtime_ns]
+        for f in files
+    ]
+
+
 def bucketed_name(sf_dir: str, alias: str) -> str:
     return f"bkt_{_tag(sf_dir)}_{alias}"
 
@@ -106,13 +121,17 @@ def ensure_bucketed_facts(
             continue
         location = os.path.join(warehouse, name)
         sidecar = os.path.join(location, "_bucket_layout.json")
+        fingerprint = _source_fingerprint(sf_dir, table)
         if os.path.isfile(sidecar):
+            with open(sidecar) as f:
+                layout = json.load(f)
+        else:
+            layout = None
+        if layout is not None and layout.get("source") == fingerprint:
             # Re-register existing files. The bucket count MUST come from
             # the layout they were written with: registering N-bucket files
             # as M buckets would hash rows to the wrong buckets and
             # silently drop join matches. (Spark ignores _-prefixed files.)
-            with open(sidecar) as f:
-                layout = json.load(f)
             schema = spark.read.parquet(location).schema
             ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
             spark.sql(
@@ -123,10 +142,10 @@ def ensure_bucketed_facts(
             )
             continue
         if os.path.isdir(location):
-            # Files without a layout sidecar are unverifiable (pre-sidecar
-            # writes or a torn copy) — rewrite rather than guess, and clear
-            # the dir first (Spark refuses managed tables on non-empty
-            # locations).
+            # No sidecar (pre-sidecar write / torn copy) or a stale source
+            # fingerprint (regenerated data at the same path) — rewrite
+            # rather than guess or serve stale facts, clearing the dir
+            # first (Spark refuses managed tables on non-empty locations).
             import shutil
 
             shutil.rmtree(location, ignore_errors=True)
@@ -139,7 +158,15 @@ def ensure_bucketed_facts(
             .saveAsTable(name)
         )
         with open(sidecar, "w") as f:
-            json.dump({"key": key, "sort_cols": sort_cols, "buckets": buckets}, f)
+            json.dump(
+                {
+                    "key": key,
+                    "sort_cols": sort_cols,
+                    "buckets": buckets,
+                    "source": fingerprint,
+                },
+                f,
+            )
     return out
 
 

@@ -94,6 +94,21 @@ def merge_into(spark: SparkSession, path: str, new_sketch: DataFrame, kind: str,
     reader can hit ENOENT in that instant and should retry; a crash leaves
     a complete ``.old`` or ``.tmp`` to recover from, never a torn store.
     """
+    import shutil
+
+    # Crash recovery BEFORE anything else: a crash between the two swap
+    # renames leaves the only complete store at '.old' and nothing at
+    # ``path``. Without this, the next merge would take the first-write
+    # branch (no sidecar at path) and then rmtree '.old' — silently
+    # discarding the entire accumulated history.
+    old = path.rstrip("/") + ".old"
+    if not os.path.exists(_meta_path(path)) and os.path.exists(
+        os.path.join(old, _META_NAME)
+    ):
+        if os.path.isdir(path):  # torn partial at path: the .old is older
+            shutil.rmtree(path)  # but complete — prefer complete
+        os.rename(old, path)
+
     if os.path.exists(_meta_path(path)):
         prev, meta = read_sketch(spark, path)
         if meta["kind"] != kind or {k: meta["params"].get(k) for k in params} != {
@@ -106,10 +121,7 @@ def merge_into(spark: SparkSession, path: str, new_sketch: DataFrame, kind: str,
         merged = merge_sketches(prev, new_sketch, kind, **params)
     else:
         merged = new_sketch
-    import shutil
-
     tmp = path.rstrip("/") + ".tmp"
-    old = path.rstrip("/") + ".old"
     merged.write.mode("overwrite").parquet(tmp)
     # Sidecar goes into the sibling BEFORE the swap: the rename then moves
     # parquet + metadata together, so no reader window sees one without

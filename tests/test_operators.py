@@ -575,3 +575,20 @@ def test_domain_mix_rates_and_proportions(spark, sf_dir):
     # hash sampling is binomial; proportions land near target at n=25/source
     total = sum(by_src.values())
     assert total > 0 and by_src.get("src0", 0) >= by_src.get("src1", 0) >= by_src.get("src2", 0)
+
+
+def test_mix_rates_zero_weights():
+    from ecom_snowflake_duckdb_migration_spark.operators.sampling import mix_rates_e6
+    import pytest as _pytest
+
+    # zero-weight entries are "drop this source" — no constraint, no raise;
+    # a single positive-weight source then trivially keeps everything
+    # (weights are relative proportions, not absolute rates)
+    assert mix_rates_e6({"a": 10}, {"a": 500_000, "ghost": 0}) == {"a": 1_000_000}
+    with _pytest.raises(ValueError):
+        mix_rates_e6({"a": 10}, {"a": 0})  # all-zero weights: contradiction
+    # exact full-keep rate on the binding source (the x76 oracle 'g' clamp case)
+    assert mix_rates_e6({"a": 25, "b": 50}, {"a": 500_000, "b": 500_000}) == {
+        "a": 1_000_000,
+        "b": 500_000,
+    }

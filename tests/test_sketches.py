@@ -235,3 +235,33 @@ def test_sketch_store_fold_equals_whole(spark, sf_dir, tmp_path):
         store.merge_into(
             spark, str(tmp_path / "hll"), sk.hll_sketch(ev, "user_id", p=10), "hll", p=10
         )
+
+
+def test_sketch_store_crash_recovery(spark, sf_dir, tmp_path):
+    """A crash between the two swap renames leaves only '.old'; the next
+    merge must recover it instead of reinitializing and deleting history."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ecom_snowflake_duckdb_migration_spark.operators import sketches as sk
+    from ecom_snowflake_duckdb_migration_spark.sources import sketch_store as store
+
+    path = str(tmp_path / "kmv")
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    first = sk.kmv_sketch(df.limit(100), "o_orderkey", k=64)
+    store.merge_into(spark, path, first, "kmv", k=64)
+    baseline = sorted(r.h for r in store.read_sketch(spark, path)[0].collect())
+
+    # simulate the torn window: store renamed aside, nothing at path
+    shutil.move(path, path + ".old")
+    assert not os.path.exists(path)
+
+    second = sk.kmv_sketch(df.limit(150), "o_orderkey", k=64)
+    store.merge_into(spark, path, second, "kmv", k=64)
+    merged = sorted(r.h for r in store.read_sketch(spark, path)[0].collect())
+    # history survived: the recovered store contains the first batch's hashes
+    whole = sk.kmv_merge(first, second, k=64)
+    assert merged == sorted(r.h for r in whole.collect())
+    assert set(baseline) <= set(merged) or len(merged) == 64

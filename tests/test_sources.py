@@ -354,3 +354,59 @@ def test_bucketed_reregister_preserves_layout(spark, sf_dir):
         drop_bucketed_facts(spark, sf_dir)
         if stash:
             shutil.rmtree(stash, ignore_errors=True)
+
+
+def test_bucketed_cache_invalidates_on_source_change(spark, tmp_path):
+    """Regenerated source data at the same sf_dir path must invalidate the
+    cached bucketed copy — stale facts silently served to the bucketed
+    queries would diverge from every raw-path reader."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ecom_snowflake_duckdb_migration_spark.sources.bucketed import (
+        drop_bucketed_facts,
+        ensure_bucketed_facts,
+    )
+
+    src = str(tmp_path / "sfX")
+    shutil.copytree("/root/testdata/sf0.001", src)
+    try:
+        names = ensure_bucketed_facts(spark, src, buckets=4)
+        n1 = spark.table(names["orders"]).count()
+        # regenerate: halve orders at the same path
+        half = spark.read.parquet(f"{src}/orders.parquet").limit(n1 // 2)
+        pdf = half.toPandas()
+        shutil.rmtree(f"{src}/orders.parquet", ignore_errors=True)
+        import os
+
+        if os.path.exists(f"{src}/orders.parquet"):
+            os.remove(f"{src}/orders.parquet")
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(pa.Table.from_pandas(pdf), f"{src}/orders.parquet")
+        # simulate a fresh session: catalog entries gone, FILES REMAIN
+        # (managed-table DROP deletes data, so stash and restore the dirs
+        # to reach the re-register decision point)
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        stash = str(tmp_path / "stash")
+        os.makedirs(stash)
+        for name in names.values():
+            shutil.copytree(os.path.join(warehouse, name), os.path.join(stash, name))
+        for name in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        for name in names.values():
+            shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+            shutil.copytree(os.path.join(stash, name), os.path.join(warehouse, name))
+        from ecom_snowflake_duckdb_migration_spark.queries import clear_load_cache
+
+        clear_load_cache()
+        names2 = ensure_bucketed_facts(spark, src, buckets=4)
+        assert spark.table(names2["orders"]).count() == n1 // 2  # rebuilt, not stale
+        # untouched lineitem re-registered from the stash (fingerprint match)
+        assert spark.table(names2["lineitem"]).count() == spark.read.parquet(
+            f"{src}/lineitem.parquet"
+        ).count()
+    finally:
+        drop_bucketed_facts(spark, src)
