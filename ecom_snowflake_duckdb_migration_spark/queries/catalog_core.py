@@ -483,27 +483,32 @@ def q03_top_parts_by_revenue(spark, sf_dir):
 # on the aggregate output and the join probes 10 rows instead of |parts|.
 # The outer ORDER BY re-asserts the result order after the join.
 # The oracle's INNER join drops partkeys with no part row BEFORE ranking,
-# so the pre-join top-k must rank only FK-matching keys: the semi-join
-# (IN subquery) against part's key column makes the rewrite exact on ANY
-# data, not just FK-clean data. Cost: one key-only scan of part feeding a
-# (broadcast-gated) semi-join over the |part|-sized aggregate output —
-# negligible next to the fact aggregate, and scale-safe (both semi sides
-# are |part|-sized, never |lineitem|).
+# so the pre-join top-k must rank only FK-matching keys: the inner join
+# against part's DISTINCT key column makes the rewrite exact on ANY data,
+# not just FK-clean data. It is deliberately an INNER join and not a semi
+# (IN subquery): Catalyst pushes left-semi joins BELOW aggregates when the
+# semi key is the grouping key, which at broadcast sizes is free but past
+# the broadcast gate turns into a |lineitem|-row shuffle probe — the
+# post-agg inner join keeps the probe at |partkeys| rows at every scale.
+# No DISTINCT on the key scan: p_partkey is the reference schema's
+# declared PRIMARY KEY (dbt schema tests pin uniqueness), and a dedup
+# aggregate would cost the exact exchange this shape exists to avoid.
 Q03_SQL = f"""
     SELECT __HINTS__
            p.p_partkey, p.p_name,
            CAST(la.rev_bp / {BP}.0D AS DOUBLE) AS revenue,
            CAST(la.qty_bp / {BP}.0D AS DOUBLE) AS total_qty
     FROM (
-        SELECT l_partkey, rev_bp, qty_bp FROM (
+        SELECT la0.l_partkey, rev_bp, qty_bp FROM (
             SELECT l_partkey,
                    sum(CAST(floor((l_extendedprice * (1 - l_discount)) * {BP} + 0.5D) AS BIGINT)) AS rev_bp,
                    sum(CAST(floor(l_quantity * {BP} + 0.5D) AS BIGINT))                           AS qty_bp
             FROM {{lineitem}}
             GROUP BY l_partkey
-        )
-        WHERE l_partkey IN (SELECT p_partkey FROM {{part}})
-        ORDER BY rev_bp DESC, l_partkey
+        ) la0
+        JOIN (SELECT p_partkey AS pk_key FROM {{part}}) pk
+          ON pk.pk_key = la0.l_partkey
+        ORDER BY rev_bp DESC, la0.l_partkey
         LIMIT 10
     ) la
     JOIN {{part}} p ON p.p_partkey = la.l_partkey
@@ -514,9 +519,11 @@ Q03_SQL = f"""
 
 def q03_top_parts_by_revenue_df(spark, sf_dir):
     # Top-k below the join (see Q03_SQL's comment): only 10 rows reach part.
-    # Semi-join against part keys BEFORE the top-k so FK-orphan partkeys
-    # can't displace real top-10 rows (oracle joins first, then ranks).
-    pk = load(spark, sf_dir, "part").select("p_partkey")
+    # Inner-join against DISTINCT part keys BEFORE the top-k so FK-orphan
+    # partkeys can't displace real top-10 rows (oracle joins first, then
+    # ranks); inner, not semi, so Catalyst can't push the probe below the
+    # aggregate onto the raw fact (see Q03_SQL's comment).
+    pk = load(spark, sf_dir, "part").select(F.col("p_partkey").alias("pk_key"))
     la = (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_partkey")
@@ -525,7 +532,8 @@ def q03_top_parts_by_revenue_df(spark, sf_dir):
             F.sum(to_bp(F.col("l_quantity"))).alias("qty_bp"),
         )
         .join(_maybe_broadcast(pk, sf_dir, "part"),
-              F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+              F.col("l_partkey") == F.col("pk_key"), "inner")
+        .drop("pk_key")
         .orderBy(F.desc("rev_bp"), F.asc("l_partkey"))
         .limit(10)
     )
