@@ -1,6 +1,8 @@
 """Structured Streaming operators: event-stream ingest, watermark dedup,
-tumbling-window aggregation, foreachBatch upsert sink."""
+tumbling-window aggregation, foreachBatch upsert sink, streaming corpus
+dedup against the durable LSH band store."""
 
+from .corpus_dedup import streaming_corpus_dedup
 from .ingest import (
     dedup_stream,
     foreach_batch_pipeline,
@@ -12,6 +14,7 @@ from .sessionize import running_counts_stateful, sessionize
 
 __all__ = [
     "dedup_stream",
+    "streaming_corpus_dedup",
     "foreach_batch_pipeline",
     "read_event_stream",
     "running_counts_stateful",

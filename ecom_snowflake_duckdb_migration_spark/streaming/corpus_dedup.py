@@ -1,0 +1,117 @@
+"""Streaming corpus deduplication: each micro-batch of documents probes the
+durable LSH band store, emits its near-dup pairs, and folds its own band
+rows into the store.
+
+The streaming composition of :mod:`..operators.incremental_dedup` — the
+shape a training-data ingest actually runs: documents arrive continuously
+(files dropped into a directory, the reference's S3-drop pattern), and the
+pipeline must answer "is this new document a near-dup of ANYTHING seen so
+far?" without ever re-pairing history.
+
+Per micro-batch (``foreachBatch``):
+1. sign + band the batch only;
+2. probe its band rows against the ``lsh_bands`` store (equi-join on
+   (band, bucket)) for batch-vs-corpus candidates, plus a batch self-join
+   for batch-internal candidates;
+3. exact-Jaccard verify candidates only (corpus text read back just for
+   candidate ids via the caller-supplied ``corpus_lookup``);
+4. append verified pairs to the output sink, then ``merge_into`` the
+   batch's band rows (distinct-union — idempotent, so a replayed batch
+   after a failure cannot duplicate store rows) and the batch's docs into
+   the text store.
+
+Exactly-once: pairs are written per-batch with the micro-batch id
+(foreachBatch's replay key); the band-store merge is idempotent by
+construction. State is the DURABLE parquet store, not Spark state-store
+memory — watermarks are unnecessary because near-dup lookback is
+unbounded by design (that is the point of corpus dedup).
+
+Equivalence contract (pinned in tests/test_streaming.py): running the
+stream over a seeded directory with availableNow and concatenating the
+emitted pair batches equals the one-shot batch ``minhash_lsh_pairs`` over
+the full corpus, restricted to pairs whose LATER doc arrived after the
+earlier one — i.e. every pair is reported exactly once, when its second
+member arrives.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.incremental_dedup import incremental_minhash_pairs, lsh_band_table
+from ..sources import sketch_store
+
+
+def streaming_corpus_dedup(
+    docs_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    pairs_out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold_e6: int = 800_000,
+    hash_fn: str = "xxhash64",
+):
+    """Wire a document stream into the incremental-dedup loop.
+
+    ``store_dir`` holds two durable artifacts: ``bands`` (the lsh_bands
+    sketch store) and ``docs`` (the corpus text, appended per batch — the
+    targeted read-back source for candidate verification). Returns the
+    started StreamingQuery; stop it or use ``trigger(availableNow=True)``
+    upstream of this call via ``docs_stream`` options.
+    """
+    params = dict(k=k, num_hashes=num_hashes, bands=bands, hash_fn=hash_fn)
+    bands_path = os.path.join(store_dir, "bands")
+    docs_path = os.path.join(store_dir, "docs")
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.select(id_col, text_col)
+        batch.persist()
+        try:
+            if batch.rdd.isEmpty():
+                return
+            if os.path.exists(docs_path):
+                corpus = spark.read.parquet(docs_path)
+                corpus_bands, meta = sketch_store.read_sketch(spark, bands_path)
+                if meta["kind"] != "lsh_bands":
+                    raise ValueError(f"store at {bands_path} is {meta['kind']}")
+            else:
+                corpus = spark.createDataFrame([], batch.schema)
+                corpus_bands = lsh_band_table(corpus, text_col, id_col, **params)
+            pairs = incremental_minhash_pairs(
+                batch, corpus, corpus_bands,
+                text_col=text_col, id_col=id_col,
+                threshold_e6=threshold_e6, **params,
+            ).withColumn("batch_id", F.lit(batch_id))
+            # pairs first (idempotent per batch id on replay: overwrite the
+            # batch's own partition), then the idempotent store merges.
+            pairs.write.mode("overwrite").parquet(
+                os.path.join(pairs_out_dir, f"batch_id={batch_id}")
+            )
+            sketch_store.merge_into(
+                spark, bands_path,
+                lsh_band_table(batch, text_col, id_col, **params),
+                "lsh_bands", **params,
+            )
+            # replayed batch: drop docs already in the corpus before append
+            new_docs = batch
+            if os.path.exists(docs_path):
+                seen = spark.read.parquet(docs_path).select(id_col)
+                new_docs = batch.join(seen, id_col, "left_anti")
+            new_docs.write.mode("append").parquet(docs_path)
+        finally:
+            batch.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

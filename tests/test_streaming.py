@@ -358,3 +358,69 @@ def test_stream_static_enrichment(spark, event_source, sf_dir):
     matched = got.filter(F.col("c_mktsegment").isNotNull()).count()
     want_matched = events.join(dim, events.user_id == dim.user_key, "inner").count()
     assert matched == want_matched
+
+
+def test_streaming_corpus_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """availableNow stream over three document drops == one-shot batch LSH
+    over the full corpus: every near-dup pair is emitted exactly once, in
+    the batch where its later member arrived; a re-run over the same
+    source emits nothing new (checkpoint) and the store stays correct."""
+    import os
+
+    from ecom_snowflake_duckdb_migration_spark.operators import text as tx
+    from ecom_snowflake_duckdb_migration_spark.streaming.corpus_dedup import (
+        streaming_corpus_dedup,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "drops")
+    os.makedirs(src)
+    # three ordered drops; later file = later micro-batch (mtime order)
+    import time as _time
+
+    for i, (lo, hi) in enumerate([(0, 200), (200, 400), (400, 600)]):
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{src}/.tmp_{i}")
+        # file source orders micro-batches by modification time
+        batch_file = [
+            f for f in os.listdir(f"{src}/.tmp_{i}") if f.endswith(".parquet")
+        ][0]
+        os.rename(f"{src}/.tmp_{i}/{batch_file}", f"{src}/drop_{i}.parquet")
+        _time.sleep(1.1)
+
+    from ecom_snowflake_duckdb_migration_spark.streaming import read_event_stream
+
+    params = dict(k=3, num_hashes=32, bands=8, hash_fn="xxhash64")
+    stream = read_event_stream(
+        spark, src, docs.schema, max_files_per_trigger=1
+    )
+    store = str(tmp_path / "store")
+    pairs_out = str(tmp_path / "pairs")
+    q = streaming_corpus_dedup(
+        stream, store, str(tmp_path / "ckpt"), pairs_out,
+        threshold_e6=800_000, **params,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.d1, r.d2): r.jaccard_e6
+        for r in spark.read.parquet(pairs_out).collect()
+    }
+    want = {
+        (r.d1, r.d2): r.jaccard_e6
+        for r in tx.minhash_lsh_pairs(docs, threshold_e6=800_000).collect()
+    }
+    assert got == want and got, "streamed pairs must equal the one-shot batch run"
+
+    # replay: same source, same checkpoint -> no new batches, store intact
+    q2 = streaming_corpus_dedup(
+        read_event_stream(spark, src, docs.schema, max_files_per_trigger=1),
+        store, str(tmp_path / "ckpt"), pairs_out,
+        threshold_e6=800_000, **params,
+    )
+    q2.awaitTermination(60)
+    assert {
+        (r.d1, r.d2) for r in spark.read.parquet(pairs_out).collect()
+    } == set(want)
+    assert spark.read.parquet(f"{store}/docs").count() == docs.count()
