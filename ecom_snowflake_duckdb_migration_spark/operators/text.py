@@ -699,3 +699,87 @@ def decontaminate(
             id_col, F.coalesce("contaminated", F.lit(False)).alias("contaminated")
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken 2003 —
+    the MOSS local fingerprinting scheme): hash every character k-gram,
+    slide a window of ``w`` consecutive hashes, keep each window's MIN.
+
+    Guarantee: any shared substring of length >= k + w - 1 between two
+    documents shares at least one selected fingerprint — so overlap
+    detection is passage-LOCAL (minhash/simhash are whole-document). The
+    selected set is (doc_id, pos, fp) rows, deduped; density ~ 2/(w+1).
+
+    Spark shape: one posexplode of the k-gram hash array, one window MIN
+    ordered by position (partitioned per doc — the window never crosses
+    documents, so it parallelizes per doc and needs no global sort), one
+    distinct. ``hash_fn='md5'`` gives the DuckDB-twin variant (x77); the
+    xxhash64 default is the production path.
+    """
+    from pyspark.sql import Window
+
+    gram = F.expr(f"substring({text_col}, pos, {k})")
+    if hash_fn == "md5":
+        h = F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(gram)
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"sequence(1, greatest(length({text_col}) - {k - 1}, 0))")
+        ).alias("pos"),
+        F.col(text_col),
+    ).select(
+        id_col,
+        "pos",
+        h.alias("h"),
+        F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("n"),
+    )
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    sel = (
+        grams.withColumn("m", F.min(F.struct("h", "pos")).over(win))
+        .filter(F.col("pos") <= F.col("n") - w + 1)  # full windows only
+        .select(id_col, F.col("m.pos").alias("pos"), F.col("m.h").alias("fp"))
+        .distinct()
+    )
+    return sel
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints —
+    passage-level near-dup candidates with localization available from the
+    fingerprint positions. The join is a fingerprint-value equi-join
+    (bounded by shared-fp pairs, never n^2), same scale posture as the
+    shingle join; at 100 TB bucket the fp table by fp."""
+    fps = winnow_fingerprints(df, text_col, id_col, k, w, hash_fn).select(
+        id_col, "fp"
+    ).distinct()
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

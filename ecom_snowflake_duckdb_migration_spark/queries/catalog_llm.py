@@ -1160,3 +1160,50 @@ def x76_domain_mix(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents").select("doc_id", "source")
     return domain_mix(d, _MIX_WEIGHTS_E6, strata_col="source", id_col="doc_id", seed=42)
+
+
+@register(
+    "x77_winnow_overlap_pairs",
+    # DuckDB twin of winnow_overlap_pairs(k=20, w=10, min_shared=3,
+    # hash_fn='md5'). The pairs path only needs each doc's DISTINCT set of
+    # window-min hash values — never WHICH position was selected — so the
+    # oracle sidesteps the argmin-tie question entirely: min(h) OVER a
+    # 10-wide position window, full windows only, then distinct + self-join.
+    oracle="""
+    WITH g AS (
+        SELECT doc_id,
+               unnest(range(1, greatest(length(text) - 19, 0) + 1)) AS pos,
+               length(text) - 19 AS n
+        FROM documents
+    ),
+    h AS (
+        SELECT g.doc_id, g.pos, g.n,
+               CAST(('0x' || substr(md5(substr(d.text, CAST(g.pos AS INT), 20)), 1, 15)) AS BIGINT) AS hv
+        FROM g JOIN documents d ON d.doc_id = g.doc_id
+    ),
+    m AS (
+        SELECT doc_id, pos, n,
+               min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS fp
+        FROM h
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id, fp FROM m WHERE pos <= n - 10 + 1
+    )
+    SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+    """,
+    doc="Winnowing fingerprint overlap (Schleimer/Wilkerson/Aiken 2003, the "
+    "MOSS scheme; operators.text.winnow_overlap_pairs): hash every char "
+    "20-gram, keep each 10-window's min hash, pair documents sharing >= 3 "
+    "selected fingerprints. Guarantees any shared passage of length >= "
+    "k+w-1 = 29 chars shares a fingerprint — passage-LOCAL overlap where "
+    "minhash/simhash are whole-document. One posexplode + per-doc window "
+    "min + fp equi-join; no n^2, fp density ~2/(w+1).",
+    tags=("LLM", "dedup", "fingerprint"),
+)
+def x77_winnow_overlap_pairs(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return tx.winnow_overlap_pairs(d, k=20, w=10, min_shared=3, hash_fn="md5")

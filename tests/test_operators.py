@@ -592,3 +592,32 @@ def test_mix_rates_zero_weights():
         "a": 1_000_000,
         "b": 500_000,
     }
+
+
+def test_winnow_guarantee_planted(spark):
+    """Winnowing's core guarantee: any shared passage of length >= k+w-1
+    yields at least one shared fingerprint; disjoint texts yield none."""
+    import random
+
+    rng = random.Random(7)
+    alphabet = "abcdefghijklmnopqrstuvwxyz "
+    mk = lambda n: "".join(rng.choice(alphabet) for _ in range(n))
+    shared = mk(40)  # >= k + w - 1 = 29 for (k=20, w=10)
+    rows = [
+        (1, mk(120) + shared + mk(120)),
+        (2, mk(150) + shared + mk(90)),
+        (3, mk(400)),  # no planted passage
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r.d1, r.d2)
+        for r in tx.winnow_overlap_pairs(
+            df, k=20, w=10, min_shared=1, hash_fn="xxhash64"
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+    # density sanity: selected fingerprints ~2/(w+1) of positions, not all
+    fps = tx.winnow_fingerprints(df, k=20, w=10)
+    per_doc = {r[0]: r[1] for r in fps.groupBy("doc_id").count().collect()}
+    assert 0 < per_doc[3] < 400 * 0.6
