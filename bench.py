@@ -155,6 +155,12 @@ def main() -> None:
             os.environ.get("SPARK_GRAFT_BENCH_SP", "32" if sf1_plus else "4")
         ),
         extra_conf={
+            # Pin the warehouse inside the repo regardless of the caller's
+            # CWD: the bucketed fact cache lives here and must never land
+            # outside /root/repo.
+            "spark.sql.warehouse.dir": os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "spark-warehouse"
+            ),
             "spark.sql.files.maxPartitionBytes": os.environ.get(
                 "SPARK_GRAFT_BENCH_SPLIT", "8388608" if sf1_plus else "16777216"
             ),

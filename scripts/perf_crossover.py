@@ -41,6 +41,7 @@ def main() -> None:
         app_name="crossover",
         shuffle_partitions=32,
         extra_conf={
+            "spark.sql.warehouse.dir": "/root/repo/spark-warehouse",
             "spark.sql.files.maxPartitionBytes": "8388608",
             "spark.sql.adaptive.enabled": "true",
             "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8388608",
