@@ -32,6 +32,14 @@ def test_in_window_schema_is_driver_canonicalizable(spark, sf_dir, name):
         "canonicalizer cannot sort them — flatten or array_join first")
 
 
+def test_every_in_window_entry_has_an_oracle():
+    """The driver's weak rows-only check is reserved for genuinely
+    non-SQL-expressible ops — all of which are parked outside the window
+    (x33). Any in-window entry missing its oracle is a curation bug."""
+    missing = [n for n in DRIVER_WINDOW if QUERIES[n].oracle is None]
+    assert not missing, f"in-window entries without oracles: {missing}"
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, sf_dir, name):
     spec = QUERIES[name]
