@@ -79,7 +79,16 @@ def incremental_minhash_pairs(
     c = corpus_bands.alias("c")
     nid, cid = F.col(f"n.{id_col}"), F.col(f"c.{id_col}")
     cross = (
-        n.join(c, (F.col("n.band") == F.col("c.band")) & (F.col("n.bucket") == F.col("c.bucket")))
+        # nid != cid: if a batch doc's own band rows are already in the
+        # store (a replayed batch after a crash between the store merge and
+        # the checkpoint commit), least/greatest would otherwise emit a
+        # degenerate (A, A) candidate that verifies at jaccard 1.0.
+        n.join(
+            c,
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.bucket") == F.col("c.bucket"))
+            & (nid != cid),
+        )
         .select(F.least(nid, cid).alias("d1"), F.greatest(nid, cid).alias("d2"))
     )
     m = new_bands.alias("m")

@@ -731,17 +731,25 @@ def winnow_fingerprints(
         h = F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
     else:
         h = F.xxhash64(gram)
-    grams = df.select(
-        F.col(id_col),
-        F.explode(
-            F.expr(f"sequence(1, greatest(length({text_col}) - {k - 1}, 0))")
-        ).alias("pos"),
-        F.col(text_col),
-    ).select(
-        id_col,
-        "pos",
-        h.alias("h"),
-        F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("n"),
+    grams = (
+        # Docs shorter than one full window (k + w - 1 chars) select no
+        # fingerprints — filter them before the explode. This also guards
+        # Spark's sequence(1, 0), which yields the DESCENDING [1, 0]
+        # rather than an empty array and would emit phantom grams.
+        df.filter(F.length(text_col) >= k + w - 1)
+        .select(
+            F.col(id_col),
+            F.explode(F.expr(f"sequence(1, length({text_col}) - {k - 1})")).alias("pos"),
+            F.col(text_col),
+        )
+        .select(
+            id_col,
+            "pos",
+            h.alias("h"),
+            # gram count derives from the length already on the row — no
+            # window COUNT pass over the exploded rows needed
+            F.expr(f"length({text_col}) - {k - 1}").alias("n"),
+        )
     )
     win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
     sel = (

@@ -14,7 +14,7 @@ Per micro-batch (``foreachBatch``):
    (band, bucket)) for batch-vs-corpus candidates, plus a batch self-join
    for batch-internal candidates;
 3. exact-Jaccard verify candidates only (corpus text read back just for
-   candidate ids via the caller-supplied ``corpus_lookup``);
+   candidate ids — a semi-join against the docs store);
 4. append verified pairs to the output sink, then ``merge_into`` the
    batch's band rows (distinct-union — idempotent, so a replayed batch
    after a failure cannot duplicate store rows) and the batch's docs into
@@ -57,14 +57,24 @@ def streaming_corpus_dedup(
     bands: int = 8,
     threshold_e6: int = 800_000,
     hash_fn: str = "xxhash64",
+    trigger: dict | None = None,
 ):
     """Wire a document stream into the incremental-dedup loop.
 
     ``store_dir`` holds two durable artifacts: ``bands`` (the lsh_bands
     sketch store) and ``docs`` (the corpus text, appended per batch — the
-    targeted read-back source for candidate verification). Returns the
-    started StreamingQuery; stop it or use ``trigger(availableNow=True)``
-    upstream of this call via ``docs_stream`` options.
+    targeted read-back source for candidate verification). ``trigger`` is
+    passed to ``writeStream.trigger(**trigger)``; the default
+    ``{"availableNow": True}`` drains what exists and stops — pass e.g.
+    ``{"processingTime": "1 minute"}`` for continuous ingest. Returns the
+    started StreamingQuery.
+
+    Redelivery/replay safety: doc ids already in the docs store are
+    dropped from the batch up front (a redelivered doc does not re-emit
+    its pairs), and the batch's own ids are anti-joined out of the band
+    store's probe side (a batch replayed after a crash between the band
+    merge and the checkpoint commit does not match its own bands). Pair
+    output is overwritten per batch partition, so replays are idempotent.
     """
     params = dict(k=k, num_hashes=num_hashes, bands=bands, hash_fn=hash_fn)
     bands_path = os.path.join(store_dir, "bands")
@@ -73,15 +83,33 @@ def streaming_corpus_dedup(
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         batch = batch.select(id_col, text_col)
+        corpus = None
+        if os.path.exists(docs_path):
+            corpus = spark.read.parquet(docs_path)
+            # cross-batch redelivery: a doc id already in the corpus is not
+            # new — processing it again would re-emit its historical pairs
+            # into a fresh batch partition (duplicates across partitions).
+            batch = batch.join(corpus.select(id_col), id_col, "left_anti")
         batch.persist()
         try:
-            if batch.rdd.isEmpty():
+            if batch.isEmpty():
                 return
-            if os.path.exists(docs_path):
-                corpus = spark.read.parquet(docs_path)
+            if corpus is not None:
                 corpus_bands, meta = sketch_store.read_sketch(spark, bands_path)
                 if meta["kind"] != "lsh_bands":
                     raise ValueError(f"store at {bands_path} is {meta['kind']}")
+                got = {p: meta["params"].get(p) for p in params}
+                if got != params:
+                    raise ValueError(
+                        f"band store at {bands_path} was signed with {meta['params']}; "
+                        f"refusing to probe with {params} (bucket spaces are "
+                        "incompatible — the join would be meaningless)"
+                    )
+                # crash replay: the batch's own bands may already be merged
+                # into the store; probing them would yield self-matches.
+                corpus_bands = corpus_bands.join(
+                    batch.select(id_col), id_col, "left_anti"
+                )
             else:
                 corpus = spark.createDataFrame([], batch.schema)
                 corpus_bands = lsh_band_table(corpus, text_col, id_col, **params)
@@ -89,9 +117,11 @@ def streaming_corpus_dedup(
                 batch, corpus, corpus_bands,
                 text_col=text_col, id_col=id_col,
                 threshold_e6=threshold_e6, **params,
-            ).withColumn("batch_id", F.lit(batch_id))
+            )
             # pairs first (idempotent per batch id on replay: overwrite the
-            # batch's own partition), then the idempotent store merges.
+            # batch's own partition — the directory name supplies the
+            # batch_id column via partition discovery), then the
+            # idempotent store merges.
             pairs.write.mode("overwrite").parquet(
                 os.path.join(pairs_out_dir, f"batch_id={batch_id}")
             )
@@ -100,18 +130,13 @@ def streaming_corpus_dedup(
                 lsh_band_table(batch, text_col, id_col, **params),
                 "lsh_bands", **params,
             )
-            # replayed batch: drop docs already in the corpus before append
-            new_docs = batch
-            if os.path.exists(docs_path):
-                seen = spark.read.parquet(docs_path).select(id_col)
-                new_docs = batch.join(seen, id_col, "left_anti")
-            new_docs.write.mode("append").parquet(docs_path)
+            batch.write.mode("append").parquet(docs_path)
         finally:
             batch.unpersist()
 
     return (
         docs_stream.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )

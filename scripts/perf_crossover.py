@@ -41,7 +41,10 @@ def main() -> None:
         app_name="crossover",
         shuffle_partitions=32,
         extra_conf={
-            "spark.sql.warehouse.dir": "/root/repo/spark-warehouse",
+            "spark.sql.warehouse.dir": os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "spark-warehouse",
+            ),
             "spark.sql.files.maxPartitionBytes": "8388608",
             "spark.sql.adaptive.enabled": "true",
             "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8388608",

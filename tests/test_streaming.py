@@ -424,3 +424,58 @@ def test_streaming_corpus_dedup_matches_batch(spark, sf_dir, tmp_path):
         (r.d1, r.d2) for r in spark.read.parquet(pairs_out).collect()
     } == set(want)
     assert spark.read.parquet(f"{store}/docs").count() == docs.count()
+
+
+def test_streaming_corpus_dedup_redelivery_safe(spark, sf_dir, tmp_path):
+    """A later drop REdelivering already-seen doc ids must not re-emit
+    their historical pairs or self-pairs; genuinely new docs still pair."""
+    import os
+
+    from ecom_snowflake_duckdb_migration_spark.operators import text as tx
+    from ecom_snowflake_duckdb_migration_spark.streaming import read_event_stream
+    from ecom_snowflake_duckdb_migration_spark.streaming.corpus_dedup import (
+        streaming_corpus_dedup,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "drops")
+    os.makedirs(src)
+
+    def drop(i, df):
+        tmp = f"{src}/.t{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        f = [x for x in os.listdir(tmp) if x.endswith(".parquet")][0]
+        os.rename(f"{tmp}/{f}", f"{src}/drop_{i}.parquet")
+
+    drop(0, docs.filter(F.col("doc_id") < 300))
+    args = dict(
+        store_dir=str(tmp_path / "store"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        pairs_out_dir=str(tmp_path / "pairs"),
+        k=3, num_hashes=32, bands=8, hash_fn="xxhash64", threshold_e6=800_000,
+    )
+    q = streaming_corpus_dedup(
+        read_event_stream(spark, src, docs.schema, max_files_per_trigger=1), **args
+    )
+    q.awaitTermination(120)
+    first = {(r.d1, r.d2) for r in spark.read.parquet(args["pairs_out_dir"]).collect()}
+
+    # drop 1: 100 redelivered ids + the genuinely new tail
+    import time as _time
+
+    _time.sleep(1.1)
+    drop(1, docs.filter((F.col("doc_id") < 100) | (F.col("doc_id") >= 300)))
+    q = streaming_corpus_dedup(
+        read_event_stream(spark, src, docs.schema, max_files_per_trigger=1), **args
+    )
+    q.awaitTermination(120)
+    got = {(r.d1, r.d2) for r in spark.read.parquet(args["pairs_out_dir"]).collect()}
+    want = {
+        (r.d1, r.d2)
+        for r in tx.minhash_lsh_pairs(docs, threshold_e6=800_000).collect()
+    }
+    assert got == want, "redelivered ids must not duplicate or drop pairs"
+    assert not any(d1 == d2 for d1, d2 in got)
+    # docs store has no duplicate ids
+    n = spark.read.parquet(f"{args['store_dir']}/docs")
+    assert n.count() == n.select("doc_id").distinct().count() == docs.count()
