@@ -327,6 +327,78 @@ def quantize_int8(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and pruning near-duplicates
+    WITHIN each cluster only — never across the full corpus.
+
+    Rule (the paper's released implementation, made engine-deterministic):
+    assign every vector to its nearest centroid by cosine; inside a cluster
+    a row is REMOVED iff some other row of the same cluster has
+    ``cosine >= threshold`` with it and ranks ahead of it in keep order.
+    Keep order is ascending similarity-to-centroid (the paper keeps the
+    example LEAST similar to the centroid, favoring diversity), with
+    ascending id as the deterministic tiebreak. Dominance is by rank, not
+    by transitive closure — exactly the paper's per-cluster sweep; for
+    closure semantics see ``operators.dedup_groups``.
+
+    Returns the KEPT rows as ``(id_col, cell)``.
+
+    Scale: assignment is a scan-side Catalyst expression (codebook inlined
+    as literals — no shuffle, no Python); candidate generation is a
+    self-equi-join on ``cell``, so work is sum of squared cluster sizes,
+    never n^2. At 100 TB you size ``n_centroids`` proportional to N to
+    bound cluster width (the paper uses ~0.1% of N), persist
+    ``ivf_partition`` output bucketed by cell, and the self-join becomes
+    co-located with zero exchanges.
+    """
+    csim = F.greatest(
+        *[
+            cosine(vec_col, F.array(*[F.lit(float(x)) for x in c]))
+            for c in centroids
+        ]
+    )
+    celled = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        assign_cell(vec_col, centroids).alias("cell"),
+        csim.alias("csim"),
+    )
+    left = celled.select(
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("a_vec"),
+        F.col("cell").alias("a_cell"),
+        F.col("csim").alias("a_csim"),
+    )
+    right = celled.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("b_vec"),
+        F.col("cell").alias("b_cell"),
+        F.col("csim").alias("b_csim"),
+    )
+    removed = (
+        left.join(right, F.col("a_cell") == F.col("b_cell"))
+        .where(F.col("a_id") != F.col("b_id"))
+        .where(
+            (F.col("a_csim") < F.col("b_csim"))
+            | ((F.col("a_csim") == F.col("b_csim")) & (F.col("a_id") < F.col("b_id")))
+        )
+        .where(cosine(F.col("a_vec"), F.col("b_vec")) >= F.lit(float(threshold)))
+        .select(F.col("b_id").alias("_rm"))
+        .distinct()
+    )
+    return (
+        celled.join(removed, celled[id_col] == removed["_rm"], "left_anti")
+        .select(F.col(id_col), F.col("cell"))
+    )
+
+
 def ann_topk_quantized(
     df: DataFrame,
     query: DataFrame,

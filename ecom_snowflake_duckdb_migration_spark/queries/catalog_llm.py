@@ -1207,3 +1207,83 @@ def x76_domain_mix(spark, sf_dir):
 def x77_winnow_overlap_pairs(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return tx.winnow_overlap_pairs(d, k=20, w=10, min_shared=3, hash_fn="md5")
+
+
+def _x78_oracle(threshold: float, dim: int, n_centroids: int, seed: int = 42) -> str:
+    """DuckDB twin of semantic_dedup over the seeded codebook: centroid
+    literals -> first-index argmax cell + greatest() centroid sim (both
+    identical to the q51 oracle), then the paper's per-cluster dominance
+    sweep — a row is removed iff a same-cell row with cosine >= threshold
+    ranks ahead of it by (csim ASC, vec_id ASC). All doubles come from the
+    same left-to-right folds, so the rank comparisons are bit-stable."""
+    cents = sim.make_centroids(dim, n_centroids, seed)
+
+    def clist(c: list[float]) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in c) + "]"
+
+    def cos_lit(vec: str, c: list[float]) -> str:
+        lst = clist(c)
+        dot = (
+            f"list_sum(list_transform(range(1, len({vec}) + 1),"
+            f" i -> CAST({vec}[i] AS DOUBLE) * ({lst})[i]))"
+        )
+        nv = f"sqrt(list_sum(list_transform({vec}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        nc = f"sqrt(list_sum(list_transform({lst}, x -> x * x)))"
+        return f"({dot} / ({nv} * {nc}))"
+
+    sims_data = ",\n               ".join(
+        f"{cos_lit('embedding', c)} AS s{i}" for i, c in enumerate(cents)
+    )
+    all_s = ", ".join(f"s{i}" for i in range(n_centroids))
+    argmax = "CASE " + " ".join(
+        f"WHEN s{i} = best THEN {i}" for i in range(n_centroids)
+    ) + " END"
+    dot_ab = (
+        "list_sum(list_transform(range(1, len(a.embedding) + 1),"
+        " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+    )
+    nrm = "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    cos_ab = f"({dot_ab} / ({nrm.format(v='a.embedding')} * {nrm.format(v='b.embedding')}))"
+    return f"""
+    WITH scored AS (
+        SELECT vec_id, embedding,
+               {sims_data}
+        FROM embeddings
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, {argmax} AS cell, best AS csim
+        FROM (SELECT *, greatest({all_s}) AS best FROM scored)
+    ),
+    removed AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell
+         AND a.vec_id <> b.vec_id
+         AND (a.csim < b.csim OR (a.csim = b.csim AND a.vec_id < b.vec_id))
+        WHERE {cos_ab} >= CAST({threshold!r} AS DOUBLE)
+    )
+    SELECT vec_id, cell FROM assigned
+    WHERE vec_id NOT IN (SELECT vec_id FROM removed)
+    """
+
+
+@register(
+    "x78_semantic_dedup",
+    oracle=_x78_oracle(threshold=0.35, dim=64, n_centroids=8),
+    doc="SemDeDup semantic deduplication (Abbas et al. 2023, "
+    "arXiv:2303.09540; operators.similarity.semantic_dedup): cluster "
+    "embeddings with the coarse codebook, then prune cosine-near-duplicates "
+    "WITHIN each cluster, keeping the example least similar to its centroid "
+    "(the paper's diversity-keep rule, id-tiebroken). Complements the "
+    "lexical family — minhash (q48) catches copies, SemDeDup catches "
+    "paraphrases. Runs the seeded codebook so assignment + sweep are "
+    "oracle-checked end-to-end; the KMeans codebook (train_centroids) is "
+    "the production recall path. Candidates are a self-equi-join on cell — "
+    "sum of squared cluster sizes, never n^2; bucketed-by-cell storage "
+    "makes it exchange-free.",
+    tags=("LLM", "dedup", "semantic"),
+)
+def x78_semantic_dedup(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    centroids = sim.make_centroids(dim=64, n_centroids=8, seed=42)
+    return sim.semantic_dedup(e, centroids, threshold=0.35)

@@ -621,3 +621,62 @@ def test_winnow_guarantee_planted(spark):
     fps = tx.winnow_fingerprints(df, k=20, w=10)
     per_doc = {r[0]: r[1] for r in fps.groupBy("doc_id").count().collect()}
     assert 0 < per_doc[3] < 400 * 0.6
+
+
+def test_semantic_dedup_matches_sequential_reference(spark, sf_dir):
+    """semantic_dedup vs an independent pure-Python reference that
+    reproduces the exact left-to-right double folds (plain sequential
+    accumulation — numpy's pairwise/SIMD dot would differ in the last ulp
+    and could flip a threshold comparison)."""
+    import math
+
+    e = _emb(spark, sf_dir)
+    centroids = sim.make_centroids(dim=64, n_centroids=8, seed=42)
+    kept = {
+        (r.vec_id, r.cell)
+        for r in sim.semantic_dedup(e, centroids, threshold=0.35).collect()
+    }
+
+    rows = sorted((r.vec_id, list(r.embedding)) for r in e.collect())
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    def cos(a, b):
+        return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+    assigned = []  # (vec_id, vec, cell, csim)
+    for vid, vec in rows:
+        sims = [cos(vec, c) for c in centroids]
+        best = max(sims)
+        assigned.append((vid, vec, sims.index(best), best))
+    expect = set()
+    for vid, vec, cell, csim in assigned:
+        dominated = any(
+            o_cell == cell
+            and o_vid != vid
+            and (o_csim < csim or (o_csim == csim and o_vid < vid))
+            and cos(vec, o_vec) >= 0.35
+            for o_vid, o_vec, o_cell, o_csim in assigned
+        )
+        if not dominated:
+            expect.add((vid, cell))
+    assert kept == expect
+    assert 0 < len(kept) < len(rows), "threshold should remove some but not all"
+
+
+def test_semantic_dedup_trained_codebook_and_monotonicity(spark, sf_dir):
+    """Production path: KMeans codebook. Higher thresholds keep more rows;
+    threshold > max pairwise cosine keeps everything."""
+    e = _emb(spark, sf_dir)
+    centroids = sim.train_centroids(e, n_centroids=8, seed=42)
+    n = e.count()
+    kept_by_tau = {
+        tau: sim.semantic_dedup(e, centroids, threshold=tau).count()
+        for tau in (0.35, 0.6, 1.01)
+    }
+    assert kept_by_tau[0.35] <= kept_by_tau[0.6] <= kept_by_tau[1.01]
+    assert kept_by_tau[1.01] == n
