@@ -701,6 +701,59 @@ def decontaminate(
     )
 
 
+def curate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold_e6: int = 800_000,
+    contamination_n: int = 8,
+) -> DataFrame:
+    """End-to-end training-corpus curation — the standard cleaning cascade
+    (C4/RefinedWeb-style) composed from this module's operators, cheapest
+    filter first so each stage shrinks the next stage's input:
+
+    1. **quality gate** — ``quality_metrics().quality_ok`` (length, token
+       count, alpha ratio); pure scan-side expressions, no shuffle;
+    2. **language gate** — ``predict_language() == 'en'``; scan-side;
+    3. **exact dedup** — keep the min-id canonical per ``md5(text)``;
+    4. **near-dedup** — ``ngram_jaccard_pairs`` at ``jaccard_threshold_e6``;
+       of each (d1 < d2) pair the higher id is dropped (the module's
+       keep-earliest convention);
+    5. **decontamination** — drop documents sharing any
+       ``contamination_n``-token word n-gram with ``benchmark``.
+
+    Returns the surviving rows as ``(id_col, source, n_tokens)``.
+
+    Scale: stages 1-2 are embarrassingly parallel; stage 3 is one uniform
+    hash shuffle; stages 4-5 are bounded equi-joins (shared shingles /
+    grams, never n^2) running on the already-filtered remnant — at 100 TB
+    swap stage 4 for ``minhash_lsh_pairs`` (same pair contract) and hash
+    the grams before the stage-5 shuffle.
+    """
+    scored = predict_language(quality_metrics(corpus, text_col), text_col)
+    keep1 = scored.filter(
+        F.col("quality_ok") & (F.col("predicted_lang") == "en")
+    ).select(id_col, "source", text_col, "n_tokens")
+    canon = exact_dedup_groups(keep1, text_col, id_col).select(
+        F.col("canonical_doc_id").alias(id_col)
+    )
+    keep2 = keep1.join(canon, id_col, "left_semi")
+    near = (
+        ngram_jaccard_pairs(
+            keep2, text_col, id_col, k=3, threshold_e6=jaccard_threshold_e6
+        )
+        .select(F.col("d2").alias(id_col))
+        .distinct()
+    )
+    keep3 = keep2.join(near, id_col, "left_anti")
+    flags = decontaminate(keep3, benchmark, n=contamination_n, text_col=text_col, id_col=id_col)
+    kept = keep3.join(
+        flags.filter(F.col("contaminated")).select(id_col), id_col, "left_anti"
+    )
+    return kept.select(id_col, "source", "n_tokens")
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",

@@ -1287,3 +1287,111 @@ def x78_semantic_dedup(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     centroids = sim.make_centroids(dim=64, n_centroids=8, seed=42)
     return sim.semantic_dedup(e, centroids, threshold=0.35)
+
+
+@register(
+    "x79_corpus_curation",
+    # One WITH-chain composing the already-oracled stage fragments verbatim:
+    # q41's quality gate, q42's language CASE, q40's canonical min-id,
+    # x45's shingle-Jaccard pairs (drop the higher id of each), and q63's
+    # 8-token-gram decontamination against the source='src0' benchmark.
+    oracle=f"""
+    WITH corpus AS (SELECT * FROM documents WHERE source <> 'src0'),
+    q AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               (length(text) >= 20
+                AND len(string_split_regex(trim(text), '\\s+')) >= 5
+                AND length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 2
+                    > length(text)) AS quality_ok
+        FROM corpus
+    ),
+    lang AS (
+        SELECT doc_id,
+               CASE WHEN non_ascii * 4 > n THEN 'cjk'
+                    WHEN greatest(se, sf, sd, ss) = 0 THEN 'und'
+                    WHEN se = greatest(se, sf, sd, ss) THEN 'en'
+                    WHEN sf = greatest(se, sf, sd, ss) THEN 'fr'
+                    WHEN sd = greatest(se, sf, sd, ss) THEN 'de'
+                    ELSE 'es' END AS predicted_lang
+        FROM (SELECT doc_id,
+                     len(regexp_extract_all(lower(text), '{_EN}')) AS se,
+                     len(regexp_extract_all(lower(text), '{_FR}')) AS sf,
+                     len(regexp_extract_all(lower(text), '{_DE}')) AS sd,
+                     len(regexp_extract_all(lower(text), '{_ES}')) AS ss,
+                     length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) AS non_ascii,
+                     length(text) AS n
+              FROM corpus)
+    ),
+    keep1 AS (
+        SELECT c.doc_id, c.source, c.text, q.n_tokens
+        FROM corpus c
+        JOIN q ON q.doc_id = c.doc_id
+        JOIN lang l ON l.doc_id = c.doc_id
+        WHERE q.quality_ok AND l.predicted_lang = 'en'
+    ),
+    canon AS (SELECT min(doc_id) AS doc_id FROM keep1 GROUP BY md5(text)),
+    keep2 AS (SELECT k.* FROM keep1 k JOIN canon USING (doc_id)),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct([substr(text, i, 3) for i in range(1, length(text) - 1)]))
+                   AS shingle
+        FROM keep2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    neardup AS (
+        SELECT DISTINCT d2 AS doc_id
+        FROM inter
+        JOIN sizes s1 ON s1.doc_id = d1
+        JOIN sizes s2 ON s2.doc_id = d2
+        WHERE CAST(n_inter AS BIGINT) * 1000000 // (s1.sz + s2.sz - n_inter) >= 800000
+    ),
+    keep3 AS (
+        SELECT * FROM keep2 WHERE doc_id NOT IN (SELECT doc_id FROM neardup)
+    ),
+    toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t,
+               len(string_split_regex(lower(trim(text)), '\\s+')) AS n
+        FROM keep3
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, n - 6),
+                   i -> array_to_string(t[i:i+7], ' ')))) AS gram
+        FROM toks WHERE n >= 8
+    ),
+    bench AS (
+        SELECT DISTINCT unnest(list_distinct(list_transform(range(1, n - 6),
+                   i -> array_to_string(t[i:i+7], ' ')))) AS gram
+        FROM (SELECT string_split_regex(lower(trim(text)), '\\s+') AS t,
+                     len(string_split_regex(lower(trim(text)), '\\s+')) AS n
+              FROM documents WHERE source = 'src0')
+        WHERE n >= 8
+    ),
+    contaminated AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bench b USING (gram))
+    SELECT doc_id, source, n_tokens FROM keep3
+    WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+    doc="End-to-end corpus curation (operators.text.curate): the standard "
+    "C4/RefinedWeb-style cleaning cascade — quality gate -> language gate "
+    "-> exact dedup -> shingle-Jaccard near-dedup (keep-earliest) -> "
+    "benchmark decontamination vs the source='src0' slice — composed from "
+    "the individually-oracled stages (q41, q42, q40, x45, q63) and "
+    "verified END-TO-END against one WITH-chain twin, the same integration "
+    "discipline q34 applies to the 37-model ecom DAG. Cheapest filters run "
+    "first so the join stages see only the filtered remnant.",
+    tags=("LLM", "pipeline", "dedup"),
+)
+def x79_corpus_curation(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return tx.curate(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        jaccard_threshold_e6=800_000,
+        contamination_n=8,
+    )

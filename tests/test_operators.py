@@ -680,3 +680,32 @@ def test_semantic_dedup_trained_codebook_and_monotonicity(spark, sf_dir):
     }
     assert kept_by_tau[0.35] <= kept_by_tau[0.6] <= kept_by_tau[1.01]
     assert kept_by_tau[1.01] == n
+
+
+def test_curate_cascade_invariants(spark, sf_dir):
+    """curate's survivors respect every stage gate: quality_ok, lang en,
+    exact-canonical, no near-dup higher-id, not contaminated."""
+    d = _docs(spark, sf_dir)
+    corpus = d.filter(F.col("source") != "src0")
+    bench = d.filter(F.col("source") == "src0")
+    kept = tx.curate(corpus, bench).collect()
+    kept_ids = {r.doc_id for r in kept}
+    assert 0 < len(kept_ids) < corpus.count(), "cascade should prune some docs"
+
+    scored = tx.predict_language(tx.quality_metrics(corpus))
+    ok = {
+        r.doc_id: r.n_tokens
+        for r in scored.filter("quality_ok AND predicted_lang = 'en'").collect()
+    }
+    assert kept_ids <= set(ok)
+    assert all(r.n_tokens == ok[r.doc_id] for r in kept)
+    canon = {
+        r.canonical_doc_id for r in tx.exact_dedup_groups(corpus).collect()
+    }
+    assert kept_ids <= canon
+    contaminated = {
+        r.doc_id
+        for r in tx.decontaminate(corpus, bench, n=8).collect()
+        if r.contaminated
+    }
+    assert not (kept_ids & contaminated)
