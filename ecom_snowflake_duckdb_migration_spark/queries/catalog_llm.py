@@ -1395,3 +1395,53 @@ def x79_corpus_curation(spark, sf_dir):
         jaccard_threshold_e6=800_000,
         contamination_n=8,
     )
+
+
+@register(
+    "x80_lm_quality_score",
+    # Add-one smoothed char-trigram LM trained on the source='src0' slice;
+    # every candidate trigram's log-likelihood is floor-e6 quantized to an
+    # integer BEFORE the per-doc sum, so the aggregate is order-independent
+    # (ln's floor-e6 is empirically bit-stable across engines; raw ln
+    # doubles differ in the last ulp — see operators.text.lm_score).
+    oracle="""
+    WITH rg AS (
+        SELECT unnest([substr(text, i, 3) for i in range(1, length(text) - 1)]) AS gram
+        FROM documents WHERE source = 'src0' AND length(text) >= 3
+    ),
+    model AS (SELECT gram, count(*) AS n FROM rg GROUP BY gram),
+    ctx AS (SELECT substr(gram, 1, 2) AS cx, sum(n) AS cn FROM model GROUP BY 1),
+    v AS (SELECT count(DISTINCT substr(gram, 3, 1)) AS v FROM model),
+    dg AS (
+        SELECT doc_id,
+               unnest([substr(text, i, 3) for i in range(1, length(text) - 1)]) AS gram
+        FROM documents WHERE source <> 'src0' AND length(text) >= 3
+    ),
+    scored AS (
+        SELECT dg.doc_id,
+               CAST(floor(ln(CAST(coalesce(m.n, 0) + 1 AS DOUBLE)
+                              / CAST(coalesce(x.cn, 0) + v.v AS DOUBLE)) * 1e6)
+                    AS BIGINT) AS ll_e6
+        FROM dg
+        LEFT JOIN model m ON m.gram = dg.gram
+        LEFT JOIN ctx x ON x.cx = substr(dg.gram, 1, 2)
+        CROSS JOIN v
+    )
+    SELECT doc_id,
+           count(*) AS n_trigrams,
+           CAST(-sum(ll_e6) AS BIGINT) // count(*) AS nll_e6
+    FROM scored GROUP BY doc_id
+    """,
+    doc="LM quality scoring (operators.text.lm_trigram_model + lm_score; "
+    "CCNet-style, Wenzek et al. 2020): mean negative log-likelihood per "
+    "char trigram under an add-one smoothed model of the source='src0' "
+    "reference slice — low nll_e6 = looks like known-good text, "
+    "perplexity = exp(nll_e6/1e6). Model + context table broadcast "
+    "(bounded by charset^3 at any corpus size); candidate side is one "
+    "scan + explode + broadcast joins + one doc-id groupBy.",
+    tags=("LLM", "text-analysis", "quality"),
+)
+def x80_lm_quality_score(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    model = tx.lm_trigram_model(d.filter(F.col("source") == "src0"))
+    return tx.lm_score(d.filter(F.col("source") != "src0"), model)

@@ -709,3 +709,25 @@ def test_curate_cascade_invariants(spark, sf_dir):
         if r.contaminated
     }
     assert not (kept_ids & contaminated)
+
+
+def test_lm_score_discriminates_reference_like_text(spark):
+    """Text drawn from the reference distribution scores lower nll than
+    character noise; unknown grams fall back to the add-one floor 1/V."""
+    ref_rows = [(i, "the quick brown fox jumps over the lazy dog " * 3) for i in range(8)]
+    ref = spark.createDataFrame(ref_rows, ["doc_id", "text"])
+    model = tx.lm_trigram_model(ref)
+    cand = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "zzqxv kjw pqzv xq jzzkw vqpx zjk qwv xzpq kjzw"),
+            (3, "ab"),  # shorter than one trigram -> no output row
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in tx.lm_score(cand, model).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].nll_e6 < out[2].nll_e6
+    assert out[1].n_trigrams == len("the quick brown fox jumps over the lazy dog") - 2
+    # garbage is near the smoothing floor ln(V) — strictly positive nll
+    assert out[2].nll_e6 > 0
