@@ -701,6 +701,63 @@ def decontaminate(
     )
 
 
+def span_dedup(
+    df: DataFrame,
+    span_words: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style span-level deduplication (Raffel et al. 2020 §2.2 — "we
+    discard all but one of any three-sentence span occurring more than
+    once"), on fixed ``span_words``-word spans since this corpus has no
+    sentence boundaries: tile each document into consecutive word spans
+    (last span may be partial), keep only the globally FIRST occurrence of
+    each span text (ordered by ``(doc_id, position)``), and reassemble the
+    surviving spans in document order.
+
+    Returns ``(id_col, clean_text, n_spans, n_removed)`` for every input
+    document (a fully-deduplicated document keeps an empty ``clean_text``).
+
+    Relational shape: one posexplode, one window rank over the span text
+    (the only shuffle, uniform span-hash keys), one ordered reassembly
+    groupBy. At 100 TB hash the spans (xxhash64) before the rank shuffle —
+    the reassembly carries span text only for the surviving minority.
+    """
+    from pyspark.sql import Window
+
+    spans = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (size(split(trim({text_col}), '\\\\s+')) - 1)"
+                f" div {span_words}),"
+                f" i -> array_join(slice(split(trim({text_col}), '\\\\s+'),"
+                f" i * {span_words} + 1, {span_words}), ' '))"
+            )
+        ).alias("pos", "span"),
+    )
+    w = Window.partitionBy("span").orderBy(F.col(id_col), F.col("pos"))
+    ranked = spans.withColumn("rn", F.row_number().over(w))
+    kept = ranked.filter(F.col("rn") == 1)
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.expr("transform(array_sort(collect_list(struct(pos, span))), s -> s.span)"),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = spans.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
+    return (
+        totals.join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_spans",
+            (F.col("n_spans") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        )
+    )
+
+
 def lm_trigram_model(ref: DataFrame, text_col: str = "text") -> DataFrame:
     """Character-trigram counts from a reference corpus — the model half of
     CCNet-style LM quality filtering (Wenzek et al. 2020): score candidate

@@ -1445,3 +1445,54 @@ def x80_lm_quality_score(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     model = tx.lm_trigram_model(d.filter(F.col("source") == "src0"))
     return tx.lm_score(d.filter(F.col("source") != "src0"), model)
+
+
+@register(
+    "x81_span_dedup",
+    # DuckDB twin of span_dedup(span_words=10): parallel unnests zip
+    # positionally, so pos and span enumerate together; keep = global
+    # row_number 1 by (doc_id, pos) per span text; ordered string_agg
+    # reassembly mirrors Spark's array_sort(collect_list(struct)).
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t,
+               len(string_split_regex(trim(text), '\\s+')) AS n
+        FROM documents
+    ),
+    spans AS (
+        SELECT doc_id,
+               unnest(range(0, (n - 1) // 10 + 1)) AS pos,
+               unnest([array_to_string(t[i * 10 + 1 : i * 10 + 10], ' ')
+                       for i in range(0, (n - 1) // 10 + 1)]) AS span
+        FROM words
+    ),
+    ranked AS (
+        SELECT doc_id, pos, span,
+               row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+        FROM spans
+    ),
+    re AS (
+        SELECT doc_id,
+               string_agg(span, ' ' ORDER BY pos) AS clean_text,
+               count(*) AS n_kept
+        FROM ranked WHERE rn = 1 GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id)
+    SELECT t.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           t.n_spans,
+           t.n_spans - coalesce(r.n_kept, 0) AS n_removed
+    FROM totals t LEFT JOIN re r ON r.doc_id = t.doc_id
+    """,
+    doc="Span-level dedup (operators.text.span_dedup; C4 / Raffel et al. "
+    "2020 §2.2): tile documents into 10-word spans, keep only the globally "
+    "first occurrence of each repeated span, reassemble in document order "
+    "— the passage-granular filter that catches boilerplate shared across "
+    "otherwise-distinct documents, where whole-document dedup (q40/q48) "
+    "sees nothing. One posexplode + one uniform-key rank shuffle + one "
+    "ordered reassembly; hash spans before the shuffle at real scale.",
+    tags=("LLM", "dedup", "spans"),
+)
+def x81_span_dedup(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return tx.span_dedup(d, span_words=10)

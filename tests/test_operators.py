@@ -731,3 +731,24 @@ def test_lm_score_discriminates_reference_like_text(spark):
     assert out[1].n_trigrams == len("the quick brown fox jumps over the lazy dog") - 2
     # garbage is near the smoothing floor ln(V) — strictly positive nll
     assert out[2].nll_e6 > 0
+
+
+def test_span_dedup_planted(spark):
+    """A 10-word span repeated across docs survives only at its first
+    (doc_id, pos) occurrence; reassembly preserves word order."""
+    boiler = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    uniq1 = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    uniq2 = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    rows = [
+        (1, f"{uniq1} {boiler}"),
+        (2, f"{boiler} {uniq2}"),
+        (3, boiler),
+        (4, "short tail only"),  # partial span, unique
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in tx.span_dedup(df, span_words=10).collect()}
+    assert out[1].clean_text == f"{uniq1} {boiler}" and out[1].n_removed == 0
+    assert out[2].clean_text == uniq2 and out[2].n_removed == 1
+    assert out[3].clean_text == "" and out[3].n_removed == 1
+    assert out[4].clean_text == "short tail only" and out[4].n_removed == 0
+    assert out[2].n_spans == 2 and out[4].n_spans == 1
