@@ -171,6 +171,10 @@ NEW_CATALYST_ONLY = [
     "q61_int8_quantization",
     "q62_ann_quantized_topk",
     "q63_decontamination",
+    "x78_semantic_dedup",
+    "x79_corpus_curation",
+    "x80_lm_quality_score",
+    "x81_span_dedup",
 ]
 
 
@@ -179,6 +183,15 @@ def test_extension_ops_stay_jvm_only(spark, sf_dir, specs, name):
     df = specs[name].fn(spark, sf_dir)
     plans.assert_no_python_in_plan(df)
     assert plans.executed_codegen_spans(df) >= 1
+
+
+def test_lm_score_model_joins_broadcast(spark, sf_dir, specs):
+    """lm_score's model/context/V joins must all be broadcast — the corpus
+    side carries no join shuffle; its only exchange is the doc-id groupBy."""
+    df = specs["x80_lm_quality_score"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 3
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
 def test_bucketed_fact_variants_plans_and_parity(spark, sf_dir, specs):
