@@ -479,3 +479,34 @@ def test_streaming_corpus_dedup_redelivery_safe(spark, sf_dir, tmp_path):
     # docs store has no duplicate ids
     n = spark.read.parquet(f"{args['store_dir']}/docs")
     assert n.count() == n.select("doc_id").distinct().count() == docs.count()
+
+
+def test_streaming_lm_score_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-side LM scoring over two document drops == one-shot batch
+    lm_score: per-doc scores are a pure function of (row, static model),
+    so micro-batch union is exact."""
+    from ecom_snowflake_duckdb_migration_spark.operators import text as tx
+    from ecom_snowflake_duckdb_migration_spark.streaming import read_event_stream
+    from ecom_snowflake_duckdb_migration_spark.streaming.scoring import (
+        streaming_lm_score,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    model = tx.lm_trigram_model(docs.filter(F.col("source") == "src0"))
+    corpus = docs.filter(F.col("source") != "src0").select("doc_id", "text")
+    src = str(tmp_path / "drops")
+    corpus.repartition(2).write.mode("overwrite").parquet(src)
+
+    stream = read_event_stream(spark, src, corpus.schema, max_files_per_trigger=1)
+    out = str(tmp_path / "scores")
+    q = streaming_lm_score(stream, model, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    got = {
+        r.doc_id: (r.n_trigrams, r.nll_e6) for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r.doc_id: (r.n_trigrams, r.nll_e6)
+        for r in tx.lm_score(corpus, model).collect()
+    }
+    assert got == want
