@@ -807,6 +807,9 @@ def lm_score(
         F.substring("gram", 1, 2).alias("cx")
     ).agg(F.sum("n").alias("cn"))
     v = model.select(F.countDistinct(F.substring("gram", 3, 1)).alias("v"))
+    # project to the two needed columns up front: the joins below introduce
+    # n/cx/cn/v and must never collide with caller columns of those names
+    df = df.select(id_col, text_col)
     doc_grams = df.filter(F.length(text_col) >= 3).select(
         F.col(id_col),
         F.explode(

@@ -30,15 +30,18 @@ def streaming_lm_score(
     id_col: str = "doc_id",
 ) -> StreamingQuery:
     """Score each arriving document's trigram likelihood under the static
-    ``lm_trigram_model`` output and append ``(id_col, n_trigrams, nll_e6)``
-    rows to ``out_path``. Exactly-once per micro-batch via the checkpoint;
-    re-delivered batches overwrite idempotently because scores are a pure
-    function of the document row."""
+    ``lm_trigram_model`` output and write ``(id_col, n_trigrams, nll_e6)``
+    rows under ``out_path``. Replay-safe: each micro-batch overwrites its
+    OWN ``batch_id=N`` partition (the directory name supplies the column
+    via partition discovery, same scheme as ``corpus_dedup``), so a batch
+    re-delivered after a crash rewrites identical rows instead of
+    appending duplicates."""
+    import os
 
-    def _score(batch: DataFrame, _batch_id: int) -> None:
+    def _score(batch: DataFrame, batch_id: int) -> None:
         tx.lm_score(batch, model, text_col=text_col, id_col=id_col).write.mode(
-            "append"
-        ).parquet(out_path)
+            "overwrite"
+        ).parquet(os.path.join(out_path, f"batch_id={batch_id}"))
 
     return (
         stream.writeStream.foreachBatch(_score)

@@ -510,3 +510,17 @@ def test_streaming_lm_score_matches_batch(spark, sf_dir, tmp_path):
         for r in tx.lm_score(corpus, model).collect()
     }
     assert got == want
+
+    # redelivery safety: a replayed micro-batch overwrites its own
+    # batch_id partition with identical rows — no duplicates appear
+    import os
+
+    part = sorted(p for p in os.listdir(out) if p.startswith("batch_id="))[0]
+    replay = spark.read.parquet(out).filter(f"batch_id = {part.split('=')[1]}")
+    replayed_ids = [r.doc_id for r in replay.select("doc_id").collect()]
+    batch = corpus.filter(F.col("doc_id").isin(replayed_ids))
+    tx.lm_score(batch, model).write.mode("overwrite").parquet(f"{out}/{part}")
+    again = {
+        r.doc_id: (r.n_trigrams, r.nll_e6) for r in spark.read.parquet(out).collect()
+    }
+    assert again == want
