@@ -129,3 +129,33 @@ def test_scheduler_end_to_end_daily_run(spark, tmp_path_factory):
     assert results[0].raw_counts["customers"] > 0
     assert not results[0].quality_errors
     assert s.pending(now=D(2026, 1, 16, 12, 0)) == []
+
+
+def test_cron_fire_properties():
+    """Property sweep: next_fire is strictly increasing and minimal;
+    prev_fire(next_fire(t)) == next_fire(t); every fire matches the
+    schedule's own field sets."""
+    from hypothesis import given, settings, strategies as st
+
+    exprs = st.sampled_from(
+        ["0 0 * * *", "*/15 * * * *", "30 4 1,15 * *", "0 8-18/4 * * 1-5",
+         "@weekly", "@monthly", "0 12 13 * 5"]
+    )
+    times = st.datetimes(
+        min_value=D(2025, 1, 1), max_value=D(2027, 1, 1)
+    ).map(lambda t: t.replace(second=0, microsecond=0))
+
+    @settings(max_examples=200, deadline=None)
+    @given(expr=exprs, t=times)
+    def check(expr, t):
+        s = parse_cron(expr)
+        nxt = next_fire(s, t)
+        assert nxt > t
+        assert prev_fire(s, nxt) == nxt  # a fire time is its own prev
+        assert next_fire(s, nxt) > nxt  # strictly increasing
+        # minimality: no fire strictly between t and nxt
+        assert prev_fire(s, nxt - dt.timedelta(minutes=1)) <= t
+        assert nxt.minute in s.minutes and nxt.hour in s.hours
+        assert s.day_matches(nxt.date())
+
+    check()
