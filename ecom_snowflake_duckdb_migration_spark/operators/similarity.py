@@ -327,6 +327,65 @@ def quantize_int8(
     )
 
 
+def knn_join(
+    items: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_vec_col: str = "qe",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """Batch k-NN join: for EVERY row of ``queries``, the top-``k`` items by
+    cosine among the ``nprobe`` IVF cells nearest that query — the
+    many-query generalization of ``ann_topk_ivf_centroids`` (which carries
+    a single broadcast query row).
+
+    Returns ``(query_id_col, id_col, cosine, rnk)`` with ``rnk`` 1..k per
+    query (ties broken by ascending item id; probe cells ranked sim desc,
+    cell desc — the same order as the single-query path).
+
+    Scale shape: each query explodes to its ``nprobe`` (query, cell) rows
+    and meets the cell-assigned items in a plain equi-join on ``cell`` —
+    hash-partitioned on both sides, so it works at ANY query-table size
+    where a broadcast would not; the per-query top-k is one window rank
+    partitioned by query id. With items persisted bucketed by ``ivf_cell``
+    (``ivf_partition``) the item side arrives pre-partitioned and the join
+    is exchange-free on that side.
+    """
+    from pyspark.sql import Window
+
+    sims = F.array(
+        *[
+            F.struct(
+                cosine(query_vec_col, F.array(*[F.lit(float(x)) for x in c])).alias("sim"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probe = F.slice(F.reverse(F.array_sort(sims)), 1, nprobe)
+    qcells = queries.select(
+        query_id_col,
+        query_vec_col,
+        F.explode(F.transform(probe, lambda s: s["cell"])).alias("cell"),
+    )
+    celled = ivf_partition(items, centroids, vec_col).withColumnRenamed(
+        "ivf_cell", "cell"
+    )
+    scored = qcells.join(celled, "cell").select(
+        query_id_col,
+        F.col(id_col),
+        cosine(vec_col, query_vec_col).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     centroids: list[list[float]],

@@ -1496,3 +1496,97 @@ def x80_lm_quality_score(spark, sf_dir):
 def x81_span_dedup(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return tx.span_dedup(d, span_words=10)
+
+
+def _x82_oracle(k: int, dim: int, n_centroids: int, nprobe: int, n_queries: int, seed: int = 42) -> str:
+    """DuckDB twin of knn_join over the seeded codebook: q51's assignment +
+    probe fragments generalized per query row — probe cells ranked
+    (sim DESC, cell DESC) per q_id, candidates met on the cell equi-join,
+    per-query top-k by (cosine DESC, vec_id ASC) row_number."""
+    cents = sim.make_centroids(dim, n_centroids, seed)
+
+    def clist(c: list[float]) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in c) + "]"
+
+    def cos_lit(vec: str, c: list[float]) -> str:
+        lst = clist(c)
+        dot = (
+            f"list_sum(list_transform(range(1, len({vec}) + 1),"
+            f" i -> CAST({vec}[i] AS DOUBLE) * ({lst})[i]))"
+        )
+        nv = f"sqrt(list_sum(list_transform({vec}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        nc = f"sqrt(list_sum(list_transform({lst}, x -> x * x)))"
+        return f"({dot} / ({nv} * {nc}))"
+
+    sims_data = ",\n               ".join(
+        f"{cos_lit('embedding', c)} AS s{i}" for i, c in enumerate(cents)
+    )
+    all_s = ", ".join(f"s{i}" for i in range(n_centroids))
+    argmax = "CASE " + " ".join(
+        f"WHEN s{i} = best THEN {i}" for i in range(n_centroids)
+    ) + " END"
+    probe_union = "\n            UNION ALL ".join(
+        f"SELECT q_id, {i} AS cell, s{i} AS sim FROM qsims" for i in range(n_centroids)
+    )
+    dot_q = (
+        "list_sum(list_transform(range(1, len(a.embedding) + 1),"
+        " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))"
+    )
+    norm = "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    return f"""
+    WITH scored AS (
+        SELECT vec_id, embedding,
+               {sims_data}
+        FROM embeddings
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, {argmax} AS cell
+        FROM (SELECT *, greatest({all_s}) AS best FROM scored)
+    ),
+    qsims AS (
+        SELECT vec_id AS q_id, embedding AS qe,
+               {sims_data}
+        FROM embeddings WHERE vec_id < {n_queries}
+    ),
+    qcells AS (
+        SELECT q_id, cell FROM (
+            SELECT q_id, cell, sim,
+                   row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cell DESC) AS rn
+            FROM ({probe_union})
+        ) WHERE rn <= {nprobe}
+    ),
+    cand AS (
+        SELECT q.q_id, a.vec_id,
+               {dot_q} / ({norm.format(v='a.embedding')} * {norm.format(v='q.qe')}) AS cosine
+        FROM qcells c
+        JOIN (SELECT q_id, qe FROM qsims) q ON q.q_id = c.q_id
+        JOIN assigned a ON a.cell = c.cell
+    )
+    SELECT q_id, vec_id, cosine, CAST(rnk AS INT) AS rnk FROM (
+        SELECT q_id, vec_id, cosine,
+               row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rnk
+        FROM cand
+    ) WHERE rnk <= {k}
+    """
+
+
+@register(
+    "x82_knn_join",
+    oracle=_x82_oracle(k=5, dim=64, n_centroids=8, nprobe=4, n_queries=5),
+    doc="Batch k-NN join (operators.similarity.knn_join): per-QUERY-ROW "
+    "top-k by cosine over the nprobe nearest IVF cells — the many-query "
+    "generalization of q51's single broadcast vector. Queries explode to "
+    "(q_id, cell) rows and meet cell-assigned items in a plain equi-join, "
+    "hash-partitioned on both sides, so the same plan serves a billion-row "
+    "query table where a broadcast cannot; per-query top-k is one window "
+    "rank. Seeded codebook makes index + search oracle-checked end-to-end; "
+    "bucketed-by-cell item storage makes the item side exchange-free.",
+    tags=("LLM", "similarity", "knn"),
+)
+def x82_knn_join(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    centroids = sim.make_centroids(dim=64, n_centroids=8, seed=42)
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    return sim.knn_join(e, queries, centroids, k=5, nprobe=4)

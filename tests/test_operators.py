@@ -752,3 +752,26 @@ def test_span_dedup_planted(spark):
     assert out[3].clean_text == "" and out[3].n_removed == 1
     assert out[4].clean_text == "short tail only" and out[4].n_removed == 0
     assert out[2].n_spans == 2 and out[4].n_spans == 1
+
+
+def test_knn_join_matches_single_query_path(spark, sf_dir):
+    """knn_join's per-query results equal ann_topk_ivf_centroids run once
+    per query — identical probe ordering and re-rank, batched."""
+    e = _emb(spark, sf_dir)
+    centroids = sim.make_centroids(dim=64, n_centroids=8, seed=42)
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    batched = {}
+    for r in sim.knn_join(e, queries, centroids, k=7, nprobe=3).collect():
+        batched.setdefault(r.q_id, []).append((r.rnk, r.vec_id, r.cosine))
+    assert set(batched) == {0, 1, 2}
+    for qid in batched:
+        one = e.filter(F.col("vec_id") == qid).select(F.col("embedding").alias("qe"))
+        single = [
+            (i + 1, r.vec_id, r.cosine)
+            for i, r in enumerate(
+                sim.ann_topk_ivf_centroids(e, one, centroids, k=7, nprobe=3).collect()
+            )
+        ]
+        assert sorted(batched[qid]) == single
