@@ -458,6 +458,57 @@ def semantic_dedup(
     )
 
 
+def semantic_dedup_incremental(
+    batch: DataFrame,
+    corpus_kept: DataFrame,
+    centroids: list[list[float]],
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Frozen-corpus incremental SemDeDup — the weekly-drop pattern: dedup a
+    NEW batch against an already-curated corpus without re-pairing history
+    (the embedding-space twin of ``operators.incremental_dedup``).
+
+    Two stages: (1) **corpus veto** — a batch row with cosine >=
+    ``threshold`` to ANY kept corpus row in its cell is dropped
+    unconditionally (kept history always wins, regardless of
+    centroid-similarity rank); (2) the survivors run the standard
+    within-batch ``semantic_dedup`` sweep. ``corpus_kept`` carries
+    ``(id_col, vec_col)`` — cells are recomputed from the codebook, so the
+    caller stores only ids+vectors.
+
+    Contract note (deliberate, append-only-store semantics): NOT identical
+    to re-running ``semantic_dedup`` on corpus ∪ batch — previously kept
+    corpus rows never retire, even when a new row would outrank them in
+    the paper's keep order; and a batch row near only REMOVED corpus rows
+    survives, since removed rows are not stored. Pinned by tests.
+
+    Scale: both stages are cell-equi-joins (sum of squared cluster sizes);
+    the corpus side reads straight from a bucketed-by-cell kept store, so
+    the veto join is exchange-free on that side.
+    """
+    b = batch.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("b_vec"),
+        assign_cell(vec_col, centroids).alias("b_cell"),
+    )
+    c = corpus_kept.select(
+        F.col(vec_col).alias("c_vec"),
+        assign_cell(vec_col, centroids).alias("c_cell"),
+    )
+    veto = (
+        b.join(c, F.col("b_cell") == F.col("c_cell"))
+        .where(cosine(F.col("b_vec"), F.col("c_vec")) >= F.lit(float(threshold)))
+        .select(F.col("b_id").alias("_veto"))
+        .distinct()
+    )
+    survivors = batch.join(
+        veto, batch[id_col] == veto["_veto"], "left_anti"
+    ).select(id_col, vec_col)
+    return semantic_dedup(survivors, centroids, threshold, vec_col, id_col)
+
+
 def ann_topk_quantized(
     df: DataFrame,
     query: DataFrame,

@@ -1590,3 +1590,107 @@ def x82_knn_join(spark, sf_dir):
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
     )
     return sim.knn_join(e, queries, centroids, k=5, nprobe=4)
+
+
+def _x83_oracle(threshold: float, dim: int, n_centroids: int, cutoff: int, seed: int = 42) -> str:
+    """DuckDB twin of semantic_dedup_incremental: x78's assignment +
+    dominance fragments, applied first to the corpus slice (vec_id <
+    cutoff) to reproduce its kept set, then the frozen-corpus veto join,
+    then the within-batch sweep over the survivors."""
+    cents = sim.make_centroids(dim, n_centroids, seed)
+
+    def clist(c: list[float]) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in c) + "]"
+
+    def cos_lit(vec: str, c: list[float]) -> str:
+        lst = clist(c)
+        dot = (
+            f"list_sum(list_transform(range(1, len({vec}) + 1),"
+            f" i -> CAST({vec}[i] AS DOUBLE) * ({lst})[i]))"
+        )
+        nv = f"sqrt(list_sum(list_transform({vec}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        nc = f"sqrt(list_sum(list_transform({lst}, x -> x * x)))"
+        return f"({dot} / ({nv} * {nc}))"
+
+    sims_data = ",\n               ".join(
+        f"{cos_lit('embedding', c)} AS s{i}" for i, c in enumerate(cents)
+    )
+    all_s = ", ".join(f"s{i}" for i in range(n_centroids))
+    argmax = "CASE " + " ".join(
+        f"WHEN s{i} = best THEN {i}" for i in range(n_centroids)
+    ) + " END"
+    dot_ab = (
+        "list_sum(list_transform(range(1, len(a.embedding) + 1),"
+        " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+    )
+    nrm = "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    cos_ab = f"({dot_ab} / ({nrm.format(v='a.embedding')} * {nrm.format(v='b.embedding')}))"
+    tau = f"CAST({threshold!r} AS DOUBLE)"
+    dominates = (
+        "a.cell = b.cell AND a.vec_id <> b.vec_id"
+        " AND (a.csim < b.csim OR (a.csim = b.csim AND a.vec_id < b.vec_id))"
+    )
+    return f"""
+    WITH scored AS (
+        SELECT vec_id, embedding,
+               {sims_data}
+        FROM embeddings
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, {argmax} AS cell, best AS csim
+        FROM (SELECT *, greatest({all_s}) AS best FROM scored)
+    ),
+    c_removed AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a JOIN assigned b ON {dominates}
+        WHERE a.vec_id < {cutoff} AND b.vec_id < {cutoff} AND {cos_ab} >= {tau}
+    ),
+    corpus_kept AS (
+        SELECT * FROM assigned
+        WHERE vec_id < {cutoff} AND vec_id NOT IN (SELECT vec_id FROM c_removed)
+    ),
+    batch AS (SELECT * FROM assigned WHERE vec_id >= {cutoff}),
+    veto AS (
+        SELECT DISTINCT b.vec_id
+        FROM corpus_kept a JOIN batch b ON a.cell = b.cell
+        WHERE {cos_ab} >= {tau}
+    ),
+    b1 AS (SELECT * FROM batch WHERE vec_id NOT IN (SELECT vec_id FROM veto)),
+    b_removed AS (
+        SELECT DISTINCT b.vec_id
+        FROM b1 a JOIN b1 b ON {dominates}
+        WHERE {cos_ab} >= {tau}
+    )
+    SELECT vec_id, cell FROM b1
+    WHERE vec_id NOT IN (SELECT vec_id FROM b_removed)
+    """
+
+
+_X83_CUTOFF = 400
+
+
+@register(
+    "x83_incremental_semantic_dedup",
+    oracle=_x83_oracle(threshold=0.35, dim=64, n_centroids=8, cutoff=_X83_CUTOFF),
+    doc="Frozen-corpus incremental SemDeDup "
+    "(operators.similarity.semantic_dedup_incremental): dedup the weekly "
+    "embedding drop (vec_id >= 400) against the already-curated corpus "
+    "kept set without re-pairing history — kept corpus rows veto near-dup "
+    "batch rows unconditionally, survivors run the standard within-batch "
+    "sweep. The embedding-space twin of x75's MinHash band-store probe. "
+    "Deliberately NOT a full recompute: kept history never retires "
+    "(append-only-store contract, difference pinned in tests). Both "
+    "stages are cell-equi-joins; the corpus side reads from a "
+    "bucketed-by-cell kept store with no exchange.",
+    tags=("LLM", "dedup", "semantic", "incremental"),
+)
+def x83_incremental_semantic_dedup(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    centroids = sim.make_centroids(dim=64, n_centroids=8, seed=42)
+    corpus = e.filter(F.col("vec_id") < _X83_CUTOFF)
+    batch = e.filter(F.col("vec_id") >= _X83_CUTOFF)
+    kept = sim.semantic_dedup(corpus, centroids, threshold=0.35)
+    corpus_kept = corpus.join(kept.select("vec_id"), "vec_id", "left_semi")
+    return sim.semantic_dedup_incremental(
+        batch, corpus_kept.select("vec_id", "embedding"), centroids, threshold=0.35
+    )

@@ -775,3 +775,38 @@ def test_knn_join_matches_single_query_path(spark, sf_dir):
             )
         ]
         assert sorted(batched[qid]) == single
+
+
+def test_semantic_dedup_incremental_frozen_corpus_semantics(spark):
+    """Planted geometry pins the contract: a kept corpus row vetoes a new
+    near-dup; a batch row near only a REMOVED corpus row survives the veto
+    (removed rows are not stored); survivors then run the within-batch
+    sweep with the paper's least-centroid-sim keep order."""
+    import math
+
+    def vec(deg):
+        a = math.radians(deg)
+        return [math.cos(a), math.sin(a), 0.0, 0.0]
+
+    cents = [vec(69), vec(249)]
+    tau = 0.35  # cos(69 deg) ~ 0.358 >= tau; cos(71 deg) ~ 0.326 < tau... pairs below use 69/5/2 deg gaps
+    corpus = spark.createDataFrame(
+        [(1, vec(0)), (2, vec(69))], ["vec_id", "embedding"]
+    )
+    kept_corpus = sim.semantic_dedup(corpus, cents, threshold=tau)
+    # v2 (csim 1.0) is dominated by v1 (csim 0.358, less centroid-similar)
+    assert {r.vec_id for r in kept_corpus.collect()} == {1}
+
+    corpus_kept = corpus.join(kept_corpus.select("vec_id"), "vec_id", "left_semi")
+    batch = spark.createDataFrame(
+        [
+            (10, vec(138)),  # near removed v2 only (cos 69deg to it); survives veto
+            (11, vec(5)),    # near kept v1 (cos 5deg) -> vetoed
+            (12, vec(140)),  # near v10 (cos 2deg); lower csim -> dominates v10 in-batch
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = {r.vec_id for r in sim.semantic_dedup_incremental(
+        batch, corpus_kept.select("vec_id", "embedding"), cents, threshold=tau
+    ).collect()}
+    assert out == {12}
