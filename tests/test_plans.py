@@ -175,6 +175,8 @@ NEW_CATALYST_ONLY = [
     "x79_corpus_curation",
     "x80_lm_quality_score",
     "x81_span_dedup",
+    "x82_knn_join",
+    "x83_incremental_semantic_dedup",
 ]
 
 
