@@ -129,3 +129,49 @@ def domain_mix(
     return stratified_sample(
         df, rates, strata_col=strata_col, id_col=id_col, seed=seed, default_rate_e6=0
     )
+
+
+def shuffle_split(
+    df: DataFrame,
+    splits_e6: dict[str, int],
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic global shuffle order + named split assignment — the
+    last step before a corpus ships to training: every row gets a ``split``
+    ('train'/'val'/'test'/... by e6 fixed-point fractions summing to 1e6)
+    and a ``shuffle_key`` defining a reproducible global training order.
+
+    Both are pure functions of (seed, id) via the module's md5-hex trick,
+    so the SAME rows land in the same split with the same order on any
+    engine, any run, any partitioning — and the split decision is
+    INDEPENDENT of the shuffle order (different salt), so resizing splits
+    never reorders training data. Splits are assigned by cumulative hash
+    thresholds in the dict's insertion order: disjoint and exhaustive by
+    construction (the last split takes the ELSE branch).
+
+    Scale: one per-row hash + compare, no shuffle. Consumers materialize
+    the order with a range-partition-and-sort write on ``shuffle_key``
+    (repartitionByRange + sortWithinPartitions) — a single exchange that
+    replaces the usual non-reproducible ``rand()`` shuffle.
+    """
+    total = sum(splits_e6.values())
+    if total != 1_000_000:
+        raise ValueError(f"split fractions must sum to 1000000, got {total}")
+    if any(v <= 0 for v in splits_e6.values()):
+        raise ValueError("every split fraction must be positive")
+    h = sample_hash(id_col, seed)
+    names = list(splits_e6)
+    ladder = None
+    cum = 0
+    for name in names[:-1]:
+        cum += splits_e6[name]
+        cond = h < F.lit(rate_to_threshold_hex(cum))
+        ladder = F.when(cond, F.lit(name)) if ladder is None else ladder.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    split_col = last if ladder is None else ladder.otherwise(last)
+    col = F.col(id_col)
+    shuffle_key = F.md5(
+        F.concat_ws(":", F.lit(f"shuffle:{seed}"), col.cast("string"))
+    )
+    return df.withColumn("split", split_col).withColumn("shuffle_key", shuffle_key)

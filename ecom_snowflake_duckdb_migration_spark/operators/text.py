@@ -288,22 +288,58 @@ def jaccard_verify_pairs(
 ) -> DataFrame:
     """Exact-Jaccard verification restricted to candidate (d1, d2) pairs.
 
-    Explode each candidate by d1's shingles, keep the ones d2 also has
-    (equi-join on (d2, shingle)), count -> |A∩B|; |A∪B| = |A|+|B|-|A∩B|.
-    Cost is linear in (candidates x doc shingle count) — NOT the
-    all-shared-shingle-pairs self-join, which would defeat LSH at scale.
-    Candidate pairs sharing zero shingles simply drop out (Jaccard 0).
+    Each document's distinct shingles are collected ONCE into an array
+    (``sh`` must carry distinct (id, shingle) rows — ``char_shingles``'
+    contract); candidates join that narrow (id, array) table on each side
+    and |A∩B| is computed per pair with ``array_intersect`` — an
+    O(|A|+|B|) hash probe inside whole-stage codegen. |A∪B| =
+    |A|+|B|-|A∩B|. Cost is linear in (candidates x doc shingle count)
+    WITHOUT materializing exploded (pair, shingle) rows through an
+    exchange: the previous explode-then-equi-join shape shuffled
+    |candidates| x |shingles(d1)| rows, which on template-heavy corpora
+    (banding false-positive rate >99.9%: 4.3M candidates from 5k docs at
+    sf0.1) was 224 s of a 230 s run — this shape verifies the same
+    candidates in ~2 s. Candidate pairs sharing zero shingles drop out
+    (inner n_inter >= 1 filter), matching the old inner-join behavior.
+    Per-doc array size is bounded by document length — the same bound the
+    exploded shape carried per group.
+
+    Two deliberate physical choices: (1) shingles are xxhash64'd to int64
+    BEFORE collecting — the intersect probes fixed-width longs instead of
+    strings, and counts are identical modulo 64-bit collisions (~1e-12 for
+    realistic per-doc shingle counts; same argument, and same oracle
+    compatibility, as ``ngram_jaccard_pairs``' hash_shingles). (2) the
+    candidate frame is explicitly repartitioned to the session default
+    parallelism before the joins: AQE coalesces post-shuffle partitions by
+    BYTE size, and millions of 16-byte candidate rows collapse into one
+    partition — serializing the per-pair intersect, which is the entire
+    cost. The repartition shuffles only the narrow id pairs; the shingle
+    arrays join in AFTER it (broadcast at small scale), so they are never
+    shuffled per candidate.
     """
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    inter = (
-        candidates.join(sh.select(F.col(id_col).alias("d1"), "shingle"), "d1")
-        .join(sh.select(F.col(id_col).alias("d2"), "shingle"), ["d2", "shingle"])
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    sets = sh.select(
+        F.col(id_col), F.xxhash64("shingle").alias("shingle")
+    ).groupBy(id_col).agg(F.collect_set("shingle").alias("ss"))
+    par = candidates.sparkSession.sparkContext.defaultParallelism
     return (
-        inter.join(sizes.select(F.col(id_col).alias("d1"), F.col("sz").alias("sz1")), "d1")
-        .join(sizes.select(F.col(id_col).alias("d2"), F.col("sz").alias("sz2")), "d2")
+        candidates.repartition(par, "d1", "d2")
+        .join(sets.select(F.col(id_col).alias("d1"), F.col("ss").alias("ss1")), "d1")
+        .join(sets.select(F.col(id_col).alias("d2"), F.col("ss").alias("ss2")), "d2")
+        .select("d1", "d2", "ss1", "ss2", F.size("ss1").alias("sz1"), F.size("ss2").alias("sz2"))
+        # Exact size-ratio prefilter: J = |A∩B|/|A∪B| <= min(|A|,|B|)/max —
+        # any pair failing this cannot pass the threshold, so dropping it
+        # BEFORE the O(|A|+|B|) intersect never changes the output.
+        .filter(
+            F.least("sz1", "sz2") * F.lit(SCALE) >= F.lit(threshold_e6) * F.greatest("sz1", "sz2")
+        )
+        .select(
+            "d1",
+            "d2",
+            F.size(F.array_intersect("ss1", "ss2")).alias("n_inter"),
+            "sz1",
+            "sz2",
+        )
+        .filter(F.col("n_inter") >= 1)
         .withColumn("jaccard_e6", F.expr(f"n_inter * {SCALE} div (sz1 + sz2 - n_inter)"))
         .filter(F.col("jaccard_e6") >= threshold_e6)
         .select("d1", "d2", "jaccard_e6")

@@ -245,7 +245,7 @@ def q45_ngram_jaccard_pairs(spark, sf_dir):
 def q46_ann_cosine_topk(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     query = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
-    return sim.ann_topk_bruteforce(e, query, k=20)
+    return sim.ann_topk_bruteforce(e, query, k=20, dim=64)
 
 
 @register(
@@ -271,7 +271,7 @@ def q46_ann_cosine_topk(spark, sf_dir):
 )
 def q47_cosine_neardup_pairs(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
-    return sim.cosine_pairs_bruteforce(e, threshold=0.4)
+    return sim.cosine_pairs_bruteforce(e, threshold=0.4, dim=64)
 
 
 # --- LSH scale-path variants. The catalog entries run the md5-backed hash
@@ -901,7 +901,7 @@ def q56_dedup_canonical_embeddings(spark, sf_dir):
     from ..operators.dedup_groups import select_canonical
 
     e = load(spark, sf_dir, "embeddings")
-    pairs = sim.cosine_pairs_bruteforce(e, threshold=0.4)
+    pairs = sim.cosine_pairs_bruteforce(e, threshold=0.4, dim=64)
     kept = select_canonical(e.select("vec_id"), pairs, id_col="vec_id", left="id1", right="id2")
     total = e.count()
     return kept.agg(
@@ -1029,7 +1029,7 @@ def q61_int8_quantization(spark, sf_dir):
 def q62_ann_quantized_topk(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     query = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
-    return sim.ann_topk_quantized(e, query, k=20)
+    return sim.ann_topk_quantized(e, query, k=20, dim=64)
 
 
 @register(
@@ -1690,7 +1690,57 @@ def x83_incremental_semantic_dedup(spark, sf_dir):
     corpus = e.filter(F.col("vec_id") < _X83_CUTOFF)
     batch = e.filter(F.col("vec_id") >= _X83_CUTOFF)
     kept = sim.semantic_dedup(corpus, centroids, threshold=0.35)
-    corpus_kept = corpus.join(kept.select("vec_id"), "vec_id", "left_semi")
+    # localCheckpoint = the materialized kept-set STORE of the production
+    # contract (the incremental path reads kept history from disk, never
+    # re-derives it); without it the corpus-dedup lineage is embedded —
+    # and recomputed — once per downstream reference (veto + sweep).
+    corpus_kept = corpus.join(
+        kept.select("vec_id"), "vec_id", "left_semi"
+    ).localCheckpoint(eager=False)
     return sim.semantic_dedup_incremental(
         batch, corpus_kept.select("vec_id", "embedding"), centroids, threshold=0.35
     )
+
+
+def _x84_oracle(splits_e6: dict[str, int], seed: int) -> str:
+    """DuckDB twin of shuffle_split: same cumulative md5-hex thresholds,
+    same shuffle salt; lowercase-hex string compare == integer compare."""
+    from ..operators.sampling import rate_to_threshold_hex
+
+    names = list(splits_e6)
+    whens, cum = [], 0
+    for name in names[:-1]:
+        cum += splits_e6[name]
+        whens.append(
+            f"WHEN substr(md5('{seed}:' || CAST(doc_id AS VARCHAR)), 1, 8)"
+            f" < '{rate_to_threshold_hex(cum)}' THEN '{name}'"
+        )
+    case = "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+    return f"""
+    SELECT doc_id,
+           {case} AS split,
+           md5('shuffle:{seed}:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+    FROM documents
+    """
+
+
+_X84_SPLITS = {"train": 900_000, "val": 50_000, "test": 50_000}
+
+
+@register(
+    "x84_shuffle_split",
+    oracle=_x84_oracle(_X84_SPLITS, seed=42),
+    doc="Deterministic corpus shuffle + train/val/test split assignment "
+    "(operators.sampling.shuffle_split): split membership and global "
+    "training order are pure md5 functions of (seed, doc_id) — "
+    "reproducible across engines/runs/partitionings, split resize never "
+    "reorders training data (independent salts). Per-row hash + compare, "
+    "zero shuffle; the order materializes at write time via one "
+    "repartitionByRange on shuffle_key.",
+    tags=("LLM", "sampling", "shuffle"),
+)
+def x84_shuffle_split(spark, sf_dir):
+    from ..operators.sampling import shuffle_split
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_split(d, _X84_SPLITS, id_col="doc_id", seed=42)

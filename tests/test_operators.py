@@ -810,3 +810,40 @@ def test_semantic_dedup_incremental_frozen_corpus_semantics(spark):
         batch, corpus_kept.select("vec_id", "embedding"), cents, threshold=tau
     ).collect()}
     assert out == {12}
+
+
+def test_shuffle_split_disjoint_stable_and_order_independent(spark, sf_dir):
+    import pytest
+    from ecom_snowflake_duckdb_migration_spark.operators import sampling as sp
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    splits = {"train": 900_000, "val": 50_000, "test": 50_000}
+    out = sp.shuffle_split(d, splits, seed=42)
+    rows = {r.doc_id: (r.split, r.shuffle_key) for r in out.collect()}
+    assert len(rows) == d.count()                       # exhaustive, one split each
+    assert {s for s, _ in rows.values()} <= set(splits)
+    got = {}
+    for s, _ in rows.values():
+        got[s] = got.get(s, 0) + 1
+    assert 0.8 <= got["train"] / len(rows) <= 0.97      # ~90% +- binomial noise
+
+    # pure function of (seed, id): repartitioning cannot move a row
+    again = {
+        r.doc_id: (r.split, r.shuffle_key)
+        for r in sp.shuffle_split(d.repartition(7), splits, seed=42).collect()
+    }
+    assert again == rows
+
+    # split resize must NOT change training order (independent salts):
+    resized = {
+        r.doc_id: r.shuffle_key
+        for r in sp.shuffle_split(
+            d, {"train": 500_000, "val": 500_000}, seed=42
+        ).collect()
+    }
+    assert resized == {k: key for k, (_, key) in rows.items()}
+
+    with pytest.raises(ValueError):
+        sp.shuffle_split(d, {"train": 900_000, "val": 50_000})  # sums != 1e6
+    with pytest.raises(ValueError):
+        sp.shuffle_split(d, {"train": 1_000_000, "val": 0})     # zero fraction
