@@ -370,10 +370,26 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(df, text_col, id_col, k, num_hashes, hash_fn)
     # candidates: LSH band-bucket equi-join, then exact Jaccard for THOSE
     # pairs only — never the all-shared-shingle-pairs join.
+    candidates = band_candidates(sig, id_col, num_hashes, bands, hash_fn)
+    sh = char_shingles(df, text_col, id_col, k)
+    return jaccard_verify_pairs(candidates, sh, id_col, threshold_e6)
+
+
+def band_candidates(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Distinct (d1, d2) candidate pairs sharing at least one LSH band
+    bucket — the shared candidate generator of the exact-verified
+    (``minhash_lsh_pairs``) and signature-estimated
+    (``minhash_estimate_pairs``) paths."""
     stacked = lsh_band_stack(sig, id_col, num_hashes, bands, hash_fn)
     a = stacked.alias("a")
     b = stacked.alias("b")
-    candidates = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -383,8 +399,59 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
         .distinct()
     )
-    sh = char_shingles(df, text_col, id_col, k)
-    return jaccard_verify_pairs(candidates, sh, id_col, threshold_e6)
+
+
+def minhash_estimate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold_e6: int = 800_000,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Near-dup pairs with the Jaccard ESTIMATED from signature agreement —
+    no exact verification, no second shingle pass.
+
+    ``jaccard_e6`` here is ``#agreeing signature components * 1e6 div
+    num_hashes`` (an unbiased binomial estimate of true Jaccard, stderr
+    ~ sqrt(J(1-J)/num_hashes) ≈ 0.07 at J=0.8, num_hashes=32). This is
+    what large-scale production dedup actually ships: the expensive step
+    on precision-hostile corpora is not candidate generation but
+    verification (boilerplate-heavy corpora push band false-positive
+    rates past 99.9%), and the estimate needs only a broadcast-sized
+    (id, 32 ints) signature table probed per candidate — never the
+    documents again. Use ``minhash_lsh_pairs`` when downstream needs
+    exact Jaccard (its docstring's contract); both share the same
+    signatures and band candidates, so the estimate also serves as a
+    prefilter stage for the exact path. Deterministic given the seeded
+    hashes, so the md5 variant is DuckDB-oracle-checkable exactly (x85).
+    """
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes, hash_fn)
+    candidates = band_candidates(sig, id_col, num_hashes, bands, hash_fn)
+    par = candidates.sparkSession.sparkContext.defaultParallelism
+    s1 = sig.select(
+        F.col(id_col).alias("d1"), *[F.col(f"mh_{s}").alias(f"a_{s}") for s in range(num_hashes)]
+    )
+    s2 = sig.select(
+        F.col(id_col).alias("d2"), *[F.col(f"mh_{s}").alias(f"b_{s}") for s in range(num_hashes)]
+    )
+    agree = None
+    for s in range(num_hashes):
+        term = F.when(F.col(f"a_{s}") == F.col(f"b_{s}"), 1).otherwise(0)
+        agree = term if agree is None else agree + term
+    return (
+        candidates.repartition(par, "d1", "d2")  # same AQE-coalesce guard as verify
+        .join(s1, "d1")
+        .join(s2, "d2")
+        .select("d1", "d2", agree.cast("bigint").alias("n_agree"))
+        # integer div, not floating /: bit-exact in both engines for any
+        # num_hashes, not just powers of two
+        .withColumn("jaccard_e6", F.expr(f"n_agree * {SCALE} div {num_hashes}"))
+        .filter(F.col("jaccard_e6") >= threshold_e6)
+        .select("d1", "d2", "jaccard_e6")
+    )
 
 
 def simhash_bits(hash_fn: str) -> int:

@@ -1744,3 +1744,71 @@ def x84_shuffle_split(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents").select("doc_id")
     return shuffle_split(d, _X84_SPLITS, id_col="doc_id", seed=42)
+
+
+def _minhash_estimate_oracle(num_hashes: int, bands: int, threshold_e6: int) -> str:
+    """DuckDB twin of minhash_estimate_pairs(hash_fn='md5'): the q48
+    oracle's sh/sig/banded/cand CTEs, then signature-agreement counting
+    instead of exact-Jaccard verification."""
+    rows = num_hashes // bands
+    mins = ",\n               ".join(
+        f"min(md5('{s}:' || shingle)) AS mh_{s}" for s in range(num_hashes)
+    )
+    band_selects = "\n        UNION ALL\n        ".join(
+        "SELECT doc_id, {b} AS band, md5({expr}) AS bucket FROM sig".format(
+            b=b,
+            expr=" || '|' || ".join(f"mh_{s}" for s in range(b * rows, (b + 1) * rows)),
+        )
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN s1.mh_{s} = s2.mh_{s} THEN 1 ELSE 0 END" for s in range(num_hashes)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct([substr(text, i, 3) for i in range(1, length(text) - 1)]))
+                   AS shingle
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM sh GROUP BY doc_id
+    ),
+    banded AS (
+        {band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT c.d1, c.d2,
+           CAST(({agree}) AS BIGINT) * 1000000 // {num_hashes} AS jaccard_e6
+    FROM cand c
+    JOIN sig s1 ON s1.doc_id = c.d1
+    JOIN sig s2 ON s2.doc_id = c.d2
+    WHERE CAST(({agree}) AS BIGINT) * 1000000 // {num_hashes} >= {threshold_e6}
+    """
+
+
+@register(
+    "x85_minhash_estimate_pairs",
+    oracle=_minhash_estimate_oracle(num_hashes=32, bands=8, threshold_e6=800_000),
+    doc="Signature-estimated near-dup pairs "
+    "(operators.text.minhash_estimate_pairs): same MinHash signatures and "
+    "band candidates as q48, but jaccard_e6 = agreeing components * 1e6 "
+    "div num_hashes — no exact verification, no second pass over the "
+    "documents. The production path on precision-hostile (boilerplate-"
+    "heavy) corpora where banding false positives make verification the "
+    "dominant cost; probes only the narrow (id, 32-int) signature table "
+    "per candidate. md5 variant, estimate deterministic given the seeded "
+    "hashes, so the oracle match is exact.",
+    tags=("LLM", "dedup", "lsh"),
+)
+def x85_minhash_estimate_pairs(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return tx.minhash_estimate_pairs(
+        d, k=3, num_hashes=32, bands=8, threshold_e6=800_000, hash_fn="md5"
+    )

@@ -56,6 +56,7 @@ def main() -> int:
     ops = {
         "exact_dedup": lambda: tx.exact_dedup_groups(docs),
         "minhash_lsh_pairs": lambda: tx.minhash_lsh_pairs(docs, threshold_e6=800_000),
+        "minhash_estimate_pairs": lambda: tx.minhash_estimate_pairs(docs, threshold_e6=800_000),
         "simhash_near_pairs": lambda: tx.simhash_near_pairs(docs, max_hamming=3, blocks=4),
         "winnow_overlap_pairs": lambda: tx.winnow_overlap_pairs(docs, k=20, w=10, min_shared=3),
         "decontaminate": lambda: tx.decontaminate(corpus, bench, n=8),

@@ -847,3 +847,30 @@ def test_shuffle_split_disjoint_stable_and_order_independent(spark, sf_dir):
         sp.shuffle_split(d, {"train": 900_000, "val": 50_000})  # sums != 1e6
     with pytest.raises(ValueError):
         sp.shuffle_split(d, {"train": 1_000_000, "val": 0})     # zero fraction
+
+
+def test_minhash_estimate_pairs_exact_dups_and_determinism(spark):
+    from ecom_snowflake_duckdb_migration_spark.operators import text as tx
+
+    base = "the quick brown fox jumps over the lazy dog again and again %d"
+    rows = [(i, base % (i // 2)) for i in range(8)]          # consecutive exact dups
+    distinct = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "zero one two three four five six seven eight nine ten eleven",
+        "red orange yellow green blue indigo violet magenta cyan white",
+        "north south east west up down left right forward backward",
+    ]
+    rows += [(100 + i, t) for i, t in enumerate(distinct)]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    est = {(r.d1, r.d2): r.jaccard_e6 for r in tx.minhash_estimate_pairs(d).collect()}
+    # exact duplicates: all 32 signature components agree -> estimate == 1e6
+    for i in range(0, 8, 2):
+        assert est.get((i, i + 1)) == 1_000_000
+    # unrelated docs never estimate above threshold
+    assert not any(a >= 100 or b >= 100 for a, b in est)
+    # deterministic: same hashes -> same pairs, on either hash family
+    est2 = {(r.d1, r.d2): r.jaccard_e6 for r in tx.minhash_estimate_pairs(d).collect()}
+    assert est2 == est
+    md5 = {(r.d1, r.d2): r.jaccard_e6 for r in tx.minhash_estimate_pairs(d, hash_fn="md5").collect()}
+    for i in range(0, 8, 2):
+        assert md5.get((i, i + 1)) == 1_000_000
