@@ -177,6 +177,8 @@ NEW_CATALYST_ONLY = [
     "x81_span_dedup",
     "x82_knn_join",
     "x83_incremental_semantic_dedup",
+    "x84_shuffle_split",
+    "x85_minhash_estimate_pairs",
 ]
 
 
