@@ -955,6 +955,7 @@ def curate(
     id_col: str = "doc_id",
     jaccard_threshold_e6: int = 800_000,
     contamination_n: int = 8,
+    near_dup: str = "exact",
 ) -> DataFrame:
     """End-to-end training-corpus curation — the standard cleaning cascade
     (C4/RefinedWeb-style) composed from this module's operators, cheapest
@@ -966,7 +967,9 @@ def curate(
     3. **exact dedup** — keep the min-id canonical per ``md5(text)``;
     4. **near-dedup** — ``ngram_jaccard_pairs`` at ``jaccard_threshold_e6``;
        of each (d1 < d2) pair the higher id is dropped (the module's
-       keep-earliest convention);
+       keep-earliest convention); ``near_dup="minhash"`` swaps this stage
+       for ``minhash_lsh_pairs`` (same pair contract, banded candidates
+       instead of the shared-shingle self-join — the 100 TB shape);
     5. **decontamination** — drop documents sharing any
        ``contamination_n``-token word n-gram with ``benchmark``.
 
@@ -975,8 +978,9 @@ def curate(
     Scale: stages 1-2 are embarrassingly parallel; stage 3 is one uniform
     hash shuffle; stages 4-5 are bounded equi-joins (shared shingles /
     grams, never n^2) running on the already-filtered remnant — at 100 TB
-    swap stage 4 for ``minhash_lsh_pairs`` (same pair contract) and hash
-    the grams before the stage-5 shuffle.
+    pass ``near_dup="minhash"`` (candidates per band bucket, LSH recall
+    semantics; the default exact path is what the x79 oracle pins) and
+    hash the grams before the stage-5 shuffle.
     """
     scored = predict_language(quality_metrics(corpus, text_col), text_col)
     keep1 = scored.filter(
@@ -986,13 +990,17 @@ def curate(
         F.col("canonical_doc_id").alias(id_col)
     )
     keep2 = keep1.join(canon, id_col, "left_semi")
-    near = (
-        ngram_jaccard_pairs(
+    if near_dup == "minhash":
+        pairs = minhash_lsh_pairs(
             keep2, text_col, id_col, k=3, threshold_e6=jaccard_threshold_e6
         )
-        .select(F.col("d2").alias(id_col))
-        .distinct()
-    )
+    elif near_dup == "exact":
+        pairs = ngram_jaccard_pairs(
+            keep2, text_col, id_col, k=3, threshold_e6=jaccard_threshold_e6
+        )
+    else:
+        raise ValueError(f"near_dup must be 'exact' or 'minhash', got {near_dup!r}")
+    near = pairs.select(F.col("d2").alias(id_col)).distinct()
     keep3 = keep2.join(near, id_col, "left_anti")
     flags = decontaminate(keep3, benchmark, n=contamination_n, text_col=text_col, id_col=id_col)
     kept = keep3.join(

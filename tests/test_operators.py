@@ -892,3 +892,28 @@ def test_ivf_cell_store_prunes_partitions_at_scan(spark, sf_dir, tmp_path):
     assert "DataFilters: []" in plan  # nothing left to evaluate per row
     per_cell = {r.ivf_cell: r.n for r in store.groupBy("ivf_cell").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert probed.count() == per_cell.get(2, 0) + per_cell.get(5, 0)
+
+
+def test_curate_minhash_stage_matches_exact_on_clear_corpus(spark):
+    """near_dup='minhash' swaps stage 4 for banded LSH. On a corpus whose
+    near-dups are unambiguous (exact or ~exact copies: J ~ 1, banding
+    recall ~ 1) both variants must curate the identical survivor set;
+    LSH-vs-exact divergence is possible only in the J~threshold twilight
+    band, which this fixture deliberately avoids."""
+    import pytest
+    from ecom_snowflake_duckdb_migration_spark.operators import text as tx
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet green field toward the river bank every single "
+        "morning before the sun rises over the distant eastern hills %s"
+    )
+    rows = [(i, "srcA", good % (i // 2)) for i in range(10)]     # near-dup pairs
+    rows += [(50 + i, "srcA", good % f"unique tail {i} with extra words here") for i in range(5)]
+    corpus = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    bench = spark.createDataFrame([(900, "bench", "benchmark only tokens")], ["doc_id", "source", "text"])
+    exact = {r.doc_id for r in tx.curate(corpus, bench).collect()}
+    mh = {r.doc_id for r in tx.curate(corpus, bench, near_dup="minhash").collect()}
+    assert exact == mh and exact
+    with pytest.raises(ValueError):
+        tx.curate(corpus, bench, near_dup="nope")
