@@ -175,3 +175,47 @@ def shuffle_split(
         F.concat_ws(":", F.lit(f"shuffle:{seed}"), col.cast("string"))
     )
     return df.withColumn("split", split_col).withColumn("shuffle_key", shuffle_key)
+
+
+def exact_quota_sample(
+    df: DataFrame,
+    quotas: dict[str, int],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """EXACTLY ``quotas[stratum]`` rows per stratum (fewer only if the
+    stratum is smaller), chosen by ranking the deterministic sample hash —
+    fixed-size eval/calibration sets where the binomial rate samplers
+    (``deterministic_sample``/``stratified_sample``) cannot guarantee a
+    count. Strata absent from ``quotas`` are dropped.
+
+    Membership is a pure function of (seed, ids of the stratum): stable
+    across engines/runs/partitionings, and monotone under quota growth
+    (a larger quota keeps every row the smaller quota kept — the hash
+    order is the same). Ties on the 8-hex-char hash (needs a 32-bit
+    collision inside one stratum) break deterministically on id.
+
+    Scale: one window rank per stratum — a single hash-partitioned
+    shuffle on ``strata_col``; no global sort. A skew-prone stratum at
+    100 TB pays the same single-reducer sort any per-group top-k does —
+    shard such strata by a hash-salted sub-key first and re-rank the
+    (quota x shards) survivors.
+    """
+    from pyspark.sql import Window
+
+    if any(q <= 0 for q in quotas.values()):
+        raise ValueError("every quota must be positive")
+    w = Window.partitionBy(strata_col).orderBy(
+        sample_hash(id_col, seed), F.col(id_col)
+    )
+    quota_col = None
+    for stratum, q in sorted(quotas.items()):
+        cond = F.col(strata_col) == stratum
+        quota_col = F.when(cond, q) if quota_col is None else quota_col.when(cond, q)
+    quota_col = quota_col.otherwise(F.lit(0))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= quota_col)
+        .drop("_rk")
+    )

@@ -1812,3 +1812,46 @@ def x85_minhash_estimate_pairs(spark, sf_dir):
     return tx.minhash_estimate_pairs(
         d, k=3, num_hashes=32, bands=8, threshold_e6=800_000, hash_fn="md5"
     )
+
+
+_X86_QUOTAS = {"src0": 40, "src1": 25, "src2": 10}
+
+
+def _x86_oracle(quotas: dict[str, int], seed: int) -> str:
+    """DuckDB twin of exact_quota_sample: same md5 rank key, same id
+    tiebreak, same per-stratum quota CASE."""
+    case = (
+        "CASE "
+        + " ".join(f"WHEN source = '{s}' THEN {q}" for s, q in sorted(quotas.items()))
+        + " ELSE 0 END"
+    )
+    return f"""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY substr(md5('{seed}:' || CAST(doc_id AS VARCHAR)), 1, 8),
+                            doc_id
+               ) AS rk
+        FROM documents
+    )
+    WHERE rk <= {case}
+    """
+
+
+@register(
+    "x86_exact_quota_sample",
+    oracle=_x86_oracle(_X86_QUOTAS, seed=42),
+    doc="Exact-count deterministic sampling "
+    "(operators.sampling.exact_quota_sample): EXACTLY N rows per stratum "
+    "by ranking the (seed, id) md5 hash with an id tiebreak — fixed-size "
+    "eval/calibration sets the binomial rate samplers cannot guarantee; "
+    "monotone under quota growth, stable across engines/runs/"
+    "partitionings. One window rank per stratum, single shuffle.",
+    tags=("LLM", "sampling"),
+)
+def x86_exact_quota_sample(spark, sf_dir):
+    from ..operators.sampling import exact_quota_sample
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return exact_quota_sample(d, _X86_QUOTAS, seed=42)

@@ -917,3 +917,30 @@ def test_curate_minhash_stage_matches_exact_on_clear_corpus(spark):
     assert exact == mh and exact
     with pytest.raises(ValueError):
         tx.curate(corpus, bench, near_dup="nope")
+
+
+def test_exact_quota_sample_counts_monotonicity_and_stability(spark, sf_dir):
+    import pytest
+    from ecom_snowflake_duckdb_migration_spark.operators import sampling as sp
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    totals = {r.source: r.n for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    big = totals and max(totals.values())
+    src = max(totals, key=totals.get)
+    out = sp.exact_quota_sample(d, {src: 7}, seed=3)
+    rows = {r.doc_id for r in out.collect()}
+    assert len(rows) == 7                                    # exact, not binomial
+    # monotone: quota 12 keeps every row quota 7 kept
+    bigger = {r.doc_id for r in sp.exact_quota_sample(d, {src: 12}, seed=3).collect()}
+    assert rows < bigger and len(bigger) == 12
+    # quota above stratum size degrades to the whole stratum
+    assert (
+        sp.exact_quota_sample(d, {src: totals[src] + 10}, seed=3).count() == totals[src]
+    )
+    # stable under repartitioning
+    again = {r.doc_id for r in sp.exact_quota_sample(d.repartition(5), {src: 7}, seed=3).collect()}
+    assert again == rows
+    # unlisted strata dropped
+    assert {r.source for r in out.collect()} == {src}
+    with pytest.raises(ValueError):
+        sp.exact_quota_sample(d, {src: 0})

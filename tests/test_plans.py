@@ -179,6 +179,7 @@ NEW_CATALYST_ONLY = [
     "x83_incremental_semantic_dedup",
     "x84_shuffle_split",
     "x85_minhash_estimate_pairs",
+    "x86_exact_quota_sample",
 ]
 
 
