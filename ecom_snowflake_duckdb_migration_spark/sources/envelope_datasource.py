@@ -31,7 +31,13 @@ import glob
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import StructType
 
 
@@ -121,6 +127,92 @@ class EnvelopeDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return EnvelopeReader(schema, dict(self.options))
+
+    def writer(self, schema: StructType, overwrite: bool) -> "EnvelopeWriter":
+        return EnvelopeWriter(schema, dict(self.options), overwrite)
+
+
+class _EnvelopeCommit(WriterCommitMessage):
+    def __init__(self, file: str, count: int):
+        self.file = file
+        self.count = count
+
+
+class EnvelopeWriter(DataSourceWriter):
+    """``df.write.format("ecom_envelope")`` — one envelope file PER TASK,
+    each carrying the reference drop's metadata header ({table,
+    recordCount, generatedAt, version}) for exactly its own rows, so a
+    parallel write produces a directory of valid independent drops (the
+    shape the reader's per-file partitions and ``validate_count`` expect).
+
+    Commit protocol: tasks write to ``part-<taskid>.json.tmp`` and report
+    a commit message; ``commit()`` renames the temporaries into place and
+    ``abort()`` deletes them — a failed or speculative task never leaves a
+    half-envelope visible to the reader's glob (which ignores ``.tmp``).
+    ``option("generated_at", ...)`` injects a deterministic timestamp
+    (same injectability contract as the engine clock, F10); the Python
+    DataSource API accepts append/overwrite modes only — ``mode(
+    "overwrite")`` clears previous envelope files at commit time, after
+    every new file is staged. Python-side row emission — control-plane
+    volumes; the JVM ``write_envelope_json`` stays the hot path, same
+    stance as the reader."""
+
+    VERSION = "1.0"
+
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        self._names = [f.name for f in schema.fields if not f.name.startswith("_")]
+        self._path = options["path"]
+        self._table = options.get("table", "data")
+        self._generated_at = options.get("generated_at")
+        self._overwrite = overwrite
+        os.makedirs(self._path, exist_ok=True)
+
+    def write(self, iterator) -> _EnvelopeCommit:
+        import uuid
+        from datetime import datetime, timezone
+
+        rows = [
+            {n: v for n, v in zip(self._names, tuple(row)[: len(self._names)])}
+            for row in iterator
+        ]
+        if not rows:
+            # empty task partition: no file — a 0-row envelope would poison
+            # the reader's first-file schema inference for no information
+            return _EnvelopeCommit("", 0)
+        gen_at = self._generated_at or datetime.now(timezone.utc).isoformat()
+        envelope = {
+            "metadata": {
+                "table": self._table,
+                "recordCount": len(rows),
+                "generatedAt": gen_at,
+                "version": self.VERSION,
+            },
+            "data": rows,
+        }
+        tmp = os.path.join(self._path, f"part-{uuid.uuid4().hex}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(envelope, f, default=str)  # dates/decimals -> strings
+        return _EnvelopeCommit(tmp, len(rows))
+
+    def commit(self, messages) -> None:
+        staged = [m.file for m in messages if m is not None and m.file]
+        if self._overwrite:
+            for old in _envelope_files_or_empty(self._path):
+                os.remove(old)
+        for tmp in staged:
+            os.rename(tmp, tmp[: -len(".tmp")])
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and m.file and os.path.exists(m.file):
+                os.remove(m.file)
+
+
+def _envelope_files_or_empty(path: str) -> list[str]:
+    try:
+        return _envelope_files(path)
+    except FileNotFoundError:
+        return []
 
 
 def register(spark) -> None:

@@ -96,3 +96,46 @@ def test_schema_inference_types(spark, envelope_dir):
     assert kinds["event_id"] == "bigint"
     assert kinds["value"] == "double"
     assert kinds["event_type"] == "string"
+
+
+def test_envelope_datasource_write_round_trip_and_overwrite(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    eds.register(spark)
+    out = str(tmp_path / "drops")
+    df = spark.range(10).select(
+        F.col("id").alias("order_id"), (F.col("id") * 2).alias("qty")
+    )
+    (
+        df.repartition(3)
+        .write.format("ecom_envelope")
+        .option("path", out)
+        .option("table", "orders")
+        .option("generated_at", "2026-01-15T00:00:00+00:00")
+        .mode("append")  # Python DataSource API supports append/overwrite only
+        .save()
+    )
+    back = (
+        spark.read.format("ecom_envelope")
+        .option("path", out)
+        .option("validate_count", "true")
+        .load()
+    )
+    assert {(r.order_id, r.qty) for r in back.collect()} == {(i, 2 * i) for i in range(10)}
+    assert back.select("_generated_at").distinct().collect()[0][0] == "2026-01-15T00:00:00+00:00"
+    # parallel write: one valid envelope per non-empty task
+    import glob as g
+    files = g.glob(out + "/*.json")
+    assert 1 <= len(files) <= 3 and not g.glob(out + "/*.tmp")
+
+    # overwrite replaces the previous drop entirely
+    df2 = spark.range(4).select(F.col("id").alias("order_id"), F.lit(0).alias("qty"))
+    (
+        df2.write.format("ecom_envelope")
+        .option("path", out)
+        .option("table", "orders")
+        .mode("overwrite")
+        .save()
+    )
+    again = spark.read.format("ecom_envelope").option("path", out).load()
+    assert {r.order_id for r in again.collect()} == {0, 1, 2, 3}
