@@ -36,6 +36,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -130,6 +131,75 @@ class EnvelopeDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> "EnvelopeWriter":
         return EnvelopeWriter(schema, dict(self.options), overwrite)
+
+    def simpleStreamReader(self, schema: StructType) -> "EnvelopeStreamReader":
+        return EnvelopeStreamReader(schema, dict(self.options))
+
+
+class EnvelopeStreamReader(SimpleDataSourceStreamReader):
+    """``spark.readStream.format("ecom_envelope")`` — stream a drop
+    directory: each micro-batch picks up envelope files that sort AFTER
+    the last processed name, so the daily S3-drop cadence becomes a
+    structured stream with the same per-file ``validate_count`` as the
+    batch reader.
+
+    Offset contract: ``{"last": <highest file basename processed>}`` —
+    tiny, JSON-stable, and replayable (``readBetweenOffsets`` re-reads
+    exactly the (start, end] name range, giving exactly-once through the
+    engine's offset log). It REQUIRES monotone drop names (date-stamped
+    files like ``drop_2026-08-14.json`` — the reference's daily-drop
+    naming); a file landing with a name <= the high-water mark is
+    ignored, the same contract as every file-queue source keyed on a
+    sortable id. Python row emission, control-plane volumes — same
+    stance as the batch reader."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self._schema = schema
+        self._path = options["path"]
+        self._validate = str(options.get("validate_count", "false")).lower() == "true"
+
+    def initialOffset(self) -> dict:
+        return {"last": ""}
+
+    def _files_after(self, last: str, upto: str | None = None) -> list[str]:
+        files = _envelope_files_or_empty(self._path)
+        out = []
+        for f in files:
+            base = os.path.basename(f)
+            if base > last and (upto is None or base <= upto):
+                out.append(f)
+        return out
+
+    def _rows(self, files: list[str]):
+        names = [f.name for f in self._schema.fields if not f.name.startswith("_")]
+        for file in files:
+            for env in _load_envelopes(file):
+                meta = env.get("metadata") or {}
+                data = env.get("data") or []
+                declared = meta.get("recordCount")
+                if self._validate and declared is not None and declared != len(data):
+                    raise ValueError(
+                        f"envelope {file}: recordCount={declared} "
+                        f"but data holds {len(data)} rows"
+                    )
+                gen_at = meta.get("generatedAt")
+                for row in data:
+                    yield tuple(row.get(n) for n in names) + (file, gen_at)
+
+    def read(self, start: dict):
+        files = self._files_after(start.get("last", ""))
+        if not files:
+            return iter(()), start
+        end = {"last": os.path.basename(files[-1])}
+        # materialized list, not a generator: the engine's prefetch cache
+        # copy.copy()s the iterator (datasource_internal.getCache), which
+        # list iterators support and generators do not
+        return iter(list(self._rows(files))), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(
+            self._files_after(start.get("last", ""), end.get("last", ""))
+        )
 
 
 class _EnvelopeCommit(WriterCommitMessage):

@@ -139,3 +139,54 @@ def test_envelope_datasource_write_round_trip_and_overwrite(spark, tmp_path):
     )
     again = spark.read.format("ecom_envelope").option("path", out).load()
     assert {r.order_id for r in again.collect()} == {0, 1, 2, 3}
+
+
+def test_envelope_datasource_streaming_incremental_drops(spark, tmp_path):
+    """Stream the drop directory: first run ingests the existing drops,
+    a restart from the same checkpoint picks up ONLY files whose names
+    sort after the high-water mark (exactly-once over the offset log)."""
+    import time
+
+    eds.register(spark)
+    drop_dir = str(tmp_path / "drops")
+    os.makedirs(drop_dir)
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_drop(name, rows, gen):
+        env = {
+            "metadata": {"table": "events", "recordCount": len(rows),
+                         "generatedAt": gen, "version": "1.0"},
+            "data": rows,
+        }
+        with open(os.path.join(drop_dir, name), "w") as f:
+            json.dump(env, f)
+
+    write_drop("drop_2026-08-13.json", [{"k": 1}, {"k": 2}], "2026-08-13T00:00:00+00:00")
+    write_drop("drop_2026-08-14.json", [{"k": 3}], "2026-08-14T00:00:00+00:00")
+
+    def run_available():
+        stream = (
+            spark.readStream.format("ecom_envelope")
+            .schema("k bigint, _envelope_file string, _generated_at string")
+            .option("path", drop_dir)
+            .option("validate_count", "true")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_available()
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert {r.k for r in got.collect()} == {1, 2, 3}
+
+    # new drop lands with a later-sorting name; restart ingests ONLY it
+    write_drop("drop_2026-08-15.json", [{"k": 4}], "2026-08-15T00:00:00+00:00")
+    run_available()
+    rows = [r.k for r in spark.read.parquet(str(tmp_path / "out")).collect()]
+    assert sorted(rows) == [1, 2, 3, 4]  # no re-ingest of the first drops
