@@ -154,10 +154,20 @@ def char_shingles(
     Built with transform(sequence(...)) — pure Catalyst, no UDF. The explode
     multiplies rows by ~doc length; at scale, shingle hashing (xxhash64)
     should replace raw strings before any shuffle to cut width.
+
+    Texts shorter than ``k`` contribute NO shingles — guarded by an explicit
+    length gate, because ``sequence(1, 0)`` in Spark steps DESCENDING to
+    ``[1, 0]`` (DuckDB's ``range`` is empty there): ungated, every
+    sub-k-length document emitted a phantom ``''`` shingle, making any two
+    short docs Jaccard-1 duplicates and silently diverging from the oracle.
+    Found by the hypothesis ground-truth pin, not the corpus oracles — the
+    test corpus carries no short documents.
     """
     shingle_array = F.expr(
-        f"array_distinct(transform(sequence(1, greatest(length({text_col}) - {k - 1}, 0)),"
+        f"CASE WHEN length({text_col}) >= {k} THEN"
+        f" array_distinct(transform(sequence(1, length({text_col}) - {k - 1}),"
         f" i -> substring({text_col}, i, {k})))"
+        f" ELSE array() END"
     )
     return df.select(F.col(id_col), F.explode(shingle_array).alias("shingle"))
 

@@ -423,3 +423,48 @@ def test_hll_group_merge_equals_whole(spark, rows):
     )
     whole = sk.hll_group_sketch(df, ["g"], "k")
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcdef ", min_size=0, max_size=24), min_size=2, max_size=8
+    ),
+    threshold_e6=st.sampled_from([1, 300_000, 800_000, 1_000_000]),
+)
+@settings(**SETTINGS)
+def test_jaccard_verify_matches_python_set_math(spark, texts, threshold_e6):
+    """The array-intersect verify (collect_set + size-ratio prefilter +
+    n_inter>=1 gate) must equal naive per-pair Python set Jaccard over ALL
+    candidate pairs — pinning the rework against the ground truth rather
+    than only the oracle corpus. Tiny alphabet forces heavy shingle
+    collisions/overlap; empty/short texts exercise the no-shingle drop."""
+    from ecom_snowflake_duckdb_migration_spark.operators import text as tx
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    d = spark.createDataFrame(docs, ["doc_id", "text"])
+    ids = [i for i, _ in docs]
+    cand = spark.createDataFrame(
+        [(a, b) for a in ids for b in ids if a < b], ["d1", "d2"]
+    )
+    sh = tx.char_shingles(d)
+    got = {
+        (r.d1, r.d2): r.jaccard_e6
+        for r in tx.jaccard_verify_pairs(cand, sh, threshold_e6=threshold_e6).collect()
+    }
+
+    def shingles(t):
+        return {t[i : i + 3] for i in range(len(t) - 2)} if len(t) >= 3 else set()
+
+    want = {}
+    for a, ta in docs:
+        for b, tb in docs:
+            if a >= b:
+                continue
+            sa, sb = shingles(ta), shingles(tb)
+            inter = len(sa & sb)
+            if inter < 1:
+                continue
+            j = inter * 1_000_000 // len(sa | sb)
+            if j >= threshold_e6:
+                want[(a, b)] = j
+    assert got == want
