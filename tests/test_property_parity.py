@@ -468,3 +468,37 @@ def test_jaccard_verify_matches_python_set_math(spark, texts, threshold_e6):
             if j >= threshold_e6:
                 want[(a, b)] = j
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcd ", min_size=0, max_size=20), min_size=2, max_size=6
+    )
+)
+@settings(**SETTINGS)
+def test_minhash_md5_signatures_match_python_model(spark, texts):
+    """minhash_signatures(hash_fn='md5') value-for-value against a pure
+    Python reimplementation (hashlib.md5 over the same 'seed:shingle'
+    strings, lexicographic min over the hex digests) — the banding layers
+    above inherit correctness from these exact values. Short/empty texts
+    must yield NO signature row (the phantom-shingle regression guard at
+    the signature level)."""
+    import hashlib
+
+    from ecom_snowflake_duckdb_migration_spark.operators import text as tx
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    d = spark.createDataFrame(docs, ["doc_id", "text"])
+    sig = tx.minhash_signatures(d, num_hashes=8, hash_fn="md5")
+    got = {r.doc_id: tuple(r[f"mh_{s}"] for s in range(8)) for r in sig.collect()}
+
+    want = {}
+    for i, t in docs:
+        shingles = {t[j : j + 3] for j in range(len(t) - 2)} if len(t) >= 3 else set()
+        if not shingles:
+            continue
+        want[i] = tuple(
+            min(hashlib.md5(f"{s}:{sh}".encode()).hexdigest() for sh in shingles)
+            for s in range(8)
+        )
+    assert got == want
