@@ -502,3 +502,40 @@ def test_minhash_md5_signatures_match_python_model(spark, texts):
             for s in range(8)
         )
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=20), min_size=1, max_size=6
+    )
+)
+@settings(**SETTINGS)
+def test_simhash_md5_matches_python_model(spark, texts):
+    """simhash64(hash_fn='md5') value-for-value against pure Python: the
+    same 60-bit md5-prefix token hash, +-1 bit sums over token
+    MULTIPLICITY (explode keeps repeats — a set model would diverge on
+    repeated tokens), bit set iff sum > 0. Empty text still fingerprints
+    (split(trim('')) yields one '' token): identical docs must collide,
+    by design."""
+    import hashlib
+    import re
+
+    from ecom_snowflake_duckdb_migration_spark.operators import text as tx
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    d = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r.doc_id: r.simhash for r in tx.simhash64(d, hash_fn="md5").collect()}
+
+    want = {}
+    for i, t in docs:
+        toks = re.split(r"\s+", t.strip())
+        fp = 0
+        for b in range(60):
+            s = 0
+            for tok in toks:
+                h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+                s += 1 if (h >> b) & 1 else -1
+            if s > 0:
+                fp |= 1 << b
+        want[i] = fp
+    assert got == want
