@@ -543,16 +543,44 @@ def semantic_dedup(
     ``ivf_partition`` output bucketed by cell, and the self-join becomes
     co-located with zero exchanges.
     """
+    celled = semantic_cells(df, centroids, vec_col, id_col)
+    return semantic_dedup_celled(celled, threshold, id_col, dim=len(centroids[0]))
+
+
+def semantic_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The SemDeDup cell projection ``(id, vec, nrm, cell, csim)`` — the
+    frame ``semantic_dedup`` pairs on, exposed so it can be PERSISTED as
+    the cell store: write it with ``sources.write_table(...,
+    bucket_by=(n, ["cell"]))`` and ``semantic_dedup_celled`` (and every
+    later probe) runs its cell self-join exchange-free on the bucketed
+    layout (pinned in tests/test_plans.py)."""
     d = len(centroids[0])
     _nv = norm(vec_col, d)
     csim = F.greatest(*[cosine_lit(vec_col, c, _nv) for c in centroids])
-    celled = df.select(
+    return df.select(
         F.col(id_col),
         F.col(vec_col),
         norm(vec_col, d).alias("nrm"),
         assign_cell(vec_col, centroids).alias("cell"),
         csim.alias("csim"),
     )
+
+
+def semantic_removal_candidates(
+    celled: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """The cell self-join emitting every (higher-ranked a vetoes b) removal
+    — one ``_rm`` row per veto pair, pre-distinct. Factored out so the
+    plan over a bucketed cell store can be pinned exchange-free."""
     left = celled.select(
         F.col(id_col).alias("a_id"),
         F.col(vec_col).alias("a_vec"),
@@ -567,7 +595,7 @@ def semantic_dedup(
         F.col("cell").alias("b_cell"),
         F.col("csim").alias("b_csim"),
     )
-    removed = (
+    return (
         left.join(right, F.col("a_cell") == F.col("b_cell"))
         .where(F.col("a_id") != F.col("b_id"))
         .where(
@@ -575,12 +603,24 @@ def semantic_dedup(
             | ((F.col("a_csim") == F.col("b_csim")) & (F.col("a_id") < F.col("b_id")))
         )
         .where(
-            dot(F.col("a_vec"), F.col("b_vec"), d) / (F.col("a_nrm") * F.col("b_nrm"))
+            dot(F.col("a_vec"), F.col("b_vec"), dim) / (F.col("a_nrm") * F.col("b_nrm"))
             >= F.lit(float(threshold))
         )
         .select(F.col("b_id").alias("_rm"))
-        .distinct()
     )
+
+
+def semantic_dedup_celled(
+    celled: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup over a prepared ``semantic_cells`` frame (in-memory or read
+    back from the bucketed cell store) — keep rows no higher-ranked
+    cell-mate vetoes."""
+    removed = semantic_removal_candidates(celled, threshold, id_col, vec_col, dim).distinct()
     return (
         celled.join(removed, celled[id_col] == removed["_rm"], "left_anti")
         .select(F.col(id_col), F.col("cell"))

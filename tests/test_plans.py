@@ -242,3 +242,28 @@ def test_bucketed_fact_variants_plans_and_parity(spark, sf_dir, specs):
     # raw path restored: q24 shuffles again
     raw = plans.plan_stats(specs["q24_grouped_column_reuse"].fn(spark, sf_dir))
     assert raw.shuffles >= 1
+
+
+def test_semantic_dedup_pair_join_exchange_free_on_bucketed_cell_store(spark, sf_dir, specs):
+    """The x78 scale claim made concrete: semantic_cells persisted
+    bucketed-by-cell gives the SemDeDup pair self-join ZERO exchanges —
+    and the store path keeps the exact in-memory result."""
+    from ecom_snowflake_duckdb_migration_spark.operators import similarity as sim
+    from ecom_snowflake_duckdb_migration_spark.queries import load
+    from ecom_snowflake_duckdb_migration_spark.sources import write_table
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = sim.make_centroids(dim=64, n_centroids=8, seed=42)
+    try:
+        write_table(
+            sim.semantic_cells(emb, cents), "t_semcells_b", bucket_by=(8, ["cell"])
+        )
+        store = spark.table("t_semcells_b").hint("merge")
+        pairs = sim.semantic_removal_candidates(store, threshold=0.35, dim=64)
+        stats = plans.plan_stats(pairs)
+        assert stats.shuffles == 0, f"bucketed cell self-join still shuffles: {stats}"
+        kept_store = {r.vec_id for r in sim.semantic_dedup_celled(store, 0.35, dim=64).collect()}
+        kept_mem = {r.vec_id for r in sim.semantic_dedup(emb, cents, 0.35).collect()}
+        assert kept_store == kept_mem and kept_store
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_semcells_b")
