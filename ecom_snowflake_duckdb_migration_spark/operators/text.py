@@ -871,6 +871,95 @@ def span_dedup(
     )
 
 
+def exact_substring_dedup(
+    df: DataFrame,
+    k: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """ExactSubstr-style cross-document substring deduplication (Lee et
+    al. 2021, arXiv:2107.06499 §4.1): remove every word that lies inside
+    a substring of >= ``k`` words occurring elsewhere in the corpus
+    (earlier document, or earlier position in the same document), keeping
+    the globally first occurrence intact.
+
+    The suffix-array construction of the paper is replaced by a
+    shuffle-native equivalence: a substring of >= k words is duplicated
+    iff every one of its sliding k-word windows is duplicated, so ranking
+    each k-gram occurrence globally by ``(doc_id, pos)`` and erasing the
+    word-positions covered by every rank>1 window removes exactly the
+    union of duplicated-elsewhere substrings of length >= k — the same
+    span set ExactSubstr erases, at word granularity.
+
+    Returns ``(id_col, clean_text, n_tokens, n_removed)`` for every input
+    document.
+
+    Relational shape: one posexplode (sliding windows), one rank shuffle
+    over the GRAM HASH (grams are hashed before the shuffle — md5 for the
+    cross-engine-oracled variant, xxhash64 for the cheap JVM path — so the
+    shuffle ships 8-32 bytes per window, never the k-word text), one
+    covered-position anti-join, one ordered reassembly. All keys are
+    uniform hashes or doc ids — no skew at any scale. Differs from
+    span_dedup (C4 tiles, within-corpus first-wins on disjoint spans) by
+    sliding windows: boilerplate at ARBITRARY offsets is caught, the
+    failure mode tiling misses.
+
+    Sub-``k``-word documents contribute no windows (explicit size gate —
+    ``sequence(0, n-k)`` steps DESCENDING when n < k and would emit
+    phantom windows; see char_shingles).
+    """
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(id_col), F.expr(f"split(trim({text_col}), '\\\\s+')").alias("t")
+    )
+    grams = words.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(t) >= {k} THEN"
+                f" transform(sequence(0, size(t) - {k}),"
+                f" i -> concat_ws(' ', slice(t, i + 1, {k})))"
+                f" ELSE array() END"
+            )
+        ).alias("pos", "gram"),
+    ).select(
+        F.col(id_col),
+        F.col("pos"),
+        _seeded_hash(F.col("gram"), 0, hash_fn).alias("g"),
+    )
+    w = Window.partitionBy("g").orderBy(F.col(id_col), F.col("pos"))
+    dup_windows = grams.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") > 1
+    )
+    covered = dup_windows.select(
+        F.col(id_col),
+        F.explode(F.expr(f"sequence(pos, pos + {k} - 1)")).alias("wpos"),
+    ).distinct()
+    tokens = words.select(
+        F.col(id_col), F.posexplode("t").alias("wpos", "word")
+    )
+    kept = tokens.join(covered, [id_col, "wpos"], "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(array_sort(collect_list(struct(wpos, word))),"
+                " s -> s.word)"
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = tokens.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
+    return totals.join(reassembled, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+    )
+
+
 def lm_trigram_model(ref: DataFrame, text_col: str = "text") -> DataFrame:
     """Character-trigram counts from a reference corpus — the model half of
     CCNet-style LM quality filtering (Wenzek et al. 2020): score candidate

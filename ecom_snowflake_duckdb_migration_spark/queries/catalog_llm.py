@@ -1855,3 +1855,71 @@ def x86_exact_quota_sample(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents").select("doc_id", "source")
     return exact_quota_sample(d, _X86_QUOTAS, seed=42)
+
+
+_X87_K = 15
+
+@register(
+    "x87_exact_substring_dedup",
+    # DuckDB twin of exact_substring_dedup(k=15, hash_fn="md5"): parallel
+    # unnests zip positionally (x81 pattern); the rank key is md5('0:'||
+    # gram) — the _seeded_hash(seed=0) layout both engines produce
+    # byte-identically; covered positions distinct in a subquery because
+    # DISTINCT must apply AFTER the range unnest expands.
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t,
+               len(string_split_regex(trim(text), '\\s+')) AS n
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(range(0, n - {_X87_K} + 1)) AS pos,
+               unnest([md5('0:' || array_to_string(t[i + 1 : i + {_X87_K}], ' '))
+                       for i in range(0, n - {_X87_K} + 1)]) AS g
+        FROM words WHERE n >= {_X87_K}
+    ),
+    ranked AS (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        FROM grams
+    ),
+    covered AS (
+        SELECT DISTINCT doc_id, wpos FROM (
+            SELECT doc_id, unnest(range(pos, pos + {_X87_K})) AS wpos
+            FROM ranked WHERE rn > 1
+        )
+    ),
+    tokens AS (
+        SELECT doc_id, unnest(range(0, n)) AS wpos, unnest(t) AS word
+        FROM words
+    ),
+    kept AS (
+        SELECT tk.doc_id, tk.wpos, tk.word
+        FROM tokens tk LEFT JOIN covered c
+          ON c.doc_id = tk.doc_id AND c.wpos = tk.wpos
+        WHERE c.doc_id IS NULL
+    ),
+    re AS (
+        SELECT doc_id, string_agg(word, ' ' ORDER BY wpos) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, count(*) AS n_tokens FROM tokens GROUP BY doc_id)
+    SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+           t.n_tokens, t.n_tokens - coalesce(r.n_kept, 0) AS n_removed
+    FROM totals t LEFT JOIN re r ON r.doc_id = t.doc_id
+    """,
+    doc="ExactSubstr cross-document substring dedup "
+    "(operators.text.exact_substring_dedup; Lee et al. 2021, "
+    "arXiv:2107.06499 §4.1): erase every word inside a >=15-word "
+    "substring that occurs earlier in the corpus, keeping the first "
+    "occurrence — the sliding-window complement to x81's C4 tiling, "
+    "catching boilerplate at arbitrary offsets. Grams are md5-hashed "
+    "BEFORE the rank shuffle (8-32 bytes/window, never k-word text); "
+    "uniform hash keys, no skew at any scale.",
+    tags=("LLM", "dedup", "spans"),
+)
+def x87_exact_substring_dedup(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return tx.exact_substring_dedup(d, k=_X87_K)

@@ -944,3 +944,57 @@ def test_exact_quota_sample_counts_monotonicity_and_stability(spark, sf_dir):
     assert {r.source for r in out.collect()} == {src}
     with pytest.raises(ValueError):
         sp.exact_quota_sample(d, {src: 0})
+
+
+def test_exact_substring_dedup_planted_spans(spark):
+    """ExactSubstr semantics on planted geometry: a copied >=k-word run is
+    erased from the LATER document only, at an arbitrary offset (the case
+    x81's disjoint tiling misses); sub-k docs and unique docs untouched;
+    within-doc repetition keeps the earlier occurrence."""
+    from ecom_snowflake_duckdb_migration_spark.operators import text as tx
+
+    rows = [
+        ("a", "alpha beta gamma delta epsilon zeta eta theta"),
+        # same 6-word run at offset 2 — tiling with span=6 would NOT align
+        ("b", "one two alpha beta gamma delta epsilon zeta nine ten"),
+        ("c", "totally unrelated words here nothing shared at all"),
+        ("d", "tiny doc"),
+        # within-doc repeat: second copy of the 6-run erased, first kept
+        ("e", "p q alpha2 beta2 gamma2 delta2 epsilon2 zeta2 r s "
+              "alpha2 beta2 gamma2 delta2 epsilon2 zeta2 t"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in tx.exact_substring_dedup(
+            spark.createDataFrame(rows, ["doc_id", "text"]), k=6
+        ).collect()
+    }
+    assert out["a"].n_removed == 0
+    assert out["b"].clean_text == "one two nine ten" and out["b"].n_removed == 6
+    assert out["c"].n_removed == 0 and out["d"].n_removed == 0
+    assert out["e"].clean_text == (
+        "p q alpha2 beta2 gamma2 delta2 epsilon2 zeta2 r s t"
+    )
+    # every input doc present with full token accounting
+    assert {d for d in out} == {"a", "b", "c", "d", "e"}
+    assert all(out[d].n_tokens - out[d].n_removed ==
+               (len(out[d].clean_text.split()) if out[d].clean_text else 0)
+               for d in out)
+
+
+def test_exact_substring_dedup_overlapping_runs_erase_maximal_span(spark):
+    """A duplicated run LONGER than k erases its full extent in the later
+    doc (union of overlapping duplicated k-windows = the maximal repeated
+    substring — the suffix-array equivalence the operator relies on)."""
+    from ecom_snowflake_duckdb_migration_spark.operators import text as tx
+
+    run = "w1 w2 w3 w4 w5 w6 w7 w8"              # 8 words, k=6 -> 3 windows
+    rows = [("a", run), ("b", f"x {run} y")]
+    out = {
+        r.doc_id: r
+        for r in tx.exact_substring_dedup(
+            spark.createDataFrame(rows, ["doc_id", "text"]), k=6
+        ).collect()
+    }
+    assert out["a"].n_removed == 0
+    assert out["b"].clean_text == "x y" and out["b"].n_removed == 8

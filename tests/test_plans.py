@@ -180,6 +180,7 @@ NEW_CATALYST_ONLY = [
     "x84_shuffle_split",
     "x85_minhash_estimate_pairs",
     "x86_exact_quota_sample",
+    "x87_exact_substring_dedup",
 ]
 
 

@@ -539,3 +539,46 @@ def test_simhash_md5_matches_python_model(spark, texts):
                 fp |= 1 << b
         want[i] = fp
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30), min_size=2, max_size=6
+    )
+)
+@settings(**SETTINGS)
+def test_exact_substring_dedup_matches_python_model(spark, texts):
+    """ExactSubstr (x87) vs a pure-Python reimplementation: global k-gram
+    occurrence lists, keep-first by (doc_id, pos), erase the covered
+    positions of every later occurrence. Tiny two-letter alphabet forces
+    heavy duplicated runs, overlaps, and within-doc repeats; empty and
+    whitespace-only texts pin the ['']-token split semantics both engines
+    share (the class of bug the corpus oracle can never see)."""
+    import re
+
+    from ecom_snowflake_duckdb_migration_spark.operators import text as tx
+
+    k = 3
+    docs = [(i, t) for i, t in enumerate(texts)]
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.n_removed)
+        for r in tx.exact_substring_dedup(
+            spark.createDataFrame(docs, ["doc_id", "text"]), k=k
+        ).collect()
+    }
+
+    toks = {i: re.split(r"\s+", t.strip()) for i, t in docs}
+    occs: dict = {}
+    for i in sorted(toks):
+        ws = toks[i]
+        for p in range(len(ws) - k + 1):
+            occs.setdefault(tuple(ws[p : p + k]), []).append((i, p))
+    covered = {i: set() for i in toks}
+    for lst in occs.values():
+        for i, p in sorted(lst)[1:]:
+            covered[i].update(range(p, p + k))
+    want = {}
+    for i, ws in toks.items():
+        keep = [w for j, w in enumerate(ws) if j not in covered[i]]
+        want[i] = (" ".join(keep), len(ws), len(ws) - len(keep))
+    assert got == want
