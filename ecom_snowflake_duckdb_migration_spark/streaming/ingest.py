@@ -11,9 +11,10 @@ re-expression of its two natural streaming analogues:
 
 Scale notes: watermarks bound the state store (late events beyond the
 watermark are dropped, state for closed windows is evicted); the windowed agg
-shuffles once on (key, window); ``dropDuplicates`` within the watermark is
-the streaming equivalent of the ingest-side PK dedup (A11) with bounded
-state. All aggregates here are incremental (count/sum/approx) — exact
+shuffles once on (key, window); ``dropDuplicatesWithinWatermark`` is the
+streaming equivalent of the ingest-side PK dedup (A11) with bounded state
+(plain ``dropDuplicates`` would pin per-key state forever — see
+``dedup_stream``). All aggregates here are incremental (count/sum/approx) — exact
 COUNT(DISTINCT) is not incrementally computable with bounded state, so the
 streaming variant substitutes ``approx_count_distinct`` (documented
 divergence from the batch model; the batch path stays exact).
@@ -47,9 +48,17 @@ def read_event_stream(
 
 def dedup_stream(df: DataFrame, keys: list[str], ts_col: str, lateness: str) -> DataFrame:
     """Streaming A11: drop duplicate keys within the watermark horizon.
-    State is bounded by the watermark — at 100 TB/day this is the only
-    tractable exact-dedup window."""
-    return df.withWatermark(ts_col, lateness).dropDuplicates(keys)
+
+    Uses ``dropDuplicatesWithinWatermark`` (Spark 3.5+), NOT plain
+    ``dropDuplicates``: with a key set that excludes the event-time column,
+    ``dropDuplicates`` retains per-key state FOREVER (the watermark evicts
+    dedup state only when the event-time column is itself a dedup key) —
+    an unbounded state store at 100 TB/day. The WithinWatermark variant
+    evicts each key once the watermark passes its event time, giving the
+    documented bounded-state contract; the semantic trade is that a
+    duplicate arriving after the horizon is emitted again (exactly the
+    at-least-once window every bounded exact-dedup must accept)."""
+    return df.withWatermark(ts_col, lateness).dropDuplicatesWithinWatermark(keys)
 
 
 def windowed_event_counts(

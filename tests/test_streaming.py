@@ -524,3 +524,65 @@ def test_streaming_lm_score_matches_batch(spark, sf_dir, tmp_path):
         r.doc_id: (r.n_trigrams, r.nll_e6) for r in spark.read.parquet(out).collect()
     }
     assert again == want
+
+
+def test_stream_dedup_state_evicted_after_watermark(spark, tmp_path_factory):
+    """dedup_stream must use dropDuplicatesWithinWatermark: per-key state is
+    EVICTED once the watermark passes the key's event time + delay, so a
+    duplicate arriving after the horizon is emitted again (bounded state —
+    the at-least-once trade every 100 TB/day exact-dedup must accept).
+    Plain dropDuplicates would pin state forever and still drop it; this
+    test fails against that unbounded-state shape."""
+    import datetime as dt
+
+    root = tmp_path_factory.mktemp("dedup_evict")
+    src, out, ckpt = str(root / "src"), str(root / "out"), str(root / "ckpt")
+
+    def drop_file(rows):
+        df = spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = streaming.read_event_stream(
+            spark, src, spark.read.parquet(src).schema
+        )
+        q = (
+            streaming.dedup_stream(stream, ["event_id"], "ts", "1 hour")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    t = lambda h, m: dt.datetime(2026, 1, 15, h, m)
+    drop_file([(1, t(10, 0), 7, "view", 1.0, "{}")])
+    run_once()
+    # batch 2: watermark is still 09:00 — the 12:31 duplicate of key 1 is
+    # inside its state lifetime (expires 11:00) and must be dropped; the
+    # 12:30 row advances the watermark to 11:30 for the next batch.
+    drop_file([(2, t(12, 30), 8, "view", 1.0, "{}"),
+               (1, t(12, 31), 7, "view", 1.0, "{}")])
+    run_once()
+    counts = {
+        r.event_id: r.n
+        for r in spark.read.parquet(out).groupBy("event_id").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert counts == {1: 1, 2: 1}, counts
+    # batch 3: watermark 11:30 has passed key 1's 11:00 expiry — its state
+    # is gone, so the new duplicate is re-emitted. dropDuplicates would
+    # still hold the key and emit nothing.
+    drop_file([(1, t(12, 40), 7, "view", 1.0, "{}")])
+    run_once()
+    counts = {
+        r.event_id: r.n
+        for r in spark.read.parquet(out).groupBy("event_id").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert counts == {1: 2, 2: 1}, counts
