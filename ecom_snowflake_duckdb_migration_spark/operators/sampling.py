@@ -219,3 +219,81 @@ def exact_quota_sample(
         .filter(F.col("_rk") <= quota_col)
         .drop("_rk")
     )
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget_tokens: int,
+    score_col: str,
+    tokens_col: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Greedy token-budget corpus selection: walk documents in
+    ``(score_col DESC, id_col ASC)`` order and keep each document whose
+    cumulative token count BEFORE it is still under ``budget_tokens`` (the
+    last kept document may overshoot — the standard greedy fill for "best
+    B tokens of pretraining data").
+
+    Returns ``(id_col, score_col, tokens_col, cum_tokens)`` where
+    ``cum_tokens`` is the inclusive running total in selection order.
+
+    The global prefix sum is NOT a single-partition window (the
+    one-reducer trap every naive `SUM() OVER (ORDER BY ...)` falls into):
+    documents are range-bucketed on the score via approx quantile cuts,
+    the within-bucket cumulative sum runs partitioned per bucket, and the
+    cross-bucket offsets are a driver-side prefix sum over n_buckets
+    scalars (bounded — same contract as the incremental max-ts scalar)
+    broadcast back as a literal map. Bucket-boundary correctness needs
+    only monotone cuts, never exact quantiles: equal scores always land in
+    the same bucket, so the (score DESC, id) order is bucket-respecting
+    regardless of where the approximate cuts fall.
+    """
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    from pyspark.sql import Window
+
+    base = df.select(id_col, score_col, tokens_col)
+    cuts = [
+        float(c)
+        for c in base.stat.approxQuantile(
+            score_col,
+            [i / n_buckets for i in range(1, n_buckets)],
+            0.01,
+        )
+    ]
+    # width_bucket over DESCENDING score: bucket 0 = highest scores. Strict
+    # '>' on the cut keeps equal scores together (cut-valued rows all fall
+    # in the lower bucket).
+    bucket = F.lit(0)
+    for c in sorted(set(cuts)):
+        bucket = bucket + F.when(F.col(score_col) > F.lit(c), 0).otherwise(1)
+    b = base.withColumn("_bkt", bucket)
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_cum = b.withColumn("_cum_in", F.sum(tokens_col).over(w))
+    per_bucket = {
+        r["_bkt"]: r["t"]
+        for r in b.groupBy("_bkt").agg(F.sum(tokens_col).alias("t")).collect()
+    }
+    offsets, running = {}, 0
+    for k in sorted(per_bucket):
+        offsets[k] = running
+        running += per_bucket[k]
+    off = F.coalesce(
+        F.element_at(
+            F.create_map(
+                *[F.lit(v) for kv in offsets.items() for v in kv]
+            ),
+            F.col("_bkt"),
+        ),
+        F.lit(0),
+    ) if offsets else F.lit(0)
+    cum = (off + F.col("_cum_in")).alias("cum_tokens")
+    return (
+        with_cum.select(id_col, score_col, tokens_col, cum)
+        .filter(F.col("cum_tokens") - F.col(tokens_col) < F.lit(budget_tokens))
+    )

@@ -1923,3 +1923,52 @@ _X87_K = 15
 def x87_exact_substring_dedup(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return tx.exact_substring_dedup(d, k=_X87_K)
+
+
+_X88_BUDGET = 15_000
+
+@register(
+    "x88_token_budget_select",
+    # DuckDB twin: one global SUM() OVER (ORDER BY score DESC, doc_id) —
+    # fine in a single-node engine, exactly the one-reducer shape the
+    # Spark operator replaces with bucketed prefix sums. sum(BIGINT) is
+    # HUGEINT in DuckDB — cast back.
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
+                   * 1000000 // length(text)                AS score,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                                                            AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, score, n_tokens,
+               CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id)
+                    AS BIGINT)                              AS cum_tokens
+        FROM scored
+    )
+    SELECT doc_id, score, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens - n_tokens < {_X88_BUDGET}
+    """,
+    doc="Token-budget corpus selection "
+    "(operators.sampling.token_budget_select): keep the highest-"
+    "alpha-ratio documents until the token budget fills (greedy, last doc "
+    "may overshoot) — the 'best B tokens' cut every pretraining mix ends "
+    "with. The global running sum is bucketed: approx-quantile score "
+    "cuts -> per-bucket windows -> driver prefix sum over n_buckets "
+    "scalars, never a single-partition SUM() OVER (ORDER BY ...).",
+    tags=("LLM", "sampling", "selection"),
+)
+def x88_token_budget_select(spark, sf_dir):
+    from ..operators.sampling import token_budget_select
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "CAST(length(regexp_replace(text, '[^a-zA-Z]', '')) AS BIGINT)"
+            " * 1000000 div length(text)"
+        ).alias("score"),
+        tx.token_count("text").cast("bigint").alias("n_tokens"),
+    )
+    return token_budget_select(d, _X88_BUDGET, "score", "n_tokens")

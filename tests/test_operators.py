@@ -998,3 +998,40 @@ def test_exact_substring_dedup_overlapping_runs_erase_maximal_span(spark):
     }
     assert out["a"].n_removed == 0
     assert out["b"].clean_text == "x y" and out["b"].n_removed == 8
+
+
+def test_token_budget_select_matches_single_window_reference(spark):
+    """Bucketed prefix sum == the naive global SUM() OVER (ORDER BY score
+    DESC, id) on planted data with heavy score ties (ties must co-bucket
+    across any approx-quantile cut placement); greedy semantics: last kept
+    doc may overshoot the budget, cum before it is strictly under."""
+    import random
+
+    import pytest
+    from ecom_snowflake_duckdb_migration_spark.operators.sampling import (
+        token_budget_select,
+    )
+
+    random.seed(7)
+    rows = [(i, random.randint(0, 50), random.randint(1, 30)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id bigint, score bigint, toks bigint")
+    got = {
+        r.doc_id: (r.score, r.toks, r.cum_tokens)
+        for r in token_budget_select(df, 900, "score", "toks", n_buckets=8).collect()
+    }
+    cum, want = 0, {}
+    for i, s, t in sorted(rows, key=lambda r: (-r[1], r[0])):
+        if cum < 900:
+            want[i] = (s, t, cum + t)
+        cum += t
+    assert got == want
+    # all-ties degenerate: one bucket, pure within-bucket window
+    df2 = spark.createDataFrame(
+        [(i, 5, 10) for i in range(40)], "doc_id bigint, score bigint, toks bigint"
+    )
+    got2 = sorted(
+        r.doc_id for r in token_budget_select(df2, 95, "score", "toks").collect()
+    )
+    assert got2 == list(range(10))
+    with pytest.raises(ValueError):
+        token_budget_select(df, 0, "score", "toks")

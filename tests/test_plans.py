@@ -181,6 +181,7 @@ NEW_CATALYST_ONLY = [
     "x85_minhash_estimate_pairs",
     "x86_exact_quota_sample",
     "x87_exact_substring_dedup",
+    "x88_token_budget_select",
 ]
 
 
