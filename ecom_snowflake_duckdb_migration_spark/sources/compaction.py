@@ -1,0 +1,108 @@
+"""Parquet small-files compaction — the 100 TB maintenance operator.
+
+A day of streaming micro-batches (streaming/ingest.py sinks, the
+reference's daily S3 drops) or a wide shuffle write leaves thousands of
+KB-scale files; every later scan then pays per-file open + footer reads
+and the driver pays the listing. ``compact_parquet`` rewrites a directory
+to ``ceil(total_bytes / target_file_bytes)`` files — optionally
+range-clustered on sort keys so row-group min/max pruning works after the
+rewrite — using the sketch_store crash-safe swap (write to a ``.tmp``
+sibling, two renames, recovery preamble; sources/sketch_store.py:84).
+
+Filesystem access goes through the session's Hadoop FileSystem API, so
+the same code serves file://, hdfs:// and s3a:// (on object stores a
+rename is a server-side copy — there, prefer compacting into a NEW prefix
+and flipping the catalog pointer that write_table registration provides;
+the swap here is the single-filesystem path).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def parquet_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(data file count, total data bytes) under ``path``, recursively —
+    counts ``*.parquet`` only (skips _SUCCESS, sidecars, checksums)."""
+    fs, hpath, _ = _fs(spark, path)
+    it = fs.listFiles(hpath, True)
+    n = total = 0
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.endswith(".parquet") and not name.startswith(("_", ".")):
+            n += 1
+            total += st.getLen()
+    return n, total
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_by: list[str] | None = None,
+) -> dict:
+    """Rewrite the parquet directory at ``path`` into
+    ``ceil(total_bytes / target_file_bytes)`` files; returns
+    ``{files_before, files_after, bytes_before, bytes_after, rows}``.
+
+    ``sort_by``: range-partition + sort within partitions on these
+    columns, so the compacted files carry disjoint sorted key ranges and
+    footer min/max stats prune whole files for key predicates (the
+    cluster_by_zorder single-key analogue; use Z-order for 2-D).
+
+    Output sizing uses the INPUT's compressed bytes — same codec in and
+    out, so it lands near the target without a second pass. The swap is
+    crash-safe, not atomic: a reader can hit ENOENT for the instant
+    between the two renames and should retry; a crash leaves a complete
+    ``.old`` or ``.tmp``, never a torn directory, and the recovery
+    preamble restores ``.old`` on the next call.
+    """
+    if target_file_bytes <= 0:
+        raise ValueError("target_file_bytes must be positive")
+    fs, hpath, jvm = _fs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    old, tmp = P(path.rstrip("/") + ".old"), P(path.rstrip("/") + ".tmp")
+
+    # Recovery: a crash between the swap renames leaves the only complete
+    # directory at '.old' and nothing at path — restore before touching
+    # anything (same contract as sketch_store.merge_into).
+    if not fs.exists(hpath) and fs.exists(old):
+        fs.rename(old, hpath)
+
+    files_before, bytes_before = parquet_file_stats(spark, path)
+    n_out = max(1, math.ceil(bytes_before / target_file_bytes))
+    df: DataFrame = spark.read.parquet(path)
+    if sort_by:
+        shaped = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(
+            *sort_by
+        )
+    else:
+        shaped = df.repartition(n_out)
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
+    shaped.write.mode("overwrite").parquet(str(tmp))
+    rows = spark.read.parquet(str(tmp)).count()
+
+    if fs.exists(old):
+        fs.delete(old, True)
+    fs.rename(hpath, old)
+    fs.rename(tmp, hpath)
+    fs.delete(old, True)
+    files_after, bytes_after = parquet_file_stats(spark, path)
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes_before": bytes_before,
+        "bytes_after": bytes_after,
+        "rows": rows,
+    }

@@ -410,3 +410,79 @@ def test_bucketed_cache_invalidates_on_source_change(spark, tmp_path):
         ).count()
     finally:
         drop_bucketed_facts(spark, src)
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """50 fragment files -> ceil(bytes/target) files, identical rows; a
+    second compact at the same target is a stable no-op-shaped rewrite."""
+    from ecom_snowflake_duckdb_migration_spark.sources import (
+        compact_parquet,
+        parquet_file_stats,
+    )
+
+    path = str(tmp_path / "frag")
+    df = spark.range(20_000).selectExpr(
+        "id", "id % 97 AS k", "repeat('x', 50) AS pad"
+    )
+    df.repartition(50).write.parquet(path)
+    n0, b0 = parquet_file_stats(spark, path)
+    assert n0 == 50
+    stats = compact_parquet(spark, path, target_file_bytes=b0)
+    assert stats["files_before"] == 50 and stats["files_after"] == 1
+    assert stats["rows"] == 20_000
+    back = spark.read.parquet(path)
+    assert back.count() == 20_000
+    assert back.selectExpr("sum(id)").first()[0] == 20_000 * 19_999 // 2
+    # half-target -> 2 files, still all rows
+    stats2 = compact_parquet(
+        spark, path, target_file_bytes=max(1, stats["bytes_after"] // 2 + 1)
+    )
+    assert stats2["files_after"] == 2 and stats2["rows"] == 20_000
+
+
+def test_compact_parquet_sort_by_gives_disjoint_file_ranges(spark, tmp_path):
+    """sort_by range-clusters: each output file's footer min/max on the key
+    must not overlap any other file's — whole-file pruning after compact."""
+    import pyarrow.parquet as pq
+
+    from ecom_snowflake_duckdb_migration_spark.sources import compact_parquet
+
+    path = str(tmp_path / "clust")
+    spark.range(30_000).selectExpr(
+        "pmod(hash(id), 1000000) AS k", "id AS v", "repeat('y', 40) AS pad"
+    ).repartition(40).write.parquet(path)
+    import glob as _g
+
+    b = sum(
+        __import__("os").path.getsize(f) for f in _g.glob(path + "/*.parquet")
+    )
+    compact_parquet(spark, path, target_file_bytes=b // 4 + 1, sort_by=["k"])
+    ranges = []
+    for f in sorted(_g.glob(path + "/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        lo = min(
+            md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups)
+        )
+        ranges.append((lo, hi))
+    assert len(ranges) >= 2
+    for a, b2 in zip(sorted(ranges), sorted(ranges)[1:]):
+        assert a[1] <= b2[0], (a, b2)
+
+
+def test_compact_parquet_recovers_from_torn_swap(spark, tmp_path):
+    """Crash between the two swap renames leaves only '.old': the next
+    compact restores it and proceeds (sketch_store recovery contract)."""
+    import os
+
+    from ecom_snowflake_duckdb_migration_spark.sources import compact_parquet
+
+    path = str(tmp_path / "torn")
+    spark.range(1000).write.parquet(path)
+    os.rename(path, path + ".old")  # simulate crash after rename 1
+    stats = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert stats["rows"] == 1000 and stats["files_after"] == 1
+    assert spark.read.parquet(path).count() == 1000
+    assert not os.path.exists(path + ".old")
