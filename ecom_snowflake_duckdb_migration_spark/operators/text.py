@@ -1198,3 +1198,133 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer-prep vocabulary coverage: build the top-``vocab_size``
+    whitespace-token vocabulary by ``(count DESC, token ASC)`` — the
+    deterministic tie order — and report per-document OOV statistics
+    ``(id_col, n_tokens, n_oov, oov_rate_e6)``.
+
+    This is the first question a tokenizer build asks of a corpus ("what
+    does a V-word vocab leave uncovered?"); the e6 integer rate keeps the
+    ratio engine-exact.
+
+    Relational shape: one map-side-combinable token count shuffle, a
+    TakeOrdered top-V (V is bounded — this is the one deliberately tiny
+    relation), an explicit broadcast of the V-row vocab into the token
+    stream, one doc-id aggregation. The fact-side token explode never
+    shuffles on the token itself.
+    """
+    if vocab_size <= 0:
+        raise ValueError("vocab_size must be positive")
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .select("tok", F.lit(True).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_if(F.col("_in_vocab").isNull()).alias("n_oov"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_oov",
+            F.expr(f"n_oov * {SCALE} div n_tokens").alias("oov_rate_e6"),
+        )
+    )
+
+
+def decontaminate_fuzzy(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold_e6: int = 800_000,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Fuzzy benchmark decontamination: flag corpus documents whose
+    signature-estimated Jaccard against ANY benchmark document reaches
+    ``threshold_e6`` — the paraphrase-tolerant complement to
+    ``decontaminate`` (exact n-gram containment misses light rewording;
+    GPT-3 appendix-C-style fuzzy checks catch it).
+
+    Returns ``(id_col, contaminated, max_jaccard_e6)`` for EVERY corpus
+    document (0 for no candidate).
+
+    Relational shape: MinHash signatures both sides (q48 seeds), band
+    join corpus-vs-benchmark only — the benchmark band table and
+    signature table are BROADCAST (benchmarks are bounded, ~1e4 docs,
+    while the corpus side scales); estimate from signature agreement like
+    minhash_estimate_pairs — the corpus documents are never re-read after
+    signing. No corpus-vs-corpus pairing at all, so cost is linear in
+    corpus size at any scale.
+    """
+    sig_c = minhash_signatures(corpus, text_col, id_col, k, num_hashes, hash_fn)
+    sig_b = minhash_signatures(benchmark, text_col, id_col, k, num_hashes, hash_fn)
+    st_c = lsh_band_stack(sig_c, id_col, num_hashes, bands, hash_fn)
+    st_b = lsh_band_stack(sig_b, id_col, num_hashes, bands, hash_fn)
+    cand = (
+        st_c.alias("c")
+        .join(
+            F.broadcast(st_b.alias("b")),
+            (F.col("c.band") == F.col("b.band"))
+            & (F.col("c.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col(f"c.{id_col}").alias("cid"), F.col(f"b.{id_col}").alias("bid")
+        )
+        .distinct()
+    )
+    s1 = sig_c.select(
+        F.col(id_col).alias("cid"),
+        *[F.col(f"mh_{s}").alias(f"a_{s}") for s in range(num_hashes)],
+    )
+    s2 = sig_b.select(
+        F.col(id_col).alias("bid"),
+        *[F.col(f"mh_{s}").alias(f"b_{s}") for s in range(num_hashes)],
+    )
+    agree = None
+    for s in range(num_hashes):
+        term = F.when(F.col(f"a_{s}") == F.col(f"b_{s}"), 1).otherwise(0)
+        agree = term if agree is None else agree + term
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    hits = (
+        cand.repartition(par, "cid")  # AQE-coalesce guard (see verify pairs)
+        .join(s1, "cid")
+        .join(F.broadcast(s2), "bid")
+        .select("cid", agree.cast("bigint").alias("n_agree"))
+        .withColumn("jaccard_e6", F.expr(f"n_agree * {SCALE} div {num_hashes}"))
+        .filter(F.col("jaccard_e6") >= threshold_e6)
+        .groupBy("cid")
+        .agg(F.max("jaccard_e6").alias("max_jaccard_e6"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, F.col(id_col) == F.col("cid"), "left")
+        .select(
+            id_col,
+            F.col("cid").isNotNull().alias("contaminated"),
+            F.coalesce("max_jaccard_e6", F.lit(0).cast("bigint")).alias(
+                "max_jaccard_e6"
+            ),
+        )
+    )

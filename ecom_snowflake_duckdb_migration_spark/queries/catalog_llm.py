@@ -1972,3 +1972,125 @@ def x88_token_budget_select(spark, sf_dir):
         tx.token_count("text").cast("bigint").alias("n_tokens"),
     )
     return token_budget_select(d, _X88_BUDGET, "score", "n_tokens")
+
+
+_X89_V = 20
+
+@register(
+    "x89_vocab_coverage",
+    # DuckDB twin: the vocab is the top-V tokens by (count DESC, token
+    # ASC) — the deterministic tie order both engines share for plain
+    # ASCII tokens; per-doc OOV via LEFT JOIN + FILTER counts.
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, count(*) AS n FROM toks GROUP BY tok
+            ORDER BY n DESC, tok LIMIT {_X89_V}
+        )
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT)                                AS n_tokens,
+           CAST(count(*) FILTER (WHERE v.tok IS NULL) AS BIGINT)   AS n_oov,
+           CAST(count(*) FILTER (WHERE v.tok IS NULL) AS BIGINT)
+               * 1000000 // count(*)                               AS oov_rate_e6
+    FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+    GROUP BY t.doc_id
+    """,
+    doc="Vocabulary coverage (operators.text.vocab_coverage): top-V "
+    "token vocabulary by (count DESC, token ASC) + per-document OOV "
+    "counts and e6 rate — the first question a tokenizer build asks of a "
+    "corpus. Map-side-combinable token count, TakeOrdered top-V (the one "
+    "deliberately tiny relation), explicit V-row broadcast back into the "
+    "token stream, one doc aggregation — the fact side never shuffles on "
+    "the token.",
+    tags=("LLM", "text-analysis", "vocab"),
+)
+def x89_vocab_coverage(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return tx.vocab_coverage(d, vocab_size=_X89_V)
+
+
+def _fuzzy_decontam_oracle(num_hashes: int, bands: int, threshold_e6: int) -> str:
+    """DuckDB twin of decontaminate_fuzzy(hash_fn='md5'): x85's sig/band
+    CTEs with the source column carried through, candidates restricted to
+    corpus-vs-benchmark, max signature-agreement estimate per corpus doc."""
+    rows = num_hashes // bands
+    mins = ",\n               ".join(
+        f"min(md5('{s}:' || shingle)) AS mh_{s}" for s in range(num_hashes)
+    )
+    band_selects = "\n        UNION ALL\n        ".join(
+        "SELECT doc_id, source, {b} AS band, md5({expr}) AS bucket FROM sig".format(
+            b=b,
+            expr=" || '|' || ".join(f"mh_{s}" for s in range(b * rows, (b + 1) * rows)),
+        )
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN s1.mh_{s} = s2.mh_{s} THEN 1 ELSE 0 END" for s in range(num_hashes)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, source,
+               unnest(list_distinct([substr(text, i, 3) for i in range(1, length(text) - 1)]))
+                   AS shingle
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id, source,
+               {mins}
+        FROM sh GROUP BY doc_id, source
+    ),
+    banded AS (
+        {band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT c.doc_id AS cid, b.doc_id AS bid
+        FROM banded c
+        JOIN banded b ON c.band = b.band AND c.bucket = b.bucket
+        WHERE c.source <> 'src0' AND b.source = 'src0'
+    ),
+    est AS (
+        SELECT c.cid,
+               max(CAST(({agree}) AS BIGINT) * 1000000 // {num_hashes})
+                   AS max_jaccard_e6
+        FROM cand c
+        JOIN sig s1 ON s1.doc_id = c.cid
+        JOIN sig s2 ON s2.doc_id = c.bid
+        WHERE CAST(({agree}) AS BIGINT) * 1000000 // {num_hashes}
+              >= {threshold_e6}
+        GROUP BY c.cid
+    )
+    SELECT d.doc_id,
+           e.cid IS NOT NULL                         AS contaminated,
+           CAST(coalesce(e.max_jaccard_e6, 0) AS BIGINT) AS max_jaccard_e6
+    FROM documents d LEFT JOIN est e ON e.cid = d.doc_id
+    WHERE d.source <> 'src0'
+    """
+
+
+@register(
+    "x90_fuzzy_decontamination",
+    oracle=_fuzzy_decontam_oracle(num_hashes=32, bands=8, threshold_e6=600_000),
+    doc="Fuzzy benchmark decontamination "
+    "(operators.text.decontaminate_fuzzy): flag corpus docs whose "
+    "signature-estimated Jaccard vs ANY source='src0' benchmark doc "
+    "reaches 0.6 — the paraphrase-tolerant complement to q63's exact "
+    "n-gram filter (GPT-3 appendix-C-style). Benchmark bands and "
+    "signatures broadcast (bounded side); corpus never re-read after "
+    "signing; no corpus-vs-corpus pairing — linear in corpus size.",
+    tags=("LLM", "dedup", "decontamination", "lsh"),
+)
+def x90_fuzzy_decontamination(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return tx.decontaminate_fuzzy(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        num_hashes=32,
+        bands=8,
+        threshold_e6=600_000,
+        hash_fn="md5",
+    )

@@ -1035,3 +1035,53 @@ def test_token_budget_select_matches_single_window_reference(spark):
     assert got2 == list(range(10))
     with pytest.raises(ValueError):
         token_budget_select(df, 0, "score", "toks")
+
+
+def test_vocab_coverage_planted_counts_and_ties(spark):
+    """Top-V by (count DESC, token ASC): at V=2 with counts {a:3, b:2,
+    c:2}, 'b' beats 'c' on the tie order; OOV accounting is per-doc and
+    integer-exact."""
+    import pytest
+    from ecom_snowflake_duckdb_migration_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a b c")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in tx.vocab_coverage(df, 2).collect()}
+    assert out[1].n_tokens == 4 and out[1].n_oov == 1  # c OOV
+    assert out[1].oov_rate_e6 == 250_000
+    assert out[2].n_tokens == 3 and out[2].n_oov == 1
+    assert out[2].oov_rate_e6 == 333_333
+    with pytest.raises(ValueError):
+        tx.vocab_coverage(df, 0)
+
+
+def test_decontaminate_fuzzy_flags_paraphrase_not_unrelated(spark):
+    """A corpus doc sharing nearly all shingles with a benchmark doc is
+    flagged (identical text -> estimate exactly 1e6); an unrelated doc is
+    not, and still appears in the output with max 0. The exact n-gram
+    decontaminate with a huge n would miss the lightly-edited copy —
+    that's the operator's reason to exist."""
+    from ecom_snowflake_duckdb_migration_spark.operators import text as tx
+
+    bench_text = (
+        "the standard benchmark passage about question answering evaluation "
+        "used to probe training data leakage in language models"
+    )
+    rows = [
+        (1, bench_text),                                   # verbatim copy
+        (2, bench_text.replace("standard", "typical")),    # light edit
+        (3, "completely different content with zero overlap whatsoever xyz"),
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = spark.createDataFrame([(900, bench_text)], ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in tx.decontaminate_fuzzy(
+            corpus, bench, threshold_e6=600_000
+        ).collect()
+    }
+    assert len(out) == 3
+    assert out[1].contaminated and out[1].max_jaccard_e6 == 1_000_000
+    assert out[2].contaminated and out[2].max_jaccard_e6 >= 600_000
+    assert not out[3].contaminated and out[3].max_jaccard_e6 == 0

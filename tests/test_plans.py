@@ -182,6 +182,8 @@ NEW_CATALYST_ONLY = [
     "x86_exact_quota_sample",
     "x87_exact_substring_dedup",
     "x88_token_budget_select",
+    "x89_vocab_coverage",
+    "x90_fuzzy_decontamination",
 ]
 
 
