@@ -248,6 +248,10 @@ def token_budget_select(
     only monotone cuts, never exact quantiles: equal scores always land in
     the same bucket, so the (score DESC, id) order is bucket-respecting
     regardless of where the approximate cuts fall.
+
+    ``score_col`` must be non-null: NULL orders nulls-last under Spark's
+    DESC but nulls-first under DuckDB's (silent cross-engine divergence),
+    so null scores fail fast here instead of ranking arbitrarily.
     """
     if budget_tokens <= 0:
         raise ValueError("budget_tokens must be positive")
@@ -275,10 +279,21 @@ def token_budget_select(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     with_cum = b.withColumn("_cum_in", F.sum(tokens_col).over(w))
-    per_bucket = {
-        r["_bkt"]: r["t"]
-        for r in b.groupBy("_bkt").agg(F.sum(tokens_col).alias("t")).collect()
-    }
+    # One pass serves both the bucket totals and the null gate (no extra
+    # scan): NULL score or NULL tokens would silently mis-rank (Spark and
+    # DuckDB order NULLs oppositely under DESC) or silently drop rows
+    # from every SUM — fail fast instead.
+    totals = b.groupBy("_bkt").agg(
+        F.sum(tokens_col).alias("t"),
+        F.count_if(F.col(score_col).isNull() | F.col(tokens_col).isNull()).alias(
+            "bad"
+        ),
+    ).collect()
+    if sum(r["bad"] for r in totals) > 0:
+        raise ValueError(
+            f"{score_col}/{tokens_col} contain NULLs; selection order undefined"
+        )
+    per_bucket = {r["_bkt"]: r["t"] for r in totals}
     offsets, running = {}, 0
     for k in sorted(per_bucket):
         offsets[k] = running

@@ -411,6 +411,48 @@ def band_candidates(
     )
 
 
+def _signature_agreement_e6(
+    candidates: DataFrame,
+    sig_a: DataFrame,
+    sig_b: DataFrame,
+    a_col: str,
+    b_col: str,
+    id_col: str,
+    num_hashes: int,
+    repartition_cols: tuple[str, ...],
+    broadcast_b: bool = False,
+) -> DataFrame:
+    """UNFILTERED ``(a_col, b_col, jaccard_e6)`` signature-agreement
+    estimates for candidate pairs — the one copy of the estimator shared
+    by ``minhash_estimate_pairs`` (self-join) and ``decontaminate_fuzzy``
+    (cross-table, broadcast benchmark side): the agree fold, the
+    AQE-coalesce repartition guard, and the integer-div e6 estimate live
+    here so a fix lands everywhere."""
+    s1 = sig_a.select(
+        F.col(id_col).alias(a_col),
+        *[F.col(f"mh_{s}").alias(f"a_{s}") for s in range(num_hashes)],
+    )
+    s2 = sig_b.select(
+        F.col(id_col).alias(b_col),
+        *[F.col(f"mh_{s}").alias(f"b_{s}") for s in range(num_hashes)],
+    )
+    agree = None
+    for s in range(num_hashes):
+        term = F.when(F.col(f"a_{s}") == F.col(f"b_{s}"), 1).otherwise(0)
+        agree = term if agree is None else agree + term
+    par = candidates.sparkSession.sparkContext.defaultParallelism
+    return (
+        candidates.repartition(par, *repartition_cols)  # AQE-coalesce guard
+        .join(s1, a_col)
+        .join(F.broadcast(s2) if broadcast_b else s2, b_col)
+        .select(a_col, b_col, agree.cast("bigint").alias("n_agree"))
+        # integer div, not floating /: bit-exact in both engines for any
+        # num_hashes, not just powers of two
+        .withColumn("jaccard_e6", F.expr(f"n_agree * {SCALE} div {num_hashes}"))
+        .select(a_col, b_col, "jaccard_e6")
+    )
+
+
 def minhash_estimate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -440,28 +482,10 @@ def minhash_estimate_pairs(
     """
     sig = minhash_signatures(df, text_col, id_col, k, num_hashes, hash_fn)
     candidates = band_candidates(sig, id_col, num_hashes, bands, hash_fn)
-    par = candidates.sparkSession.sparkContext.defaultParallelism
-    s1 = sig.select(
-        F.col(id_col).alias("d1"), *[F.col(f"mh_{s}").alias(f"a_{s}") for s in range(num_hashes)]
+    est = _signature_agreement_e6(
+        candidates, sig, sig, "d1", "d2", id_col, num_hashes, ("d1", "d2")
     )
-    s2 = sig.select(
-        F.col(id_col).alias("d2"), *[F.col(f"mh_{s}").alias(f"b_{s}") for s in range(num_hashes)]
-    )
-    agree = None
-    for s in range(num_hashes):
-        term = F.when(F.col(f"a_{s}") == F.col(f"b_{s}"), 1).otherwise(0)
-        agree = term if agree is None else agree + term
-    return (
-        candidates.repartition(par, "d1", "d2")  # same AQE-coalesce guard as verify
-        .join(s1, "d1")
-        .join(s2, "d2")
-        .select("d1", "d2", agree.cast("bigint").alias("n_agree"))
-        # integer div, not floating /: bit-exact in both engines for any
-        # num_hashes, not just powers of two
-        .withColumn("jaccard_e6", F.expr(f"n_agree * {SCALE} div {num_hashes}"))
-        .filter(F.col("jaccard_e6") >= threshold_e6)
-        .select("d1", "d2", "jaccard_e6")
-    )
+    return est.filter(F.col("jaccard_e6") >= threshold_e6)
 
 
 def simhash_bits(hash_fn: str) -> int:
@@ -907,12 +931,16 @@ def exact_substring_dedup(
 
     Sub-``k``-word documents contribute no windows (explicit size gate —
     ``sequence(0, n-k)`` steps DESCENDING when n < k and would emit
-    phantom windows; see char_shingles).
+    phantom windows; see char_shingles). NULL text is treated as empty
+    (coalesced before the split) so the every-input-document contract
+    holds — otherwise posexplode(NULL) silently drops the row from the
+    token side and the document vanishes from the output.
     """
     from pyspark.sql import Window
 
     words = df.select(
-        F.col(id_col), F.expr(f"split(trim({text_col}), '\\\\s+')").alias("t")
+        F.col(id_col),
+        F.expr(f"split(trim(coalesce({text_col}, '')), '\\\\s+')").alias("t"),
     )
     grams = words.select(
         F.col(id_col),
@@ -1223,9 +1251,13 @@ def vocab_coverage(
     """
     if vocab_size <= 0:
         raise ValueError("vocab_size must be positive")
+    # NULL text coalesces to '' (one empty token) so every document keeps
+    # an output row — explode(NULL) would silently drop it.
     toks = df.select(
         F.col(id_col),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+        F.explode(
+            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+        ).alias("tok"),
     )
     vocab = (
         toks.groupBy("tok")
@@ -1268,7 +1300,10 @@ def decontaminate_fuzzy(
     GPT-3 appendix-C-style fuzzy checks catch it).
 
     Returns ``(id_col, contaminated, max_jaccard_e6)`` for EVERY corpus
-    document (0 for no candidate).
+    document. ``max_jaccard_e6`` is the max estimate over ALL band
+    candidates (0 only when no benchmark doc shares a band bucket), so
+    sub-threshold near-misses stay visible for triage; the threshold only
+    classifies ``contaminated``.
 
     Relational shape: MinHash signatures both sides (q48 seeds), band
     join corpus-vs-benchmark only — the benchmark band table and
@@ -1294,37 +1329,17 @@ def decontaminate_fuzzy(
         )
         .distinct()
     )
-    s1 = sig_c.select(
-        F.col(id_col).alias("cid"),
-        *[F.col(f"mh_{s}").alias(f"a_{s}") for s in range(num_hashes)],
+    est = _signature_agreement_e6(
+        cand, sig_c, sig_b, "cid", "bid", id_col, num_hashes, ("cid",),
+        broadcast_b=True,
     )
-    s2 = sig_b.select(
-        F.col(id_col).alias("bid"),
-        *[F.col(f"mh_{s}").alias(f"b_{s}") for s in range(num_hashes)],
-    )
-    agree = None
-    for s in range(num_hashes):
-        term = F.when(F.col(f"a_{s}") == F.col(f"b_{s}"), 1).otherwise(0)
-        agree = term if agree is None else agree + term
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    hits = (
-        cand.repartition(par, "cid")  # AQE-coalesce guard (see verify pairs)
-        .join(s1, "cid")
-        .join(F.broadcast(s2), "bid")
-        .select("cid", agree.cast("bigint").alias("n_agree"))
-        .withColumn("jaccard_e6", F.expr(f"n_agree * {SCALE} div {num_hashes}"))
-        .filter(F.col("jaccard_e6") >= threshold_e6)
-        .groupBy("cid")
-        .agg(F.max("jaccard_e6").alias("max_jaccard_e6"))
-    )
+    hits = est.groupBy("cid").agg(F.max("jaccard_e6").alias("mx"))
     return (
         corpus.select(id_col)
         .join(hits, F.col(id_col) == F.col("cid"), "left")
         .select(
             id_col,
-            F.col("cid").isNotNull().alias("contaminated"),
-            F.coalesce("max_jaccard_e6", F.lit(0).cast("bigint")).alias(
-                "max_jaccard_e6"
-            ),
+            (F.coalesce("mx", F.lit(0)) >= threshold_e6).alias("contaminated"),
+            F.coalesce("mx", F.lit(0).cast("bigint")).alias("max_jaccard_e6"),
         )
     )

@@ -1868,8 +1868,8 @@ _X87_K = 15
     # DISTINCT must apply AFTER the range unnest expands.
     oracle=f"""
     WITH words AS (
-        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t,
-               len(string_split_regex(trim(text), '\\s+')) AS n
+        SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\\s+') AS t,
+               len(string_split_regex(trim(coalesce(text, '')), '\\s+')) AS n
         FROM documents
     ),
     grams AS (
@@ -1983,7 +1983,7 @@ _X89_V = 20
     # ASCII tokens; per-doc OOV via LEFT JOIN + FILTER counts.
     oracle=f"""
     WITH toks AS (
-        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        SELECT doc_id, unnest(string_split_regex(trim(coalesce(text, '')), '\\s+')) AS tok
         FROM documents
     ),
     vocab AS (
@@ -2060,13 +2060,11 @@ def _fuzzy_decontam_oracle(num_hashes: int, bands: int, threshold_e6: int) -> st
         FROM cand c
         JOIN sig s1 ON s1.doc_id = c.cid
         JOIN sig s2 ON s2.doc_id = c.bid
-        WHERE CAST(({agree}) AS BIGINT) * 1000000 // {num_hashes}
-              >= {threshold_e6}
         GROUP BY c.cid
     )
     SELECT d.doc_id,
-           e.cid IS NOT NULL                         AS contaminated,
-           CAST(coalesce(e.max_jaccard_e6, 0) AS BIGINT) AS max_jaccard_e6
+           coalesce(e.max_jaccard_e6, 0) >= {threshold_e6} AS contaminated,
+           CAST(coalesce(e.max_jaccard_e6, 0) AS BIGINT)   AS max_jaccard_e6
     FROM documents d LEFT JOIN est e ON e.cid = d.doc_id
     WHERE d.source <> 'src0'
     """

@@ -77,7 +77,23 @@ def compact_parquet(
     # directory at '.old' and nothing at path — restore before touching
     # anything (same contract as sketch_store.merge_into).
     if not fs.exists(hpath) and fs.exists(old):
-        fs.rename(old, hpath)
+        if not fs.rename(old, hpath):
+            raise OSError(f"recovery rename {old} -> {path} failed")
+
+    # Hive-partitioned layouts are refused, not silently flattened: the
+    # rewrite would demote partition directories to plain columns in a
+    # flat directory, destroying pruning and breaking any reader that
+    # addresses path/dt=.../ directly. Compact each leaf partition
+    # directory instead.
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        rel = str(it.next().getPath().toUri().getPath())
+        parent = rel.rsplit("/", 1)[0]
+        if "=" in parent.split("/")[-1]:
+            raise ValueError(
+                f"{path!r} is hive-partitioned ({parent.rsplit('/', 1)[-1]}); "
+                "compact each leaf partition directory separately"
+            )
 
     files_before, bytes_before = parquet_file_stats(spark, path)
     n_out = max(1, math.ceil(bytes_before / target_file_bytes))
@@ -93,10 +109,21 @@ def compact_parquet(
     shaped.write.mode("overwrite").parquet(str(tmp))
     rows = spark.read.parquet(str(tmp)).count()
 
+    # Hadoop rename() reports failure by RETURNING FALSE, not raising —
+    # every step is checked so a failed (not crashed) rename aborts
+    # before the delete can remove the only surviving copy. Rename onto
+    # an existing directory would also nest tmp INSIDE path; the checks
+    # make that impossible to reach.
     if fs.exists(old):
         fs.delete(old, True)
-    fs.rename(hpath, old)
-    fs.rename(tmp, hpath)
+    if not fs.rename(hpath, old):
+        raise OSError(f"swap aborted: rename {path} -> {old} failed; data intact")
+    if not fs.rename(tmp, hpath):
+        # put the original back before surfacing the failure
+        fs.rename(old, hpath)
+        raise OSError(
+            f"swap aborted: rename {tmp} -> {path} failed; original restored"
+        )
     fs.delete(old, True)
     files_after, bytes_after = parquet_file_stats(spark, path)
     return {

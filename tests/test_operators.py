@@ -1085,3 +1085,31 @@ def test_decontaminate_fuzzy_flags_paraphrase_not_unrelated(spark):
     assert out[1].contaminated and out[1].max_jaccard_e6 == 1_000_000
     assert out[2].contaminated and out[2].max_jaccard_e6 >= 600_000
     assert not out[3].contaminated and out[3].max_jaccard_e6 == 0
+    # near-miss visibility: with an extreme threshold the light edit is no
+    # longer classified contaminated but its estimate stays reported —
+    # max_jaccard_e6 is the max over ALL band candidates, the threshold
+    # only classifies.
+    strict = {
+        r.doc_id: r
+        for r in tx.decontaminate_fuzzy(
+            corpus, bench, threshold_e6=999_999
+        ).collect()
+    }
+    assert not strict[2].contaminated
+    assert strict[2].max_jaccard_e6 == out[2].max_jaccard_e6 > 0
+
+
+def test_null_text_docs_keep_output_rows(spark):
+    """NULL text coalesces to empty: exact_substring_dedup and
+    vocab_coverage must keep a row for the document (the silent-drop
+    regression the session-4 review caught) with empty-token accounting."""
+    from ecom_snowflake_duckdb_migration_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "some real words here")], ["doc_id", "text"]
+    )
+    esd = {r.doc_id: r for r in tx.exact_substring_dedup(df, k=3).collect()}
+    assert set(esd) == {1, 2}
+    assert esd[1].clean_text == "" and esd[1].n_tokens == 1  # [''] token
+    vc = {r.doc_id: r for r in tx.vocab_coverage(df, 3).collect()}
+    assert set(vc) == {1, 2} and vc[1].n_tokens == 1
