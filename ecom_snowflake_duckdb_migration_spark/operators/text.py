@@ -1343,3 +1343,92 @@ def decontaminate_fuzzy(
             F.coalesce("mx", F.lit(0).cast("bigint")).alias("max_jaccard_e6"),
         )
     )
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169):
+    score each raw-corpus document by the log-likelihood ratio of its
+    hashed word-feature buckets under the TARGET distribution vs the RAW
+    distribution — the standard "select pretraining data that looks like
+    the target domain" estimator.
+
+    Features are word unigrams + bigrams (with multiplicity), hashed into
+    ``n_buckets`` via the cross-engine-exact md5 ``h60`` (sketches.py);
+    bucket probabilities are add-one smoothed. Each bucket's
+    ``llr_e6 = floor(ln((c_t+1)/(T_t+B)) * 1e6) - floor(ln((c_r+1)/(T_r+B)) * 1e6)``
+    — per-term floor-e6 integer quantization BEFORE the document sum (the
+    lm_score discipline: ln of an integer ratio is floor-e6-stable across
+    engines, and integer sums are order-independent), and the two-term
+    form never multiplies counts together, so nothing overflows at any
+    corpus size.
+
+    Returns ``(id_col, n_feats, logw_e6)`` for every corpus document
+    (NULL text = one empty-token feature; divide ``logw_e6`` by
+    ``n_feats`` for a length-normalized score, or feed the weights to
+    ``token_budget_select`` / ``exact_quota_sample`` for the resample
+    step).
+
+    Scale: the bucket tables are bounded by ``n_buckets`` and broadcast;
+    the corpus side is one feature explode + one broadcast join + one
+    doc-id groupBy — no feature-keyed shuffle at all (the bucket counts
+    shuffle ≤ B rows after map-side combine).
+    """
+    from .sketches import h60
+
+    def feats(df: DataFrame, *cols):
+        t = f"split(trim(coalesce({text_col}, '')), '\\\\s+')"
+        arr = (
+            f"concat({t}, CASE WHEN size({t}) >= 2 THEN"
+            f" transform(sequence(1, size({t}) - 1),"
+            f" i -> concat_ws(' ', slice({t}, i, 2)))"
+            f" ELSE array() END)"
+        )
+        return df.select(*cols, F.explode(F.expr(arr)).alias("g"))
+
+    B = n_buckets
+    cb = feats(corpus, F.col(id_col)).select(
+        F.col(id_col), (h60(F.col("g")) % B).alias("b")
+    )
+    tb = feats(target).select((h60(F.col("g")) % B).alias("b"))
+    rc = cb.groupBy("b").agg(F.count(F.lit(1)).alias("rn"))
+    tc = tb.groupBy("b").agg(F.count(F.lit(1)).alias("tn"))
+    tr = rc.select(F.coalesce(F.sum("rn"), F.lit(0)).alias("tr"))
+    tt = tc.select(F.coalesce(F.sum("tn"), F.lit(0)).alias("tt"))
+    lr = (
+        rc.join(F.broadcast(tc), "b", "left")
+        .crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "b",
+            (
+                F.floor(
+                    F.log(
+                        (F.coalesce(F.col("tn"), F.lit(0)) + 1).cast("double")
+                        / (F.col("tt") + B).cast("double")
+                    )
+                    * F.lit(1e6)
+                )
+                - F.floor(
+                    F.log(
+                        (F.col("rn") + 1).cast("double")
+                        / (F.col("tr") + B).cast("double")
+                    )
+                    * F.lit(1e6)
+                )
+            ).cast("long").alias("llr_e6"),
+        )
+    )
+    return (
+        cb.join(F.broadcast(lr), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("llr_e6").alias("logw_e6"),
+        )
+    )

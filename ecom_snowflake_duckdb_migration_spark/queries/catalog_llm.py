@@ -2092,3 +2092,73 @@ def x90_fuzzy_decontamination(spark, sf_dir):
         threshold_e6=600_000,
         hash_fn="md5",
     )
+
+
+_X91_B = 4096
+
+@register(
+    "x91_dsir_importance_weights",
+    # DuckDB twin of dsir_weights: o_h60 % B buckets (bit-identical to
+    # Spark's h60), add-one smoothing, per-term floor-e6 ln quantization
+    # BEFORE the doc sum — the lm_score cross-engine discipline.
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               string_split_regex(trim(coalesce(text, '')), '\\s+') AS t
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, source, unnest(t) AS g FROM tok
+        UNION ALL
+        SELECT doc_id, source,
+               unnest([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))])
+                   AS g
+        FROM tok WHERE len(t) >= 2
+    ),
+    cb AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(g AS VARCHAR)),1,15)) AS BIGINT)
+                   % {_X91_B} AS b
+        FROM feats WHERE source <> 'src0'
+    ),
+    tb AS (
+        SELECT CAST(('0x' || substr(md5(CAST(g AS VARCHAR)),1,15)) AS BIGINT)
+                   % {_X91_B} AS b
+        FROM feats WHERE source = 'src0'
+    ),
+    rc AS (SELECT b, count(*) AS rn FROM cb GROUP BY b),
+    tc AS (SELECT b, count(*) AS tn FROM tb GROUP BY b),
+    tot AS (SELECT (SELECT count(*) FROM cb) AS tr,
+                   (SELECT count(*) FROM tb) AS tt),
+    lr AS (
+        SELECT rc.b,
+               CAST(floor(ln(CAST(coalesce(tc.tn, 0) + 1 AS DOUBLE)
+                             / CAST(tot.tt + {_X91_B} AS DOUBLE)) * 1e6)
+                  - floor(ln(CAST(rc.rn + 1 AS DOUBLE)
+                             / CAST(tot.tr + {_X91_B} AS DOUBLE)) * 1e6)
+                    AS BIGINT) AS llr_e6
+        FROM rc LEFT JOIN tc ON tc.b = rc.b CROSS JOIN tot
+    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT)      AS n_feats,
+           CAST(sum(l.llr_e6) AS BIGINT) AS logw_e6
+    FROM cb c JOIN lr l ON l.b = c.b
+    GROUP BY c.doc_id
+    """,
+    doc="DSIR importance weights (operators.text.dsir_weights; Xie et "
+    "al. 2023): log-likelihood ratio of hashed word uni+bigram buckets "
+    "under target (source='src0') vs raw distribution, add-one smoothed "
+    "— 'select pretraining data that looks like the target domain'. "
+    "Bucket tables bounded by B and broadcast; corpus side is one "
+    "explode + broadcast join + doc groupBy, no feature-keyed shuffle. "
+    "Per-term floor-e6 quantization keeps the doc sum order-independent "
+    "and cross-engine exact.",
+    tags=("LLM", "sampling", "selection"),
+)
+def x91_dsir_importance_weights(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return tx.dsir_weights(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        n_buckets=_X91_B,
+    )

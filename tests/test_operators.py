@@ -1113,3 +1113,30 @@ def test_null_text_docs_keep_output_rows(spark):
     assert esd[1].clean_text == "" and esd[1].n_tokens == 1  # [''] token
     vc = {r.doc_id: r for r in tx.vocab_coverage(df, 3).collect()}
     assert set(vc) == {1, 2} and vc[1].n_tokens == 1
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    """Documents drawn from the target's vocabulary must out-score
+    documents from a disjoint vocabulary (the estimator's whole job), and
+    per-doc feature accounting must be exact (2n-1 features for n words)."""
+    from ecom_snowflake_duckdb_migration_spark.operators import text as tx
+
+    target = spark.createDataFrame(
+        [(100 + i, "physics energy quantum field theory particle wave")
+         for i in range(5)],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "quantum field energy particle physics wave theory"),
+            (2, "recipe butter flour sugar oven bake cake frosting"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in tx.dsir_weights(corpus, target).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_feats == 13 and out[2].n_feats == 15  # 2n-1 per doc
+    assert out[1].logw_e6 > out[2].logw_e6
+    # target-like doc scores positive (its buckets are enriched in target);
+    # disjoint-vocab doc scores negative (target mass absent everywhere)
+    assert out[1].logw_e6 > 0 > out[2].logw_e6

@@ -184,6 +184,7 @@ NEW_CATALYST_ONLY = [
     "x88_token_budget_select",
     "x89_vocab_coverage",
     "x90_fuzzy_decontamination",
+    "x91_dsir_importance_weights",
 ]
 
 
