@@ -1432,3 +1432,35 @@ def dsir_weights(
             F.sum("llr_e6").alias("logw_e6"),
         )
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group corpus report card — the before/after summary every
+    curation run is judged by: document and token volume, exact-duplicate
+    count, quality-gate pass share, English share, mean alpha ratio (all
+    shares e6 fixed-point, integer-exact across engines).
+
+    One scan (quality + language are scan-side expressions), one groupBy
+    on the grouping column; the only extra shuffle is the per-group
+    COUNT(DISTINCT md5) for the dup count — uniform 128-bit keys.
+    """
+    scored = predict_language(quality_metrics(df, text_col), text_col)
+    return scored.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("bigint")).alias("n_tokens"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5(F.col(text_col)))).alias(
+            "n_exact_dups"
+        ),
+        F.expr(f"count_if(quality_ok) * {SCALE} div count(*)").alias(
+            "quality_ok_e6"
+        ),
+        F.expr(f"count_if(predicted_lang = 'en') * {SCALE} div count(*)").alias(
+            "lang_en_e6"
+        ),
+        F.expr("sum(alpha_ratio_e6) div count(*)").alias("mean_alpha_e6"),
+    )

@@ -2162,3 +2162,70 @@ def x91_dsir_importance_weights(spark, sf_dir):
         d.filter(F.col("source") == "src0"),
         n_buckets=_X91_B,
     )
+
+
+@register(
+    "x92_corpus_report",
+    # DuckDB twin: q41's quality expressions + q42's language CASE folded
+    # into one per-row CTE, then per-source aggregation. sum(BIGINT) is
+    # HUGEINT in DuckDB — cast every aggregate back.
+    oracle=f"""
+    WITH per AS (
+        SELECT source,
+               md5(text) AS h,
+               len(string_split_regex(trim(text), '\\s+')) AS n_toks,
+               CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
+                   * 1000000 // length(text) AS alpha_e6,
+               (length(text) >= 20
+                 AND len(string_split_regex(trim(text), '\\s+')) >= 5
+                 AND length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 2
+                     > length(text)) AS quality_ok,
+               CASE WHEN length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) * 4
+                         > length(text) THEN 'cjk'
+                    WHEN greatest(len(regexp_extract_all(lower(text), '{_EN}')),
+                                  len(regexp_extract_all(lower(text), '{_FR}')),
+                                  len(regexp_extract_all(lower(text), '{_DE}')),
+                                  len(regexp_extract_all(lower(text), '{_ES}'))) = 0
+                         THEN 'und'
+                    WHEN len(regexp_extract_all(lower(text), '{_EN}'))
+                         = greatest(len(regexp_extract_all(lower(text), '{_EN}')),
+                                    len(regexp_extract_all(lower(text), '{_FR}')),
+                                    len(regexp_extract_all(lower(text), '{_DE}')),
+                                    len(regexp_extract_all(lower(text), '{_ES}')))
+                         THEN 'en'
+                    WHEN len(regexp_extract_all(lower(text), '{_FR}'))
+                         = greatest(len(regexp_extract_all(lower(text), '{_EN}')),
+                                    len(regexp_extract_all(lower(text), '{_FR}')),
+                                    len(regexp_extract_all(lower(text), '{_DE}')),
+                                    len(regexp_extract_all(lower(text), '{_ES}')))
+                         THEN 'fr'
+                    WHEN len(regexp_extract_all(lower(text), '{_DE}'))
+                         = greatest(len(regexp_extract_all(lower(text), '{_EN}')),
+                                    len(regexp_extract_all(lower(text), '{_FR}')),
+                                    len(regexp_extract_all(lower(text), '{_DE}')),
+                                    len(regexp_extract_all(lower(text), '{_ES}')))
+                         THEN 'de'
+                    ELSE 'es' END AS predicted_lang
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)                          AS n_docs,
+           CAST(sum(n_toks) AS BIGINT)                       AS n_tokens,
+           CAST(count(*) - count(DISTINCT h) AS BIGINT)      AS n_exact_dups,
+           CAST(count(*) FILTER (WHERE quality_ok) * 1000000
+                // count(*) AS BIGINT)                       AS quality_ok_e6,
+           CAST(count(*) FILTER (WHERE predicted_lang = 'en') * 1000000
+                // count(*) AS BIGINT)                       AS lang_en_e6,
+           CAST(sum(alpha_e6) // count(*) AS BIGINT)         AS mean_alpha_e6
+    FROM per GROUP BY source
+    """,
+    doc="Per-source corpus report card (operators.text.corpus_report): "
+    "doc/token volume, exact-dup count, quality-gate share, English "
+    "share, mean alpha ratio — the before/after summary every curation "
+    "run is judged by. One scan of scan-side expressions + one source "
+    "groupBy; only the per-group COUNT(DISTINCT md5) adds a shuffle.",
+    tags=("LLM", "text-analysis", "report"),
+)
+def x92_corpus_report(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return tx.corpus_report(d)

@@ -69,6 +69,25 @@ def main() -> int:
         "shuffle_split": lambda: sp.shuffle_split(
             docs.select("doc_id"), {"train": 900_000, "val": 50_000, "test": 50_000}
         ),
+        "exact_substring_dedup": lambda: tx.exact_substring_dedup(docs, k=15),
+        "token_budget_select": lambda: sp.token_budget_select(
+            docs.select(
+                "doc_id",
+                F.expr(
+                    "CAST(length(regexp_replace(text, '[^a-zA-Z]', '')) AS BIGINT)"
+                    " * 1000000 div length(text)"
+                ).alias("score"),
+                tx.token_count("text").cast("bigint").alias("n_tokens"),
+            ),
+            1_500_000,
+            "score",
+            "n_tokens",
+        ),
+        "vocab_coverage": lambda: tx.vocab_coverage(docs, vocab_size=20),
+        "decontaminate_fuzzy": lambda: tx.decontaminate_fuzzy(
+            corpus, bench, threshold_e6=600_000
+        ),
+        "dsir_weights": lambda: tx.dsir_weights(corpus, bench),
     }
     results = {}
     for name, fn in ops.items():

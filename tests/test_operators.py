@@ -1140,3 +1140,25 @@ def test_dsir_weights_rank_target_like_docs_higher(spark):
     # target-like doc scores positive (its buckets are enriched in target);
     # disjoint-vocab doc scores negative (target mass absent everywhere)
     assert out[1].logw_e6 > 0 > out[2].logw_e6
+
+
+def test_corpus_report_planted_accounting(spark):
+    """Exact-dup, quality and volume accounting on planted rows: two
+    identical docs in srcA -> n_exact_dups 1; one-word junk fails the
+    quality gate; shares are e6-integer-exact."""
+    from ecom_snowflake_duckdb_migration_spark.operators import text as tx
+
+    good = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = [
+        (1, "srcA", good),
+        (2, "srcA", good),          # exact dup
+        (3, "srcA", "x"),           # fails quality (length < 20)
+        (4, "srcB", good + " !"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r.source: r for r in tx.corpus_report(df).collect()}
+    a = out["srcA"]
+    assert a.n_docs == 3 and a.n_exact_dups == 1
+    assert a.n_tokens == 13 + 13 + 1
+    assert a.quality_ok_e6 == 2 * 1_000_000 // 3
+    assert out["srcB"].n_docs == 1 and out["srcB"].n_exact_dups == 0

@@ -185,6 +185,7 @@ NEW_CATALYST_ONLY = [
     "x89_vocab_coverage",
     "x90_fuzzy_decontamination",
     "x91_dsir_importance_weights",
+    "x92_corpus_report",
 ]
 
 
