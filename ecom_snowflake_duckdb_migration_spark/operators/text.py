@@ -961,6 +961,9 @@ def exact_substring_dedup(
     dup_windows = grams.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") > 1
     )
+    # covered MUST be distinct: overlapping duplicated windows cover the
+    # same position repeatedly, and the flag join below is a LEFT join
+    # (duplicates would multiply token rows and corrupt the counts).
     covered = dup_windows.select(
         F.col(id_col),
         F.explode(F.expr(f"sequence(pos, pos + {k} - 1)")).alias("wpos"),
@@ -968,23 +971,24 @@ def exact_substring_dedup(
     tokens = words.select(
         F.col(id_col), F.posexplode("t").alias("wpos", "word")
     )
-    kept = tokens.join(covered, [id_col, "wpos"], "left_anti")
-    reassembled = kept.groupBy(id_col).agg(
+    # One flag join + ONE doc-id aggregation instead of the naive
+    # kept-groupBy / totals-groupBy / re-join shape: collect_list drops
+    # the NULLs the CASE assigns to covered tokens, so reassembly, token
+    # totals and removal counts all come out of a single shuffle.
+    flagged = tokens.join(
+        covered.withColumn("_cov", F.lit(True)), [id_col, "wpos"], "left"
+    )
+    return flagged.groupBy(id_col).agg(
         F.concat_ws(
             " ",
             F.expr(
-                "transform(array_sort(collect_list(struct(wpos, word))),"
+                "transform(array_sort(collect_list("
+                "  CASE WHEN _cov IS NULL THEN struct(wpos, word) END)),"
                 " s -> s.word)"
             ),
         ).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_kept"),
-    )
-    totals = tokens.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
-    return totals.join(reassembled, id_col, "left").select(
-        id_col,
-        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-        "n_tokens",
-        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_if(F.col("_cov").isNotNull()).alias("n_removed"),
     )
 
 
