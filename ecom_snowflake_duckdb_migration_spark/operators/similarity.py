@@ -634,6 +634,7 @@ def semantic_dedup_incremental(
     threshold: float,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    corpus_celled: bool = False,
 ) -> DataFrame:
     """Frozen-corpus incremental SemDeDup — the weekly-drop pattern: dedup a
     NEW batch against an already-curated corpus without re-pairing history
@@ -655,7 +656,12 @@ def semantic_dedup_incremental(
 
     Scale: both stages are cell-equi-joins (sum of squared cluster sizes);
     the corpus side reads straight from a bucketed-by-cell kept store, so
-    the veto join is exchange-free on that side.
+    the veto join is exchange-free on that side. Pass
+    ``corpus_celled=True`` when ``corpus_kept`` is that store — a
+    persisted :func:`semantic_cells` frame carrying ``(vec_col, nrm,
+    cell)`` — and the probe skips recomputing the corpus-side norms and
+    cell assignment entirely (the point of persisting the store: the
+    recurring probe pays only the batch-side expressions plus the join).
     """
     d = len(centroids[0])
     b = batch.select(
@@ -664,11 +670,18 @@ def semantic_dedup_incremental(
         norm(vec_col, d).alias("b_nrm"),
         assign_cell(vec_col, centroids).alias("b_cell"),
     )
-    c = corpus_kept.select(
-        F.col(vec_col).alias("c_vec"),
-        norm(vec_col, d).alias("c_nrm"),
-        assign_cell(vec_col, centroids).alias("c_cell"),
-    )
+    if corpus_celled:
+        c = corpus_kept.select(
+            F.col(vec_col).alias("c_vec"),
+            F.col("nrm").alias("c_nrm"),
+            F.col("cell").alias("c_cell"),
+        )
+    else:
+        c = corpus_kept.select(
+            F.col(vec_col).alias("c_vec"),
+            norm(vec_col, d).alias("c_nrm"),
+            assign_cell(vec_col, centroids).alias("c_cell"),
+        )
     veto = (
         b.join(c, F.col("b_cell") == F.col("c_cell"))
         .where(

@@ -862,13 +862,17 @@ def span_dedup(
     """
     from pyspark.sql import Window
 
+    # coalesce NULL text to '' so posexplode still emits the one empty
+    # span — a NULL-text doc must keep its output row (the "for every
+    # input document" contract; posexplode(NULL) would drop it entirely)
+    words = f"split(trim(coalesce({text_col}, '')), '\\\\s+')"
     spans = df.select(
         F.col(id_col),
         F.posexplode(
             F.expr(
-                f"transform(sequence(0, (size(split(trim({text_col}), '\\\\s+')) - 1)"
+                f"transform(sequence(0, (size({words}) - 1)"
                 f" div {span_words}),"
-                f" i -> array_join(slice(split(trim({text_col}), '\\\\s+'),"
+                f" i -> array_join(slice({words},"
                 f" i * {span_words} + 1, {span_words}), ' '))"
             )
         ).alias("pos", "span"),

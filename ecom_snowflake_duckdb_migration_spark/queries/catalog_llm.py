@@ -1455,8 +1455,8 @@ def x80_lm_quality_score(spark, sf_dir):
     # reassembly mirrors Spark's array_sort(collect_list(struct)).
     oracle="""
     WITH words AS (
-        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t,
-               len(string_split_regex(trim(text), '\\s+')) AS n
+        SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\\s+') AS t,
+               len(string_split_regex(trim(coalesce(text, '')), '\\s+')) AS n
         FROM documents
     ),
     spans AS (

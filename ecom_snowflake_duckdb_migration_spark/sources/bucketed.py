@@ -117,8 +117,6 @@ def ensure_bucketed_facts(
     for alias, (table, key, sort_cols) in FACT_BUCKET_SPECS.items():
         name = bucketed_name(sf_dir, alias)
         out[alias] = name
-        if spark.catalog.tableExists(name):
-            continue
         location = os.path.join(warehouse, name)
         sidecar = os.path.join(location, "_bucket_layout.json")
         fingerprint = _source_fingerprint(sf_dir, table)
@@ -127,7 +125,16 @@ def ensure_bucketed_facts(
                 layout = json.load(f)
         else:
             layout = None
-        if layout is not None and layout.get("source") == fingerprint:
+        fresh = layout is not None and layout.get("source") == fingerprint
+        if spark.catalog.tableExists(name):
+            if fresh:
+                continue
+            # Source regenerated at the same sf_dir WITHIN this session
+            # (or the sidecar is gone): the registered copy is stale —
+            # drop and fall through to the rebuild, same contract as the
+            # cross-session re-registration path below.
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        if fresh:
             # Re-register existing files. The bucket count MUST come from
             # the layout they were written with: registering N-bucket files
             # as M buckets would hash rows to the wrong buckets and

@@ -84,16 +84,21 @@ def compact_parquet(
     # rewrite would demote partition directories to plain columns in a
     # flat directory, destroying pruning and breaking any reader that
     # addresses path/dt=.../ directly. Compact each leaf partition
-    # directory instead.
+    # directory instead. Only directory components strictly BELOW the
+    # root count — the root itself being a dt=... leaf is exactly the
+    # supported per-partition call, and must not trip its own guard.
+    root = str(fs.makeQualified(hpath).toUri().getPath()).rstrip("/")
     it = fs.listFiles(hpath, True)
     while it.hasNext():
         rel = str(it.next().getPath().toUri().getPath())
         parent = rel.rsplit("/", 1)[0]
-        if "=" in parent.split("/")[-1]:
-            raise ValueError(
-                f"{path!r} is hive-partitioned ({parent.rsplit('/', 1)[-1]}); "
-                "compact each leaf partition directory separately"
-            )
+        below = parent[len(root):].strip("/") if parent.startswith(root) else parent
+        for comp in below.split("/"):
+            if "=" in comp:
+                raise ValueError(
+                    f"{path!r} is hive-partitioned ({comp}); "
+                    "compact each leaf partition directory separately"
+                )
 
     files_before, bytes_before = parquet_file_stats(spark, path)
     n_out = max(1, math.ceil(bytes_before / target_file_bytes))

@@ -266,11 +266,17 @@ class EnvelopeWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         staged = [m.file for m in messages if m is not None and m.file]
-        if self._overwrite:
-            for old in _envelope_files_or_empty(self._path):
-                os.remove(old)
+        # overwrite order matters for crash safety: rename the new
+        # generation into place FIRST (uuid names can't collide with the
+        # snapshotted old files), delete the old generation last. A crash
+        # mid-commit then leaves old+new momentarily mixed — readers
+        # tolerate that — never a directory with zero visible envelopes
+        # (the delete-first ordering's failure mode).
+        old = _envelope_files_or_empty(self._path) if self._overwrite else []
         for tmp in staged:
             os.rename(tmp, tmp[: -len(".tmp")])
+        for f in old:
+            os.remove(f)
 
     def abort(self, messages) -> None:
         for m in messages:

@@ -75,6 +75,12 @@ def streaming_corpus_dedup(
     store's probe side (a batch replayed after a crash between the band
     merge and the checkpoint commit does not match its own bands). Pair
     output is overwritten per batch partition, so replays are idempotent.
+    The docs store is likewise batch-keyed (``docs/batch_id=N``, written
+    with overwrite): a crash mid-write cannot leave a torn append that a
+    replay would half-see — the replay excludes its OWN partition from the
+    corpus, so it sees all of its docs as new (full reprocess, identical
+    pairs overwrite) rather than a subset (which would permanently drop
+    the already-appended docs' pairs from the rewritten pairs partition).
     """
     params = dict(k=k, num_hashes=num_hashes, bands=bands, hash_fn=hash_fn)
     bands_path = os.path.join(store_dir, "bands")
@@ -85,11 +91,23 @@ def streaming_corpus_dedup(
         batch = batch.select(id_col, text_col)
         corpus = None
         if os.path.exists(docs_path):
-            corpus = spark.read.parquet(docs_path)
-            # cross-batch redelivery: a doc id already in the corpus is not
-            # new — processing it again would re-emit its historical pairs
-            # into a fresh batch partition (duplicates across partitions).
-            batch = batch.join(corpus.select(id_col), id_col, "left_anti")
+            try:
+                full = spark.read.parquet(docs_path)
+            except Exception:
+                # only uncommitted task output exists (crash before any
+                # file commit of the first batch) — no corpus yet
+                full = None
+            if full is not None:
+                # exclude this batch's own (possibly torn) partition: a
+                # replay must see either none of its docs or all of them
+                corpus = full.where(F.col("batch_id") != F.lit(batch_id)).select(
+                    id_col, text_col
+                )
+                # cross-batch redelivery: a doc id already in the corpus is
+                # not new — processing it again would re-emit its historical
+                # pairs into a fresh batch partition (duplicates across
+                # partitions).
+                batch = batch.join(corpus.select(id_col), id_col, "left_anti")
         batch.persist()
         try:
             if batch.isEmpty():
@@ -130,7 +148,9 @@ def streaming_corpus_dedup(
                 lsh_band_table(batch, text_col, id_col, **params),
                 "lsh_bands", **params,
             )
-            batch.write.mode("append").parquet(docs_path)
+            batch.write.mode("overwrite").parquet(
+                os.path.join(docs_path, f"batch_id={batch_id}")
+            )
         finally:
             batch.unpersist()
 

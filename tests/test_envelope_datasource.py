@@ -141,6 +141,54 @@ def test_envelope_datasource_write_round_trip_and_overwrite(spark, tmp_path):
     assert {r.order_id for r in again.collect()} == {0, 1, 2, 3}
 
 
+def test_envelope_writer_overwrite_renames_before_deletes(tmp_path, monkeypatch):
+    """Overwrite commit must rename the staged generation into place BEFORE
+    deleting the old one — a crash mid-commit then leaves old+new mixed
+    (readers tolerate), never a directory with zero visible envelopes."""
+    import json
+    import os
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    path = str(tmp_path / "env")
+    os.makedirs(path)
+    old_file = os.path.join(path, "part-old.json")
+    with open(old_file, "w") as f:
+        json.dump(
+            {
+                "metadata": {"table": "t", "recordCount": 1,
+                             "generatedAt": "x", "version": "1.0"},
+                "data": [{"a": 1}],
+            },
+            f,
+        )
+    schema = StructType([StructField("a", LongType())])
+    w = eds.EnvelopeWriter(schema, {"path": path}, overwrite=True)
+    staged = os.path.join(path, "part-new.json.tmp")
+    with open(staged, "w") as f:
+        json.dump(
+            {
+                "metadata": {"table": "t", "recordCount": 1,
+                             "generatedAt": "y", "version": "1.0"},
+                "data": [{"a": 2}],
+            },
+            f,
+        )
+    order = []
+    real_rename, real_remove = os.rename, os.remove
+    monkeypatch.setattr(
+        os, "rename", lambda a, b: (order.append("rename"), real_rename(a, b))[1]
+    )
+    monkeypatch.setattr(
+        os, "remove", lambda a: (order.append("remove"), real_remove(a))[1]
+    )
+    w.commit([eds._EnvelopeCommit(staged, 1)])
+    monkeypatch.undo()
+    assert order == ["rename", "remove"], order
+    assert not os.path.exists(old_file) and not os.path.exists(staged)
+    assert os.path.exists(os.path.join(path, "part-new.json"))
+
+
 def test_envelope_datasource_streaming_incremental_drops(spark, tmp_path):
     """Stream the drop directory: first run ingests the existing drops,
     a restart from the same checkpoint picks up ONLY files whose names

@@ -754,6 +754,26 @@ def test_span_dedup_planted(spark):
     assert out[2].n_spans == 2 and out[4].n_spans == 1
 
 
+def test_span_dedup_null_text_keeps_row(spark):
+    """NULL-text docs must keep an output row (the 'for every input
+    document' contract) — posexplode(NULL) silently dropping them was the
+    same hazard exact_substring_dedup already guards."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", IntegerType()), StructField("text", StringType())]
+    )
+    df = spark.createDataFrame([(1, "a b c"), (2, None), (3, "")], schema)
+    out = {r.doc_id: r for r in tx.span_dedup(df, span_words=10).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].clean_text == "a b c" and out[1].n_removed == 0
+    # NULL and '' normalize identically: one empty span; the first of the
+    # two (doc 2) keeps it, the later duplicate empty span is removed
+    assert out[2].n_spans == 1 and out[3].n_spans == 1
+    assert out[2].clean_text == "" and out[3].clean_text == ""
+    assert out[2].n_removed == 0 and out[3].n_removed == 1
+
+
 def test_knn_join_matches_single_query_path(spark, sf_dir):
     """knn_join's per-query results equal ann_topk_ivf_centroids run once
     per query — identical probe ordering and re-rank, batched."""
@@ -810,6 +830,17 @@ def test_semantic_dedup_incremental_frozen_corpus_semantics(spark):
         batch, corpus_kept.select("vec_id", "embedding"), cents, threshold=tau
     ).collect()}
     assert out == {12}
+
+    # the persisted-cell-store fast path (corpus_celled=True over a
+    # semantic_cells frame of the kept set) is result-identical — the
+    # probe just skips recomputing corpus norms/cells
+    store = sim.semantic_cells(corpus, cents).join(
+        kept_corpus.select("vec_id"), "vec_id", "left_semi"
+    )
+    celled_out = {r.vec_id for r in sim.semantic_dedup_incremental(
+        batch, store, cents, threshold=tau, corpus_celled=True
+    ).collect()}
+    assert celled_out == out
 
 
 def test_shuffle_split_disjoint_stable_and_order_independent(spark, sf_dir):

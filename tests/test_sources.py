@@ -472,6 +472,69 @@ def test_compact_parquet_sort_by_gives_disjoint_file_ranges(spark, tmp_path):
         assert a[1] <= b2[0], (a, b2)
 
 
+def test_compact_parquet_accepts_leaf_partition_dir(spark, tmp_path):
+    """Compacting a hive LEAF partition directory (dt=.../ itself) is the
+    documented remediation for partitioned layouts and must work; only
+    '=' directories strictly BELOW the compaction root are refused."""
+    import glob as _g
+
+    import pytest
+
+    from ecom_snowflake_duckdb_migration_spark.sources import compact_parquet
+
+    root = str(tmp_path / "events")
+    for day in ("2026-08-01", "2026-08-02"):
+        spark.range(2_500).selectExpr("id").repartition(8).write.parquet(
+            f"{root}/dt={day}"
+        )
+    leaf = sorted(_g.glob(root + "/dt=*"))[0]
+    stats = compact_parquet(spark, leaf, target_file_bytes=1 << 30)
+    assert stats["files_before"] == 8 and stats["files_after"] == 1
+    assert stats["rows"] == 2_500
+    assert spark.read.parquet(leaf).count() == 2_500
+    # the ROOT is still refused — flattening would destroy partitioning
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        compact_parquet(spark, root, target_file_bytes=1 << 30)
+
+
+def test_bucketed_same_session_source_change_rebuilds(spark, tmp_path):
+    """Data regenerated at the same sf_dir WITHIN one session must not keep
+    serving the already-registered stale bucketed copy: ensure re-checks
+    the sidecar fingerprint even when the catalog entry exists."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ecom_snowflake_duckdb_migration_spark.queries import clear_load_cache
+    from ecom_snowflake_duckdb_migration_spark.sources.bucketed import (
+        drop_bucketed_facts,
+        ensure_bucketed_facts,
+    )
+
+    src = str(tmp_path / "sfY")
+    shutil.copytree("/root/testdata/sf0.001", src)
+    try:
+        names = ensure_bucketed_facts(spark, src, buckets=4)
+        n1 = spark.table(names["orders"]).count()
+        # regenerate orders at the same path — catalog entries stay live
+        pdf = spark.read.parquet(f"{src}/orders.parquet").limit(n1 // 2).toPandas()
+        shutil.rmtree(f"{src}/orders.parquet", ignore_errors=True)
+        if os.path.exists(f"{src}/orders.parquet"):
+            os.remove(f"{src}/orders.parquet")
+        pq.write_table(pa.Table.from_pandas(pdf), f"{src}/orders.parquet")
+        clear_load_cache()
+        names2 = ensure_bucketed_facts(spark, src, buckets=4)
+        assert spark.table(names2["orders"]).count() == n1 // 2  # rebuilt
+        # untouched lineitem kept its registration (fingerprint match)
+        assert spark.table(names2["lineitem"]).count() == spark.read.parquet(
+            f"{src}/lineitem.parquet"
+        ).count()
+    finally:
+        drop_bucketed_facts(spark, src)
+
+
 def test_compact_parquet_recovers_from_torn_swap(spark, tmp_path):
     """Crash between the two swap renames leaves only '.old': the next
     compact restores it and proceeds (sketch_store recovery contract)."""

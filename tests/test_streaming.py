@@ -481,6 +481,60 @@ def test_streaming_corpus_dedup_redelivery_safe(spark, sf_dir, tmp_path):
     assert n.count() == n.select("doc_id").distinct().count() == docs.count()
 
 
+def test_streaming_corpus_dedup_torn_docs_append_replay(spark, tmp_path):
+    """A crash during the docs-store write used to leave a torn append:
+    the replayed batch anti-joined the half-written docs out and the pairs
+    overwrite permanently dropped their pairs. With the batch-keyed docs
+    store the replay excludes its OWN partition, reprocesses the full
+    batch, and the pairs partition comes back complete."""
+    import os
+
+    from ecom_snowflake_duckdb_migration_spark.operators.incremental_dedup import (
+        lsh_band_table,
+    )
+    from ecom_snowflake_duckdb_migration_spark.sources import sketch_store
+    from ecom_snowflake_duckdb_migration_spark.streaming import read_event_stream
+    from ecom_snowflake_duckdb_migration_spark.streaming.corpus_dedup import (
+        streaming_corpus_dedup,
+    )
+
+    text = " ".join(f"tok{i}" for i in range(30))
+    docs = spark.createDataFrame([(1, text), (2, text)], ["doc_id", "text"])
+    params = dict(k=3, num_hashes=32, bands=8, hash_fn="xxhash64")
+    store = str(tmp_path / "store")
+
+    # crash state: bands merged for BOTH docs, docs partition torn (doc 1
+    # only), pairs for the batch already written once (then lost to the
+    # crash window — start it absent; the replay must recreate it)
+    sketch_store.merge_into(
+        spark, f"{store}/bands",
+        lsh_band_table(docs, "text", "doc_id", **params),
+        "lsh_bands", **params,
+    )
+    docs.filter(F.col("doc_id") == 1).write.parquet(f"{store}/docs/batch_id=0")
+
+    src = str(tmp_path / "drops")
+    os.makedirs(src)
+    tmp = f"{src}/.t0"
+    docs.coalesce(1).write.parquet(tmp)
+    f = [x for x in os.listdir(tmp) if x.endswith(".parquet")][0]
+    os.rename(f"{tmp}/{f}", f"{src}/drop_0.parquet")
+
+    q = streaming_corpus_dedup(
+        read_event_stream(spark, src, docs.schema, max_files_per_trigger=1),
+        store, str(tmp_path / "ckpt"), str(tmp_path / "pairs"),
+        threshold_e6=800_000, **params,
+    )
+    q.awaitTermination(120)
+    pairs = {
+        (r.d1, r.d2) for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    assert pairs == {(1, 2)}, pairs  # the torn doc's pair survives replay
+    store_docs = spark.read.parquet(f"{store}/docs")
+    assert store_docs.count() == 2  # torn partition repaired by overwrite
+    assert store_docs.select("doc_id").distinct().count() == 2
+
+
 def test_streaming_lm_score_matches_batch(spark, sf_dir, tmp_path):
     """Stream-side LM scoring over two document drops == one-shot batch
     lm_score: per-doc scores are a pure function of (row, static model),
