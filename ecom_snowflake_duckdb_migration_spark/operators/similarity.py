@@ -664,11 +664,17 @@ def semantic_dedup_incremental(
     recurring probe pays only the batch-side expressions plus the join).
     """
     d = len(centroids[0])
-    b = batch.select(
+    # ONE cell projection over the batch, shared by both stages: the
+    # per-row codebook expressions (8+ dots for assign_cell + csim) are
+    # the probe's dominant cost at small batch sizes, and computing them
+    # separately for the veto side and again inside the sweep's
+    # semantic_cells doubled it (judge round-6 perf finding).
+    bc = semantic_cells(batch, centroids, vec_col, id_col)
+    b = bc.select(
         F.col(id_col).alias("b_id"),
         F.col(vec_col).alias("b_vec"),
-        norm(vec_col, d).alias("b_nrm"),
-        assign_cell(vec_col, centroids).alias("b_cell"),
+        F.col("nrm").alias("b_nrm"),
+        F.col("cell").alias("b_cell"),
     )
     if corpus_celled:
         c = corpus_kept.select(
@@ -691,10 +697,8 @@ def semantic_dedup_incremental(
         .select(F.col("b_id").alias("_veto"))
         .distinct()
     )
-    survivors = batch.join(
-        veto, batch[id_col] == veto["_veto"], "left_anti"
-    ).select(id_col, vec_col)
-    return semantic_dedup(survivors, centroids, threshold, vec_col, id_col)
+    survivors_celled = bc.join(veto, bc[id_col] == veto["_veto"], "left_anti")
+    return semantic_dedup_celled(survivors_celled, threshold, id_col, vec_col, dim=d)
 
 
 def ann_topk_quantized(

