@@ -3,6 +3,7 @@ decode/resize/feature-extraction/frame-sampling over mapInPandas. BMP and
 PCM16 WAV decode natively (numpy); compressed formats are stubbed behind
 NotImplementedError (PIL/librosa/ffmpeg absent here)."""
 
+from .phash import IMAGE_HASH_SCHEMA, image_hashes, image_near_pairs
 from .columns import (
     DECODED_IMAGE_SCHEMA,
     MEDIA_METADATA_SCHEMA,
@@ -18,6 +19,9 @@ from .columns import (
 
 __all__ = [
     "DECODED_IMAGE_SCHEMA",
+    "IMAGE_HASH_SCHEMA",
+    "image_hashes",
+    "image_near_pairs",
     "MEDIA_METADATA_SCHEMA",
     "decode_images",
     "encode_bmp",

@@ -372,7 +372,7 @@ def ann_topk_ivf_centroids(
     query: DataFrame,
     centroids: list[list[float]],
     k: int = 10,
-    nprobe: int = 4,
+    nprobe: int = 6,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -454,7 +454,7 @@ def knn_join(
     queries: DataFrame,
     centroids: list[list[float]],
     k: int = 10,
-    nprobe: int = 4,
+    nprobe: int = 6,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_vec_col: str = "qe",

@@ -550,21 +550,45 @@ def simhash_near_pairs(
     any pair within distance max_hamming < blocks shares at least one exact
     chunk, so candidates come from equi-joins on chunks (scales; no n^2).
     """
-    width = simhash_bits(hash_fn) // blocks
     fp = simhash64(df, text_col, id_col, hash_fn)
+    return hamming_near_pairs(
+        fp, "simhash", id_col, max_hamming, blocks, bits=simhash_bits(hash_fn)
+    )
+
+
+def hamming_near_pairs(
+    fp: DataFrame,
+    hash_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    blocks: int = 4,
+    bits: int = 64,
+) -> DataFrame:
+    """Pairs of ids whose ``bits``-wide fingerprints differ in <=
+    ``max_hamming`` bit positions — the pigeonhole band join shared by
+    SimHash text near-dup and perceptual image near-dup (multimodal.phash):
+    with max_hamming < blocks, any qualifying pair agrees exactly on at
+    least one of the ``blocks`` chunks, so candidates come from ``blocks``
+    equi-joins (uniform chunk keys, never all-pairs). Returns
+    ``(d1, d2, hamming)`` with d1 < d2."""
+    if max_hamming >= blocks:
+        raise ValueError(
+            f"pigeonhole needs max_hamming < blocks (got {max_hamming} >= {blocks})"
+        )
+    width = bits // blocks
     chunks = fp.select(
         id_col,
-        "simhash",
+        F.col(hash_col).alias("_fp"),
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("blk"),
-                    F.expr(f"(simhash >> {i * width}) & {(1 << width) - 1}").alias("chunk"),
+                    F.expr(f"({hash_col} >> {i * width}) & {(1 << width) - 1}").alias("chunk"),
                 )
                 for i in range(blocks)
             ])
         ).alias("bc"),
-    ).select(id_col, "simhash", "bc.blk", "bc.chunk")
+    ).select(id_col, "_fp", "bc.blk", "bc.chunk")
     a = chunks.alias("a")
     b = chunks.alias("b")
     pairs = (
@@ -577,8 +601,8 @@ def simhash_near_pairs(
         .select(
             F.col(f"a.{id_col}").alias("d1"),
             F.col(f"b.{id_col}").alias("d2"),
-            F.col("a.simhash").alias("sh1"),
-            F.col("b.simhash").alias("sh2"),
+            F.col("a._fp").alias("sh1"),
+            F.col("b._fp").alias("sh2"),
         )
         .distinct()
         .withColumn("hamming", F.bit_count(F.expr("sh1 ^ sh2")))

@@ -636,13 +636,9 @@ def q05_nation_trade_roles(spark, sf_dir):
         spark, sf_dir,
         sql.replace("__LSRC__", l_src).replace("__OSRC__", o_src).replace(
             "__HINTS__",
-            _broadcast_hints(
-                sf_dir,
-                ("customer", "c"),
-                ("supplier", "s"),
-                ("nation", "cn"),
-                ("nation", "sn"),
-            ),
+            # cn/sn ride fixed hints in the outer 625-row select; only the
+            # stream-side dims stay size-gated
+            _broadcast_hints(sf_dir, ("customer", "c"), ("supplier", "s")),
         ),
     )
 
@@ -654,24 +650,39 @@ def q05_nation_trade_roles(spark, sf_dir):
 # hash join skips them (measured 1.33 -> 0.94 s at sf1). Build side is
 # orders' 2-col projection, bounded per partition by scale-proportional
 # shuffle sizing.
+#
+# Nation names join POST-AGG: the fact stream needs only c_nationkey /
+# s_nationkey — integers already sitting on customer/supplier — so the
+# per-row work drops from four broadcast probes + a two-STRING group key
+# to two probes + a two-INT key; the nation-name joins run on the 625
+# aggregated rows instead of |lineitem|. Measured interleaved-A/B at
+# sf16: 3.93 -> 2.83 s (DuckDB 1.65 s -> ratio 1.71x, under the 2x
+# letter); strictly fewer per-row ops at any scale, so no gate needed.
 Q05_SQL = f"""
-    SELECT /*+ SHUFFLE_HASH(o) */ __HINTS__
+    WITH agg AS (
+        SELECT /*+ SHUFFLE_HASH(o) */ __HINTS__
+               c.c_nationkey AS ck, s.s_nationkey AS sk,
+               count(*)                       AS n_lines,
+               CAST(sum(l._rev) AS BIGINT)    AS rev
+        FROM __LSRC__ l
+        JOIN __OSRC__ o     ON o.o_orderkey = l.l_orderkey
+        JOIN {{customer}} c ON c.c_custkey = o.o_custkey
+        JOIN {{supplier}} s ON s.s_suppkey = l.l_suppkey
+        GROUP BY c.c_nationkey, s.s_nationkey
+    )
+    SELECT /*+ BROADCAST(cn), BROADCAST(sn) */
            cn.n_name AS cust_nation, sn.n_name AS supp_nation,
-           count(*)                                          AS n_lines,
-           CAST(CAST(sum(l._rev) AS BIGINT) / {BP}.0D AS DOUBLE) AS volume
-    FROM __LSRC__ l
-    JOIN __OSRC__ o     ON o.o_orderkey = l.l_orderkey
-    JOIN {{customer}} c ON c.c_custkey = o.o_custkey
-    JOIN {{supplier}} s ON s.s_suppkey = l.l_suppkey
-    JOIN {{nation}} cn  ON cn.n_nationkey = c.c_nationkey
-    JOIN {{nation}} sn  ON sn.n_nationkey = s.s_nationkey
-    GROUP BY cn.n_name, sn.n_name
+           n_lines, CAST(rev / {BP}.0D AS DOUBLE) AS volume
+    FROM agg
+    JOIN {{nation}} cn ON cn.n_nationkey = agg.ck
+    JOIN {{nation}} sn ON sn.n_nationkey = agg.sk
 """
 
 
 def q05_nation_trade_roles_df(spark, sf_dir):
     # bp conversion in the scan projection — one BIGINT crosses the join
-    # exchange instead of two DOUBLEs (see Q05_SQL's comment).
+    # exchange instead of two DOUBLEs; nation names join POST-AGG on the
+    # 625-row result (see Q05_SQL's comment).
     l = load(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_suppkey",
@@ -685,21 +696,28 @@ def q05_nation_trade_roles_df(spark, sf_dir):
     c = _maybe_broadcast(load(spark, sf_dir, "customer"), sf_dir, "customer")
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
-    cn = F.broadcast(n.alias("cn"))
-    sn = F.broadcast(n.alias("sn"))
-    return (
+    agg = (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(_maybe_broadcast(s, sf_dir, "supplier"), l.l_suppkey == s.s_suppkey)
-        .join(cn, c.c_nationkey == F.col("cn.n_nationkey"))
-        .join(sn, s.s_nationkey == F.col("sn.n_nationkey"))
         .groupBy(
-            F.col("cn.n_name").alias("cust_nation"),
-            F.col("sn.n_name").alias("supp_nation"),
+            F.col("c_nationkey").alias("ck"), F.col("s_nationkey").alias("sk")
         )
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            (F.sum("_rev").cast("long") / F.lit(float(BP))).cast("double").alias("volume"),
+            F.sum("_rev").cast("long").alias("rev"),
+        )
+    )
+    cn = F.broadcast(n.alias("cn"))
+    sn = F.broadcast(n.alias("sn"))
+    return (
+        agg.join(cn, F.col("ck") == F.col("cn.n_nationkey"))
+        .join(sn, F.col("sk") == F.col("sn.n_nationkey"))
+        .select(
+            F.col("cn.n_name").alias("cust_nation"),
+            F.col("sn.n_name").alias("supp_nation"),
+            "n_lines",
+            (F.col("rev") / F.lit(float(BP))).cast("double").alias("volume"),
         )
     )
 

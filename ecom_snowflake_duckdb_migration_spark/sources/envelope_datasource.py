@@ -45,10 +45,13 @@ from pyspark.sql.types import StructType
 def _envelope_files(path: str) -> list[str]:
     if os.path.isfile(path):
         return [path]
+    # recursive: a flat drop directory AND the streaming sink's batch-keyed
+    # tree (out/batch_id=N/part-*.json) both read with the same call;
+    # '**' matches zero or more directories, so flat files still hit
     hits = sorted(
         p
         for pat in ("*.json", "*.txt")
-        for p in glob.glob(os.path.join(path, pat))
+        for p in glob.glob(os.path.join(path, "**", pat), recursive=True)
     )
     if not hits:
         raise FileNotFoundError(f"no envelope files under {path!r}")

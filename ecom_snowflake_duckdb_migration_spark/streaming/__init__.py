@@ -3,6 +3,7 @@ tumbling-window aggregation, foreachBatch upsert sink, streaming corpus
 dedup against the durable LSH band store."""
 
 from .corpus_dedup import streaming_corpus_dedup
+from .envelope_sink import write_envelope_stream
 from .ingest import (
     dedup_stream,
     foreach_batch_pipeline,
@@ -15,6 +16,7 @@ from .sessionize import running_counts_stateful, sessionize
 __all__ = [
     "dedup_stream",
     "streaming_corpus_dedup",
+    "write_envelope_stream",
     "foreach_batch_pipeline",
     "read_event_stream",
     "running_counts_stateful",

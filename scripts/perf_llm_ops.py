@@ -4,7 +4,10 @@ repartitioned to the session parallelism first — sf0.1 documents/embeddings
 land in ONE parquet file, and timing a 32-core engine on 1 split measures
 the file layout, not the operator (at real scale the scan has many splits).
 
-Usage: python scripts/perf_llm_ops.py [out.json] [sf_dir] [n_reps]
+Usage: python scripts/perf_llm_ops.py [out.json] [sf_dir] [n_reps] [mode]
+``mode``: "all" (default), "ops" (skip the sf1 crossover), or
+"crossover" (only the incremental-SemDeDup crossover, merging into an
+existing out.json) — the split keeps each run inside a CI timeout.
 """
 
 from __future__ import annotations
@@ -34,6 +37,7 @@ def main() -> int:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "PERF_LLM_OPS.json"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     n_reps = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    mode = sys.argv[4] if len(sys.argv) > 4 else "all"
     spark = get_spark()
     par = spark.sparkContext.defaultParallelism
     docs = load(spark, sf_dir, "documents").repartition(par)
@@ -52,16 +56,18 @@ def main() -> int:
     # 3x slower than recompute (judge round-6 finding). store_build_sec is
     # recorded alongside.
     cutoff = 1600  # the x83 80/20 split over sf0.1's 2000 vectors
-    _c = emb.filter(F.col("vec_id") < cutoff)
-    _b = emb.filter(F.col("vec_id") >= cutoff)
-    t0 = time.perf_counter()
-    _kept = sim.semantic_dedup(_c, cents, threshold=0.35)
-    _store = (
-        sim.semantic_cells(_c, cents)
-        .join(_kept.select("vec_id"), "vec_id", "left_semi")
-        .localCheckpoint(eager=True)
-    )
-    inc_store_build_sec = round(time.perf_counter() - t0, 4)
+    inc_store_build_sec = None
+    if mode != "crossover":
+        _c = emb.filter(F.col("vec_id") < cutoff)
+        _b = emb.filter(F.col("vec_id") >= cutoff)
+        t0 = time.perf_counter()
+        _kept = sim.semantic_dedup(_c, cents, threshold=0.35)
+        _store = (
+            sim.semantic_cells(_c, cents)
+            .join(_kept.select("vec_id"), "vec_id", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        inc_store_build_sec = round(time.perf_counter() - t0, 4)
 
     def inc_semdedup():
         return sim.semantic_dedup_incremental(
@@ -105,6 +111,13 @@ def main() -> int:
         "dsir_weights": lambda: tx.dsir_weights(corpus, bench),
     }
     results = {}
+    if mode == "crossover":
+        try:
+            with open(out_path) as f:
+                results = json.load(f).get("entries", {})
+        except (OSError, ValueError):
+            results = {}
+        ops = {}
     for name, fn in ops.items():
         fn().count()  # warm (JIT + listing)
         times = []
@@ -132,8 +145,14 @@ def main() -> int:
     import os as _os
 
     crossover = None
+    if mode == "ops":
+        try:  # keep a previously-measured crossover when only re-running ops
+            with open(out_path) as f:
+                crossover = json.load(f).get("incremental_semdedup_crossover")
+        except (OSError, ValueError):
+            pass
     sf1 = "/root/repo/benchdata/sf1"
-    if _os.path.exists(_os.path.join(sf1, "embeddings.parquet")):
+    if mode != "ops" and _os.path.exists(_os.path.join(sf1, "embeddings.parquet")):
         e1 = load(spark, sf1, "embeddings").repartition(par)
         c1 = e1.filter(F.col("vec_id") < 16000)
         b1 = e1.filter(F.col("vec_id") >= 16000)

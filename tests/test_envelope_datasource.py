@@ -238,3 +238,81 @@ def test_envelope_datasource_streaming_incremental_drops(spark, tmp_path):
     run_available()
     rows = [r.k for r in spark.read.parquet(str(tmp_path / "out")).collect()]
     assert sorted(rows) == [1, 2, 3, 4]  # no re-ingest of the first drops
+
+
+def test_envelope_streaming_sink_exactly_once_across_restart(spark, tmp_path):
+    """The S3-drop round-trip closed as a stream: drops in -> envelope
+    files out via foreachBatch, one batch_id=N subdirectory per batch.
+    A restart from the same checkpoint over the same source adds NOTHING
+    (no duplicate envelopes, byte-stable files); a new drop after the
+    restart lands as exactly one new batch directory; the batch reader
+    reads the whole tree recursively and sees every row exactly once."""
+    import glob
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ecom_snowflake_duckdb_migration_spark.streaming import (
+        read_event_stream,
+        write_envelope_stream,
+    )
+
+    eds.register(spark)
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    schema = "order_id bigint, qty bigint"
+
+    def drop(i, lo, hi):
+        tmp = f"{src}/.t{i}"
+        spark.range(lo, hi).select(
+            F.col("id").alias("order_id"), (F.col("id") * 2).alias("qty")
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        f = [x for x in os.listdir(tmp) if x.endswith(".parquet")][0]
+        os.rename(f"{tmp}/{f}", f"{src}/drop_{i}.parquet")
+
+    drop(0, 0, 10)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    from pyspark.sql.types import _parse_datatype_string
+
+    args = dict(
+        out_dir=out, checkpoint_dir=ckpt, table="orders",
+        generated_at="2026-01-15T00:00:00+00:00",
+    )
+    q = write_envelope_stream(
+        read_event_stream(spark, src, _parse_datatype_string(schema), max_files_per_trigger=1),
+        **args,
+    )
+    q.awaitTermination(60)
+    files1 = {f: os.path.getmtime(f) for f in glob.glob(f"{out}/**/*.json", recursive=True)}
+    assert files1 and all("/batch_id=" in f for f in files1)
+
+    # restart, same source + checkpoint: nothing new, nothing rewritten
+    q = write_envelope_stream(
+        read_event_stream(spark, src, _parse_datatype_string(schema), max_files_per_trigger=1),
+        **args,
+    )
+    q.awaitTermination(60)
+    files2 = {f: os.path.getmtime(f) for f in glob.glob(f"{out}/**/*.json", recursive=True)}
+    assert files2 == files1, "restart must not rewrite or duplicate envelopes"
+
+    # a new drop lands as exactly one new batch directory
+    time.sleep(1.1)
+    drop(1, 10, 15)
+    q = write_envelope_stream(
+        read_event_stream(spark, src, _parse_datatype_string(schema), max_files_per_trigger=1),
+        **args,
+    )
+    q.awaitTermination(60)
+    batch_dirs = sorted(glob.glob(f"{out}/batch_id=*"))
+    assert len(batch_dirs) == 2
+
+    back = (
+        spark.read.format("ecom_envelope")
+        .option("path", out)
+        .option("validate_count", "true")
+        .load()
+    )
+    got = sorted((r.order_id, r.qty) for r in back.collect())
+    assert got == [(i, 2 * i) for i in range(15)]  # every row exactly once
+    assert back.select("_generated_at").distinct().count() == 1

@@ -699,3 +699,74 @@ def test_wav_extended_sample_formats():
 
     with _pt.raises(NotImplementedError):
         mm.columns._decode_payload(wav(2, 4, b"\x00\x00"))
+
+
+def _smooth(fr, fc, pr, pc, h=64, w=64):
+    import numpy as np
+
+    r = np.arange(h)[:, None]
+    c = np.arange(w)[None, :]
+    px = (
+        128
+        + 60 * np.sin(2 * np.pi * fr * r / h + pr)
+        + 60 * np.sin(2 * np.pi * fc * c / w + pc)
+    )
+    return np.clip(px, 0, 255).astype("uint8")
+
+
+def _nn_resize(px, h, w):
+    import numpy as np
+
+    ys = np.linspace(0, px.shape[0] - 1, h).astype(int)
+    xs = np.linspace(0, px.shape[1] - 1, w).astype(int)
+    return px[np.ix_(ys, xs)]
+
+
+def test_image_near_pairs_planted_duplicates(spark):
+    """Planted-duplicates oracle for perceptual near-dup: a rotated copy
+    hashes IDENTICALLY (dihedral-canonical hash), a resized copy lands
+    within the Hamming budget, and structurally distinct images pair with
+    nothing."""
+    import numpy as np
+
+    base = _smooth(2, 3, 0.4, 1.1)
+    rows = [
+        ("base", mm.encode_bmp(base)),
+        ("rot90", mm.encode_bmp(np.rot90(base))),
+        ("flip", mm.encode_bmp(np.fliplr(base))),
+        ("resized", mm.encode_bmp(_nn_resize(base, 48, 48))),
+        ("other1", mm.encode_bmp(_smooth(5, 1, 2.0, 0.2))),
+        ("other2", mm.encode_bmp(_smooth(1, 6, 0.9, 2.5))),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in rows], ["media_id", "payload"]
+    )
+    pairs = {
+        (r.d1, r.d2): r.hamming
+        for r in mm.image_near_pairs(df, max_hamming=3, blocks=4).collect()
+    }
+    dupset = {"base", "rot90", "flip", "resized"}
+    want_keys = {
+        (a, b) for a in dupset for b in dupset if a < b
+    }
+    assert set(pairs) == want_keys, pairs
+    # exact dihedral copies are hamming 0; the resize stays within budget
+    assert pairs[("base", "rot90")] == 0
+    assert pairs[("base", "flip")] == 0
+    assert pairs[("base", "resized")] <= 3
+
+
+def test_image_hashes_error_capture_and_determinism(spark, images):
+    """Decode failures are captured per row (video payload in an image
+    column), and hashes are a pure function of content — repartitioning
+    cannot change them."""
+    hashed = {r.media_id: (r.ahash, r.dhash) for r in mm.image_hashes(images).collect()}
+    assert len(hashed) == 40
+    again = {
+        r.media_id: (r.ahash, r.dhash)
+        for r in mm.image_hashes(images.repartition(7)).collect()
+    }
+    assert again == hashed
+    vids = mm.generate_media(spark, 3, "video")
+    bad = mm.image_hashes(vids).collect()
+    assert all(r.ahash is None and r.ok == "ValueError" for r in bad)
