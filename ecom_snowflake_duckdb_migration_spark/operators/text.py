@@ -1314,6 +1314,57 @@ def vocab_coverage(
     )
 
 
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Adjacent-symbol pair statistics for the FIRST BPE merge step
+    (Sennrich et al. 2016, arXiv:1508.07909 §3.2): tokenize on whitespace,
+    count each word once per occurrence, and for every within-word
+    adjacent character pair report the corpus-wide occurrence count —
+    the table a tokenizer trainer ranks to pick its first merge.
+
+    Returns ``(a, b, n_occurrences)``, one row per distinct character
+    pair. Counting runs over the word-FREQUENCY table, not the raw token
+    stream: distinct words are orders of magnitude fewer than tokens, so
+    the character explode fans out from the small relation and the pair
+    aggregation ships character-pair partials only. Words shorter than 2
+    characters carry no pairs and are filtered before the explode —
+    which also guards the Spark ``sequence(1, 0) -> [1, 0]`` descending
+    trap (no ungated sequence ever sees length-1 input).
+
+    Scale: two map-side-combinable shuffles (word counts, then pair
+    counts over |alphabet|^2-bounded keys); everything is codegen
+    expressions.
+    """
+    word = F.explode(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    ).alias("word")
+    words = df.select(word)
+    if lowercase:
+        words = words.select(F.lower(F.col("word")).alias("word"))
+    wf = (
+        words.filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = wf.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> struct(substring(word, i, 1) AS a,"
+                " substring(word, i + 1, 1) AS b))"
+            )
+        ).alias("p"),
+        "n",
+    )
+    return (
+        pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("n").cast("long").alias("n_occurrences"))
+    )
+
+
 def decontaminate_fuzzy(
     corpus: DataFrame,
     benchmark: DataFrame,

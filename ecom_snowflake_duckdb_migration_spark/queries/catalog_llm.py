@@ -2243,3 +2243,40 @@ def x91_dsir_importance_weights(spark, sf_dir):
 def x92_corpus_report(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return tx.corpus_report(d)
+
+
+@register(
+    "x93_bpe_pair_counts",
+    # DuckDB twin: word-frequency table first (same scale shape), then a
+    # list comprehension enumerates within-word adjacent char pairs
+    # (1-based inclusive slicing; range(1, len) stops before the last
+    # char, so length-1 words contribute nothing — mirroring the Spark
+    # length >= 2 filter).
+    oracle="""
+    WITH words AS (
+        SELECT lower(unnest(string_split_regex(trim(coalesce(text, '')), '\\s+'))) AS word
+        FROM documents
+    ),
+    wf AS (
+        SELECT word, count(*) AS n FROM words
+        WHERE length(word) >= 2 GROUP BY word
+    ),
+    pairs AS (
+        SELECT unnest([{'a': word[i:i], 'b': word[i+1:i+1]}
+                       for i in range(1, length(word))]) AS p, n
+        FROM wf
+    )
+    SELECT p.a AS a, p.b AS b, CAST(sum(n) AS BIGINT) AS n_occurrences
+    FROM pairs GROUP BY 1, 2
+    """,
+    doc="BPE first-merge pair statistics (operators.text.bpe_pair_counts; "
+    "Sennrich et al. 2016 §3.2): corpus-wide adjacent-character pair "
+    "counts over the word-frequency table — the ranking a tokenizer "
+    "trainer reads to pick its first merge. Explode fans out from the "
+    "distinct-word relation, not the token stream; pair keys are "
+    "alphabet^2-bounded, both shuffles map-side combinable.",
+    tags=("LLM", "tokenizer", "text-analysis"),
+)
+def x93_bpe_pair_counts(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return tx.bpe_pair_counts(d)

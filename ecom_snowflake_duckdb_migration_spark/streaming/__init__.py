@@ -4,6 +4,7 @@ dedup against the durable LSH band store."""
 
 from .corpus_dedup import streaming_corpus_dedup
 from .envelope_sink import write_envelope_stream
+from .semantic_dedup import streaming_semantic_dedup
 from .ingest import (
     dedup_stream,
     foreach_batch_pipeline,
@@ -16,6 +17,7 @@ from .sessionize import running_counts_stateful, sessionize
 __all__ = [
     "dedup_stream",
     "streaming_corpus_dedup",
+    "streaming_semantic_dedup",
     "write_envelope_stream",
     "foreach_batch_pipeline",
     "read_event_stream",

@@ -770,3 +770,36 @@ def test_image_hashes_error_capture_and_determinism(spark, images):
     vids = mm.generate_media(spark, 3, "video")
     bad = mm.image_hashes(vids).collect()
     assert all(r.ahash is None and r.ok == "ValueError" for r in bad)
+
+
+def test_image_dedup_end_to_end_canonical_keep(spark):
+    """The weekly multimodal-corpus dedup, composed from existing parts:
+    perceptual near-dup pairs -> connected components -> canonical keep
+    (min media_id per duplicate group; singletons survive untouched)."""
+    import numpy as np
+
+    from ecom_snowflake_duckdb_migration_spark.operators.dedup_groups import (
+        select_canonical,
+    )
+
+    base = _smooth(3, 2, 1.0, 0.3)
+    other = _smooth(6, 5, 0.1, 1.8)
+    rows = [
+        ("a1", mm.encode_bmp(base)),
+        ("a2", mm.encode_bmp(np.rot90(base, 2))),
+        ("a3", mm.encode_bmp(_nn_resize(base, 52, 52))),
+        ("b1", mm.encode_bmp(other)),
+        ("b2", mm.encode_bmp(np.fliplr(other))),
+        ("c1", mm.encode_bmp(_smooth(1, 4, 2.2, 0.7))),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in rows], ["media_id", "payload"]
+    )
+    pairs = mm.image_near_pairs(df, max_hamming=3, blocks=4)
+    kept = {
+        r.media_id
+        for r in select_canonical(
+            df.select("media_id"), pairs, id_col="media_id"
+        ).collect()
+    }
+    assert kept == {"a1", "b1", "c1"}

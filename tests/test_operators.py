@@ -1240,3 +1240,24 @@ def test_ann_ivf_recall_gate(spark):
     assert recalls[6] >= 0.90                 # the recorded default
     assert recalls[4] < 0.90                  # why the default moved off 4
     assert recalls[2] <= recalls[4] <= recalls[6] <= recalls[8] + 1e-9
+
+
+def test_bpe_pair_counts_planted(spark):
+    """ab x3 (case-folded) and cd x1; the length-1 word contributes no
+    pair; a NULL text contributes nothing but crashes nothing."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", IntegerType()), StructField("text", StringType())]
+    )
+    df = spark.createDataFrame(
+        [(1, "ab ab cd"), (2, "AB x"), (3, None)], schema
+    )
+    got = {(r.a, r.b): r.n_occurrences for r in tx.bpe_pair_counts(df).collect()}
+    assert got == {("a", "b"): 3, ("c", "d"): 1}
+    # lowercase=False keeps the cased pair distinct
+    cased = {
+        (r.a, r.b): r.n_occurrences
+        for r in tx.bpe_pair_counts(df, lowercase=False).collect()
+    }
+    assert cased == {("a", "b"): 2, ("A", "B"): 1, ("c", "d"): 1}

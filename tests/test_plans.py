@@ -186,6 +186,7 @@ NEW_CATALYST_ONLY = [
     "x90_fuzzy_decontamination",
     "x91_dsir_importance_weights",
     "x92_corpus_report",
+    "x93_bpe_pair_counts",
 ]
 
 

