@@ -3,6 +3,7 @@ decode/resize/feature-extraction/frame-sampling over mapInPandas. BMP and
 PCM16 WAV decode natively (numpy); compressed formats are stubbed behind
 NotImplementedError (PIL/librosa/ffmpeg absent here)."""
 
+from .audiohash import AUDIO_HASH_SCHEMA, audio_hashes, audio_near_pairs
 from .phash import IMAGE_HASH_SCHEMA, image_hashes, image_near_pairs
 from .columns import (
     DECODED_IMAGE_SCHEMA,
@@ -18,6 +19,9 @@ from .columns import (
 )
 
 __all__ = [
+    "AUDIO_HASH_SCHEMA",
+    "audio_hashes",
+    "audio_near_pairs",
     "DECODED_IMAGE_SCHEMA",
     "IMAGE_HASH_SCHEMA",
     "image_hashes",

@@ -316,3 +316,49 @@ def test_envelope_streaming_sink_exactly_once_across_restart(spark, tmp_path):
     got = sorted((r.order_id, r.qty) for r in back.collect())
     assert got == [(i, 2 * i) for i in range(15)]  # every row exactly once
     assert back.select("_generated_at").distinct().count() == 1
+
+
+def test_envelope_drop_to_drop_streaming_round_trip(spark, tmp_path):
+    """The reference's full drop cadence as one stream: envelope drops in
+    (EnvelopeStreamReader) -> transform -> envelope drops out
+    (write_envelope_stream); the output directory reads back as valid
+    envelopes carrying exactly the transformed rows."""
+    import os
+
+    from ecom_snowflake_duckdb_migration_spark.streaming import write_envelope_stream
+
+    eds.register(spark)
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for i in range(2):
+        rows = [{"order_id": 10 * i + j, "qty": j} for j in range(5)]
+        env = {
+            "metadata": {"table": "orders", "recordCount": len(rows),
+                         "generatedAt": f"2026-08-1{i}T00:00:00+00:00",
+                         "version": "1.0"},
+            "data": rows,
+        }
+        with open(os.path.join(in_dir, f"drop_{i}.json"), "w") as f:
+            json.dump(env, f)
+
+    stream = (
+        spark.readStream.format("ecom_envelope")
+        .schema("order_id bigint, qty bigint, _envelope_file string, _generated_at string")
+        .option("path", in_dir)
+        .load()
+        .select("order_id", (F.col("qty") * 10).alias("qty10"))
+    )
+    q = write_envelope_stream(
+        stream, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        table="orders_x10", generated_at="2026-08-15T00:00:00+00:00",
+    )
+    q.awaitTermination(60)
+    back = (
+        spark.read.format("ecom_envelope")
+        .option("path", str(tmp_path / "out"))
+        .option("validate_count", "true")
+        .load()
+    )
+    got = sorted((r.order_id, r.qty10) for r in back.collect())
+    want = sorted((10 * i + j, j * 10) for i in range(2) for j in range(5))
+    assert got == want

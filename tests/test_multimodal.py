@@ -803,3 +803,41 @@ def test_image_dedup_end_to_end_canonical_keep(spark):
         ).collect()
     }
     assert kept == {"a1", "b1", "c1"}
+
+
+def test_audio_near_pairs_planted_duplicates(spark):
+    """Band-energy fingerprints: a volume-scaled copy hashes identically
+    (energy-ratio signs are amplitude-invariant), a lightly truncated
+    copy lands within the Hamming budget, different tone mixes pair with
+    nothing."""
+    import numpy as np
+
+    def tone(freqs, n=8000, sr=16000, amp=8000.0):
+        t = np.arange(n) / sr
+        x = sum(np.sin(2 * np.pi * f * t + 0.1 * i) for i, f in enumerate(freqs))
+        return (amp * x / len(freqs)).astype(np.int16)
+
+    base = tone([440, 1320, 3300])
+    rows = [
+        ("base", mm.encode_wav(base, 16000)),
+        ("quiet", mm.encode_wav((base * 0.35).astype(np.int16), 16000)),
+        ("trunc", mm.encode_wav(base[: int(len(base) * 0.95)], 16000)),
+        ("other1", mm.encode_wav(tone([620, 2500]), 16000)),
+        ("other2", mm.encode_wav(tone([150, 900, 5000, 7000]), 16000)),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in rows], ["media_id", "payload"]
+    )
+    pairs = {
+        (r.d1, r.d2): r.hamming
+        for r in mm.audio_near_pairs(df, max_hamming=3, blocks=4).collect()
+    }
+    dupset = {"base", "quiet", "trunc"}
+    assert set(pairs) == {(a, b) for a in dupset for b in dupset if a < b}, pairs
+    assert pairs[("base", "quiet")] == 0
+    assert pairs[("base", "trunc")] <= 3
+
+    # errors captured per-row: image payloads in an audio column
+    imgs = mm.generate_media(spark, 3, "image")
+    bad = mm.audio_hashes(imgs).collect()
+    assert all(r.audio_hash is None and r.ok == "ValueError" for r in bad)
