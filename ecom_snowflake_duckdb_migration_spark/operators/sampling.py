@@ -312,3 +312,42 @@ def token_budget_select(
         with_cum.select(id_col, score_col, tokens_col, cum)
         .filter(F.col("cum_tokens") - F.col(tokens_col) < F.lit(budget_tokens))
     )
+
+
+def gumbel_topk_sample(
+    df: DataFrame,
+    logweight_e6_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Gumbel-top-k trick
+    (Kool et al. 2019; equivalent to Efraimidis-Spirakis reservoir keys):
+    keep the ``n`` rows maximizing ``log w + Gumbel noise`` — each row is
+    selected with probability proportional to its weight, jointly without
+    replacement. The resampling half of DSIR (Xie et al. 2023 pair
+    importance weights WITH importance resampling).
+
+    Engine determinism: the Gumbel variate derives from the
+    cross-engine-exact ``h60`` uniform of ``(seed, id)`` and is quantized
+    ``floor(-ln(-ln(u)) * 1e6)`` BEFORE the addition (verified bit-stable
+    Spark-vs-DuckDB on 200k h60 samples — the lm_score floor-e6
+    discipline), so both engines rank identical integers; ties break on
+    id. Returns the selected rows plus their ``key_e6``.
+
+    Scale: one scan + one TakeOrdered top-n — no shuffle; the noise is a
+    pure Catalyst expression, no RNG state.
+    """
+    from .sketches import HASH_SPACE, h60
+
+    if n <= 0:
+        raise ValueError("n must be positive")
+    u = (h60(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+         + F.lit(0.5)) / F.lit(float(HASH_SPACE))
+    g_e6 = F.floor(-F.log(-F.log(u)) * F.lit(1_000_000.0)).cast("long")
+    key = (F.col(logweight_e6_col).cast("long") + g_e6).alias("key_e6")
+    return (
+        df.select("*", key)
+        .orderBy(F.desc("key_e6"), F.asc(id_col))
+        .limit(n)
+    )

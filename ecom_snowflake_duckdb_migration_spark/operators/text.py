@@ -1547,3 +1547,36 @@ def corpus_report(
         ),
         F.expr("sum(alpha_ratio_e6) div count(*)").alias("mean_alpha_e6"),
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions by content hash: one row
+    per document id present in either side, with ``status`` in
+    {'added', 'removed', 'changed', 'unchanged'} — the audit every
+    corpus release cut runs before shipping ("what moved since v1?").
+
+    Comparison is md5-of-text (NULL-safe: NULL and '' hash differently
+    from each other on neither engine — both coalesce to '' first, the
+    package's NULL-text convention). Scale: two scans projected to
+    (id, 128-bit hash) + one full outer equi-join on the id — never
+    ships text.
+    """
+    h = lambda c: F.md5(F.coalesce(F.col(c), F.lit("")))
+    o = old.select(F.col(id_col).alias("_oid"), h(text_col).alias("_oh"))
+    nw = new.select(F.col(id_col).alias("_nid"), h(text_col).alias("_nh"))
+    return (
+        o.join(nw, F.col("_oid") == F.col("_nid"), "full_outer")
+        .select(
+            F.coalesce("_oid", "_nid").alias(id_col),
+            F.when(F.col("_oid").isNull(), "added")
+            .when(F.col("_nid").isNull(), "removed")
+            .when(F.col("_oh") != F.col("_nh"), "changed")
+            .otherwise("unchanged")
+            .alias("status"),
+        )
+    )

@@ -2110,12 +2110,12 @@ def x90_fuzzy_decontamination(spark, sf_dir):
 
 _X91_B = 4096
 
-@register(
-    "x91_dsir_importance_weights",
-    # DuckDB twin of dsir_weights: o_h60 % B buckets (bit-identical to
-    # Spark's h60), add-one smoothing, per-term floor-e6 ln quantization
-    # BEFORE the doc sum — the lm_score cross-engine discipline.
-    oracle=f"""
+# WITH-chain body shared by x91 (weights) and x95 (weights + Gumbel
+# top-k resample): DuckDB twin of dsir_weights — o_h60 % B buckets
+# (bit-identical to Spark's h60), add-one smoothing, per-term floor-e6
+# ln quantization BEFORE the doc sum (the lm_score cross-engine
+# discipline).
+_X91_ORACLE_CORE = f"""
     WITH tok AS (
         SELECT doc_id, source,
                string_split_regex(trim(coalesce(text, '')), '\\s+') AS t
@@ -2152,13 +2152,20 @@ _X91_B = 4096
                              / CAST(tot.tr + {_X91_B} AS DOUBLE)) * 1e6)
                     AS BIGINT) AS llr_e6
         FROM rc LEFT JOIN tc ON tc.b = rc.b CROSS JOIN tot
+    ),
+    w AS (
+        SELECT c.doc_id,
+               CAST(count(*) AS BIGINT)      AS n_feats,
+               CAST(sum(l.llr_e6) AS BIGINT) AS logw_e6
+        FROM cb c JOIN lr l ON l.b = c.b
+        GROUP BY c.doc_id
     )
-    SELECT c.doc_id,
-           CAST(count(*) AS BIGINT)      AS n_feats,
-           CAST(sum(l.llr_e6) AS BIGINT) AS logw_e6
-    FROM cb c JOIN lr l ON l.b = c.b
-    GROUP BY c.doc_id
-    """,
+"""
+
+
+@register(
+    "x91_dsir_importance_weights",
+    oracle=_X91_ORACLE_CORE + "SELECT doc_id, n_feats, logw_e6 FROM w",
     doc="DSIR importance weights (operators.text.dsir_weights; Xie et "
     "al. 2023): log-likelihood ratio of hashed word uni+bigram buckets "
     "under target (source='src0') vs raw distribution, add-one smoothed "
@@ -2280,3 +2287,81 @@ def x92_corpus_report(spark, sf_dir):
 def x93_bpe_pair_counts(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return tx.bpe_pair_counts(d)
+
+
+@register(
+    "x94_corpus_diff",
+    # Both engines derive old/new snapshots from documents with the same
+    # arithmetic: old drops doc_id % 7 == 0, new drops doc_id % 11 == 3
+    # and rewrites text for doc_id % 5 == 0 — exercising all four
+    # statuses. FULL OUTER on the id, md5-of-coalesced-text comparison.
+    oracle="""
+    WITH old AS (
+        SELECT doc_id, md5(coalesce(text, '')) AS h
+        FROM documents WHERE doc_id % 7 <> 0
+    ),
+    nw AS (
+        SELECT doc_id,
+               md5(coalesce(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                                 ELSE text END, '')) AS h
+        FROM documents WHERE doc_id % 11 <> 3
+    )
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.h <> n.h THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM old o FULL OUTER JOIN nw n ON n.doc_id = o.doc_id
+    """,
+    doc="Corpus snapshot diff (operators.text.corpus_diff): one row per "
+    "id in either version with status added/removed/changed/unchanged by "
+    "content hash — the audit a corpus release cut runs. Two (id, md5) "
+    "projections + one full outer equi-join; text never ships.",
+    tags=("LLM", "ops", "report"),
+)
+def x94_corpus_diff(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 7 != 0)
+    new = d.filter(F.col("doc_id") % 11 != 3).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")),
+    )
+    return tx.corpus_diff(old, new)
+
+
+@register(
+    "x95_dsir_resample",
+    # x91's weight chain + the Gumbel-top-k resample: key_e6 = logw_e6 +
+    # floor(-ln(-ln(u)) * 1e6) with u the h60 uniform of '42:'||doc_id —
+    # verified bit-stable Spark-vs-DuckDB on 200k samples, so both
+    # engines select the identical 500 documents.
+    oracle=_X91_ORACLE_CORE + """
+    SELECT doc_id, n_feats, logw_e6, key_e6 FROM (
+        SELECT w.*,
+               CAST(logw_e6 + floor(-ln(-ln(
+                   (CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)),
+                          1, 15)) AS BIGINT) + 0.5) / 1152921504606846976.0))
+                   * 1e6) AS BIGINT) AS key_e6
+        FROM w
+    ) ORDER BY key_e6 DESC, doc_id LIMIT 500
+    """,
+    doc="DSIR importance RESAMPLING (operators.sampling.gumbel_topk_sample "
+    "over x91's weights; Xie et al. 2023 + Kool et al. 2019): select 500 "
+    "documents with probability proportional to their importance weight, "
+    "jointly without replacement, via Gumbel-top-k keys. Deterministic "
+    "noise from the h60 uniform, floor-e6-quantized before the addition "
+    "— integer ranking, cross-engine exact. One scan + one TakeOrdered; "
+    "no shuffle, no RNG state.",
+    tags=("LLM", "sampling", "selection"),
+)
+def x95_dsir_resample(spark, sf_dir):
+    from ..operators.sampling import gumbel_topk_sample
+
+    d = load(spark, sf_dir, "documents")
+    w = tx.dsir_weights(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        n_buckets=_X91_B,
+    )
+    return gumbel_topk_sample(w, "logw_e6", n=500, seed=42)

@@ -1261,3 +1261,46 @@ def test_bpe_pair_counts_planted(spark):
         for r in tx.bpe_pair_counts(df, lowercase=False).collect()
     }
     assert cased == {("a", "b"): 2, ("A", "B"): 1, ("c", "d"): 1}
+
+
+def test_corpus_diff_planted(spark):
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", IntegerType()), StructField("text", StringType())]
+    )
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "gone"), (5, None)], schema
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "fresh"), (5, "")], schema
+    )
+    got = {r.doc_id: r.status for r in tx.corpus_diff(old, new).collect()}
+    # NULL and '' both coalesce to '' -> doc 5 counts unchanged
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added",
+                   5: "unchanged"}
+
+
+def test_gumbel_topk_sample_weighted_and_deterministic(spark):
+    from ecom_snowflake_duckdb_migration_spark.operators import sampling as sp
+
+    df = spark.range(1000).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 2 = 0 THEN 2000000L ELSE -2000000L END AS logw_e6",
+    )
+    picked = sp.gumbel_topk_sample(df, "logw_e6", n=200, seed=7)
+    rows = picked.collect()
+    assert len(rows) == 200
+    heavy = sum(1 for r in rows if r.doc_id % 2 == 0)
+    # e^4 ~ 55x relative weight: the heavy class must dominate strongly
+    assert heavy >= 180, heavy
+    # pure function of (seed, id, weight): partitioning cannot move the cut
+    again = {r.doc_id for r in sp.gumbel_topk_sample(
+        df.repartition(13), "logw_e6", n=200, seed=7
+    ).collect()}
+    assert again == {r.doc_id for r in rows}
+    # a different seed reselects (the noise really comes from the seed)
+    other = {r.doc_id for r in sp.gumbel_topk_sample(
+        df, "logw_e6", n=200, seed=8
+    ).collect()}
+    assert other != {r.doc_id for r in rows}

@@ -187,6 +187,8 @@ NEW_CATALYST_ONLY = [
     "x91_dsir_importance_weights",
     "x92_corpus_report",
     "x93_bpe_pair_counts",
+    "x94_corpus_diff",
+    "x95_dsir_resample",
 ]
 
 

@@ -582,3 +582,44 @@ def test_exact_substring_dedup_matches_python_model(spark, texts):
         keep = [w for j, w in enumerate(ws) if j not in covered[i]]
         want[i] = (" ".join(keep), len(ws), len(ws) - len(keep))
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**9), st.integers(-5_000_000, 5_000_000)),
+        min_size=3,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(0, 1000),
+)
+@settings(**SETTINGS)
+def test_gumbel_topk_matches_python_model(spark, rows, seed):
+    """gumbel_topk_sample's selection == an independent pure-Python model
+    (hashlib md5 h60 + math.log Gumbel keys) — pins the whole
+    hash-to-noise-to-ranking pipeline, not just the corpus oracle."""
+    import hashlib
+    import math
+
+    from ecom_snowflake_duckdb_migration_spark.operators.sampling import (
+        gumbel_topk_sample,
+    )
+
+    n = max(1, len(rows) // 2)
+    df = spark.createDataFrame(rows, ["doc_id", "logw_e6"]).selectExpr(
+        "doc_id", "CAST(logw_e6 AS BIGINT) AS logw_e6"
+    )
+    got = [
+        (r.doc_id, r.key_e6)
+        for r in gumbel_topk_sample(df, "logw_e6", n=n, seed=seed).collect()
+    ]
+
+    def key(doc_id, logw):
+        h60 = int(hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()[:15], 16)
+        u = (h60 + 0.5) / float(1 << 60)
+        return logw + math.floor(-math.log(-math.log(u)) * 1_000_000.0)
+
+    want = sorted(
+        ((d, key(d, w)) for d, w in rows), key=lambda t: (-t[1], t[0])
+    )[:n]
+    assert got == want
