@@ -1580,3 +1580,85 @@ def corpus_diff(
             .alias("status"),
         )
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 document ranking against a bag of query terms
+    (Robertson & Zaragoza 2009, k1 = 1.2, b = 0.75) — the lexical
+    retrieval primitive that pairs with the ANN family for hybrid search
+    over a curated corpus.
+
+    Per matching (doc, term): ``idf(t) * tf*(k1+1) / (tf + k1*(1 - b +
+    b*dl/avgdl))`` with BM25+-style always-positive ``idf = ln(1 +
+    (N - df + 0.5)/(df + 0.5))``. Returns ``(id_col, n_hits, score_e6)``
+    for every document matching at least one term, descending-rankable.
+
+    Engine determinism: with k1 = 6/5 and b = 3/4 the weight fraction
+    clears to the integer ratio ``44*T*tf / (20*T*tf + 6*T + 18*dl*N)``
+    (T = corpus token total, so avgdl never materializes as a double);
+    idf is floor-e6-quantized per TERM, each (doc, term) score is
+    ``floor(ratio * idf_e6)`` — one identical IEEE division+multiply per
+    pair on both engines — and the per-doc sum is an integer sum,
+    order-independent. Exactness bound: ``44*T*tf`` must stay under
+    2^53 (T*tf < 2e14 — far past any bench scale; at true 100 TB token
+    counts, shard T per corpus partition or accept last-ulp risk).
+
+    Scale: one token explode filtered to the broadcast-literal term set
+    (the explode-side filter prunes before any shuffle), a per-term df
+    aggregate bounded by |query|, a per-doc (dl) aggregate, one join —
+    no all-terms inverted index is ever built.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+    terms_sql = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    toks = df.select(
+        F.col(id_col),
+        F.expr(f"split(lower(trim(coalesce({text_col}, ''))), '\\\\s+')").alias("t"),
+    )
+    dl = toks.select(id_col, F.size("t").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").cast("long").alias("tt")
+    )
+    hits = toks.select(
+        id_col,
+        F.explode(F.expr(f"filter(t, x -> x IN ({terms_sql}))")).alias("term"),
+    )
+    tf = hits.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = docfreq.crossJoin(F.broadcast(stats)).select(
+        "term", "df",
+        F.floor(
+            F.log(
+                F.lit(1.0)
+                + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            )
+            * F.lit(1_000_000.0)
+        ).cast("long").alias("idf_e6"),
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            F.floor(
+                (F.lit(44.0) * F.col("tt") * F.col("tf"))
+                / (
+                    F.lit(20.0) * F.col("tt") * F.col("tf")
+                    + F.lit(6.0) * F.col("tt")
+                    + F.lit(18.0) * F.col("dl") * F.col("n")
+                )
+                * F.col("idf_e6")
+            ).cast("long").alias("s_e6"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.sum("s_e6").cast("long").alias("score_e6"),
+    )

@@ -2365,3 +2365,58 @@ def x95_dsir_resample(spark, sf_dir):
         n_buckets=_X91_B,
     )
     return gumbel_topk_sample(w, "logw_e6", n=500, seed=42)
+
+
+@register(
+    "x96_bm25_scores",
+    # DuckDB twin of bm25_scores(['spark','hash','merge','window']):
+    # k1=6/5, b=3/4 clear the weight fraction to the integer ratio
+    # 44*T*tf / (20*T*tf + 6*T + 18*dl*N); idf floor-e6 per term, one
+    # identical IEEE divide+multiply per (doc, term), integer doc sum.
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS t
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+    stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tt FROM dl),
+    hits AS (
+        SELECT doc_id, unnest(list_filter(t,
+               x -> x IN ('spark', 'hash', 'merge', 'window'))) AS term
+        FROM toks
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY 1, 2),
+    docfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    idf AS (
+        SELECT term, df,
+               CAST(floor(ln(1.0 + (stats.n - df + 0.5) / (df + 0.5))
+                          * 1000000.0) AS BIGINT) AS idf_e6
+        FROM docfreq CROSS JOIN stats
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(floor((44.0 * stats.tt * tf.tf)
+                          / (20.0 * stats.tt * tf.tf + 6.0 * stats.tt
+                             + 18.0 * dl.dl * stats.n)
+                          * idf.idf_e6) AS BIGINT) AS s_e6
+        FROM tf JOIN idf ON idf.term = tf.term
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(sum(s_e6) AS BIGINT) AS score_e6
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Okapi BM25 ranking (operators.text.bm25_scores; Robertson & "
+    "Zaragoza 2009, k1=1.2 b=0.75): lexical retrieval over the corpus "
+    "against a query term bag — pairs with the ANN family for hybrid "
+    "search. Rational k1/b clear the weight to an integer ratio and the "
+    "per-term idf is floor-e6-quantized, so per-doc sums are "
+    "order-independent integers, cross-engine exact. Explode-side term "
+    "filter prunes before any shuffle; df aggregate bounded by |query|.",
+    tags=("LLM", "retrieval", "text-analysis"),
+)
+def x96_bm25_scores(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return tx.bm25_scores(d, ["spark", "hash", "merge", "window"])

@@ -1304,3 +1304,33 @@ def test_gumbel_topk_sample_weighted_and_deterministic(spark):
         df, "logw_e6", n=200, seed=8
     ).collect()}
     assert other != {r.doc_id for r in rows}
+
+
+def test_bm25_scores_ranking_semantics(spark):
+    """BM25 invariants on planted docs: rarer query terms outweigh common
+    ones, higher tf wins within a term, and longer documents are
+    penalized at equal tf."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", IntegerType()), StructField("text", StringType())]
+    )
+    filler = " ".join(["pad"] * 20)
+    df = spark.createDataFrame(
+        [
+            (1, f"rare {filler}"),              # the only doc with 'rare'
+            (2, f"common {filler}"),
+            (3, f"common {filler}"),
+            (4, f"common common {filler}"),     # higher tf than 2/3
+            (5, f"common {filler} {filler}"),   # same tf as 2, longer
+            (6, filler),                        # no hits -> no row
+        ],
+        schema,
+    )
+    out = {r.doc_id: r for r in tx.bm25_scores(df, ["rare", "common"]).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1].score_e6 > out[4].score_e6      # rarity dominates
+    assert out[4].score_e6 > out[2].score_e6      # tf saturating gain
+    assert out[2].score_e6 == out[3].score_e6     # identical docs tie
+    assert out[5].score_e6 < out[2].score_e6      # length penalty
+    assert out[4].n_hits == 1 and out[1].n_hits == 1

@@ -189,6 +189,7 @@ NEW_CATALYST_ONLY = [
     "x93_bpe_pair_counts",
     "x94_corpus_diff",
     "x95_dsir_resample",
+    "x96_bm25_scores",
 ]
 
 
