@@ -2420,3 +2420,98 @@ def x95_dsir_resample(spark, sf_dir):
 def x96_bm25_scores(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return tx.bm25_scores(d, ["spark", "hash", "merge", "window"])
+
+
+@register(
+    "x97_cohort_retention",
+    # Daily cohorts (the sf window spans one month): users cohorted by
+    # first-event date; retention counts distinct active users per
+    # (cohort_day, days_since). Pure integer date arithmetic both engines.
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT f.cohort_day,
+           date_diff('day', f.cohort_day, a.day) AS days_since,
+           count(DISTINCT a.user_id)             AS n_users
+    FROM activity a JOIN firsts f ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention over the event stream: users cohorted by "
+    "first-seen date, distinct active users per (cohort, day offset) — "
+    "the product-analytics staple the reference's marts feed. Shape: one "
+    "per-user min aggregate + one distinct-activity projection + an "
+    "equi-join on the user key; at scale both sides pre-aggregate to "
+    "|users| and |user-days| before the join.",
+    tags=("analytics", "A1", "F13"),
+)
+def x97_cohort_retention(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    activity = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("days_since"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "x98_rfm_segments",
+    # RFM quartiles via ntile(4) — identical floor-allocation bucketing
+    # in both engines given the identical total order (metric, user_id);
+    # monetary rides the bp fixed-point integer so the order is exact.
+    oracle="""
+    WITH base AS (
+        SELECT user_id,
+               date_diff('day', max(CAST(ts AS DATE)), DATE '2024-02-01')
+                   AS recency_days,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END) AS frequency,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN CAST(floor(value * 10000 + 0.5) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS monetary_bp
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, recency_days, frequency, monetary_bp,
+           ntile(4) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
+           ntile(4) OVER (ORDER BY frequency ASC, user_id)     AS f_score,
+           ntile(4) OVER (ORDER BY monetary_bp ASC, user_id)   AS m_score
+    FROM base
+    """,
+    doc="RFM segmentation (recency / purchase frequency / monetary "
+    "quartiles) — the marketing-analytics classic over the event stream; "
+    "fixed anchor date keeps recency deterministic (F10 injectable-clock "
+    "convention) and bp fixed-point monetary keeps the quartile order "
+    "engine-exact. One per-user aggregate + three global ntile windows "
+    "(single-exchange on an |users|-sized relation; at 100 TB swap ntile "
+    "for approx-percentile cuts to avoid the global sort).",
+    tags=("analytics", "W1", "A3"),
+)
+def x98_rfm_segments(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    is_p = F.col("event_type") == "purchase"
+    base = e.groupBy("user_id").agg(
+        F.datediff(F.lit("2024-02-01").cast("date"), F.max(F.to_date("ts"))).alias(
+            "recency_days"
+        ),
+        F.count(F.when(is_p, 1)).alias("frequency"),
+        F.sum(
+            F.when(is_p, F.expr("CAST(floor(value * 10000 + 0.5D) AS BIGINT)"))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("monetary_bp"),
+    )
+    return base.select(
+        "*",
+        F.ntile(4).over(Window.orderBy(F.desc("recency_days"), F.asc("user_id"))).alias("r_score"),
+        F.ntile(4).over(Window.orderBy(F.asc("frequency"), F.asc("user_id"))).alias("f_score"),
+        F.ntile(4).over(Window.orderBy(F.asc("monetary_bp"), F.asc("user_id"))).alias("m_score"),
+    )

@@ -190,6 +190,8 @@ NEW_CATALYST_ONLY = [
     "x94_corpus_diff",
     "x95_dsir_resample",
     "x96_bm25_scores",
+    "x97_cohort_retention",
+    "x98_rfm_segments",
 ]
 
 
