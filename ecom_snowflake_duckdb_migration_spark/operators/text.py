@@ -1560,11 +1560,11 @@ def corpus_diff(
     {'added', 'removed', 'changed', 'unchanged'} — the audit every
     corpus release cut runs before shipping ("what moved since v1?").
 
-    Comparison is md5-of-text (NULL-safe: NULL and '' hash differently
-    from each other on neither engine — both coalesce to '' first, the
-    package's NULL-text convention). Scale: two scans projected to
-    (id, 128-bit hash) + one full outer equi-join on the id — never
-    ships text.
+    Comparison is md5-of-text, NULL-safe: text coalesces to '' before
+    hashing (the package's NULL-text convention), so a NULL-vs-''
+    rewrite reads as unchanged rather than crashing or misclassifying.
+    Scale: two scans projected to (id, 128-bit hash) + one full outer
+    equi-join on the id — never ships text.
     """
     h = lambda c: F.md5(F.coalesce(F.col(c), F.lit("")))
     o = old.select(F.col(id_col).alias("_oid"), h(text_col).alias("_oh"))

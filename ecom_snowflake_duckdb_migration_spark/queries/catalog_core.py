@@ -1450,8 +1450,10 @@ def q22_count_distinct_quirk(spark, sf_dir):
 # into (branch, word, bit) rows keeps the IDENTICAL map-side bit_or
 # partial volume — the explode fan-out collapses in the in-stage hash
 # agg before anything ships — while reading the fact once. Measured
-# interleaved A/B: sf16 2.40 -> 1.56 s (DuckDB 1.50 — even), sf0.1
-# -12%. Strictly less scan bandwidth at any scale; no gate.
+# interleaved A/B: sf16 2.40 -> 1.56 s (DuckDB 1.50 — even), sf1 0.365
+# vs 0.381 (wins); BELOW the 64 MB gate the page-cached re-scans are
+# cheaper than the explode (sf0.1 0.246 vs 0.290) and the q22 gate picks
+# Q22_SQL_BITMAP_UNION3 instead.
 Q22_SQL_BITMAP = """
     WITH triples AS (
         SELECT l_returnflag, t.br, t.w, t.b
