@@ -29,7 +29,7 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 from ..operators.text import hamming_near_pairs
 from .columns import _decode_payload
 
-AUDIO_HASH_SCHEMA = StructType(
+AUDIO_HASH_SCHEMA = StructType(  # the default media_id-keyed shape
     [
         StructField("media_id", StringType()),
         StructField("audio_hash", LongType()),
@@ -76,9 +76,11 @@ def audio_hashes(
     """(media_id, audio_hash, ok) per audio payload; decode errors are
     captured per row (``ok`` column), never thrown across the batch."""
 
+    from .phash import _hash_schema
+
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"media_id": [], "audio_hash": [], "ok": []}
+            out = {id_col: [], "audio_hash": [], "ok": []}
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
                     kind, d = _decode_payload(payload)
@@ -91,10 +93,12 @@ def audio_hashes(
                 except Exception as e:  # captured, not raised
                     out["audio_hash"].append(None)
                     out["ok"].append(type(e).__name__)
-                out["media_id"].append(mid)
+                out[id_col].append(mid)
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(_batches, AUDIO_HASH_SCHEMA)
+    return df.mapInPandas(
+        _batches, _hash_schema(df, id_col, AUDIO_HASH_SCHEMA.fields[1:])
+    )
 
 
 def audio_near_pairs(

@@ -37,7 +37,13 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 from ..operators.text import hamming_near_pairs
 from .columns import _decode_payload
 
-IMAGE_HASH_SCHEMA = StructType(
+def _hash_schema(df: DataFrame, id_col: str, value_fields) -> StructType:
+    """Output schema carrying the CALLER'S id column (name and type
+    preserved from the input — a doc_id-keyed corpus works unchanged)."""
+    return StructType([df.schema[id_col]] + list(value_fields))
+
+
+IMAGE_HASH_SCHEMA = StructType(  # the default media_id-keyed shape
     [
         StructField("media_id", StringType()),
         StructField("ahash", LongType()),
@@ -94,7 +100,7 @@ def image_hashes(
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"media_id": [], "ahash": [], "dhash": [], "ok": []}
+            out = {id_col: [], "ahash": [], "dhash": [], "ok": []}
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
                     kind, d = _decode_payload(payload)
@@ -109,10 +115,12 @@ def image_hashes(
                     out["ahash"].append(None)
                     out["dhash"].append(None)
                     out["ok"].append(type(e).__name__)
-                out["media_id"].append(mid)
+                out[id_col].append(mid)
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(_batches, IMAGE_HASH_SCHEMA)
+    return df.mapInPandas(
+        _batches, _hash_schema(df, id_col, IMAGE_HASH_SCHEMA.fields[1:])
+    )
 
 
 def image_near_pairs(

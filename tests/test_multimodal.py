@@ -841,3 +841,18 @@ def test_audio_near_pairs_planted_duplicates(spark):
     imgs = mm.generate_media(spark, 3, "image")
     bad = mm.audio_hashes(imgs).collect()
     assert all(r.audio_hash is None and r.ok == "ValueError" for r in bad)
+
+
+def test_image_hashes_custom_id_col(spark):
+    """A doc_id-keyed (non-media_id) corpus works unchanged: the output
+    carries the caller's id column name AND type."""
+    import numpy as np
+
+    df = spark.createDataFrame(
+        [(7, bytearray(mm.encode_bmp(_smooth(2, 3, 0.1, 0.2))))],
+        ["doc_id", "payload"],
+    )
+    out = mm.image_hashes(df, id_col="doc_id").collect()
+    assert out[0].doc_id == 7 and out[0].ok == "ok"
+    pairs = mm.image_near_pairs(df, id_col="doc_id")
+    assert pairs.count() == 0  # single image, no pairs — but the plan resolves
