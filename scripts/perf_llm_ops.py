@@ -109,6 +109,17 @@ def main() -> int:
             corpus, bench, threshold_e6=600_000
         ),
         "dsir_weights": lambda: tx.dsir_weights(corpus, bench),
+        "dsir_resample": lambda: sp.gumbel_topk_sample(
+            tx.dsir_weights(corpus, bench), "logw_e6", n=500
+        ),
+        "bpe_pair_counts": lambda: tx.bpe_pair_counts(docs),
+        "bm25_scores": lambda: tx.bm25_scores(
+            docs, ["spark", "hash", "merge", "window"]
+        ),
+        "corpus_diff": lambda: tx.corpus_diff(
+            docs.filter(F.col("doc_id") % 7 != 0),
+            docs.filter(F.col("doc_id") % 11 != 3),
+        ),
     }
     results = {}
     if mode == "crossover":
