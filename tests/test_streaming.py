@@ -711,3 +711,49 @@ def test_streaming_semantic_dedup_matches_sequential_batches(spark, sf_dir, tmp_
     assert {r.vec_id for r in spark.read.parquet(f"{store}/kept").collect()} == want
     seen = spark.read.parquet(f"{store}/seen")
     assert seen.count() == emb.count()  # every vector processed exactly once
+
+
+def test_streaming_semantic_dedup_torn_store_replay(spark, tmp_path):
+    """Crash between the kept write and the seen write leaves torn
+    batch-keyed partitions; the replayed batch must exclude its OWN
+    partitions from both stores (see all of its rows as new) and
+    overwrite them to the exact correct state."""
+    import os
+
+    from ecom_snowflake_duckdb_migration_spark.operators import similarity as sim
+    from ecom_snowflake_duckdb_migration_spark.streaming import (
+        read_event_stream,
+        streaming_semantic_dedup,
+    )
+
+    cents = sim.make_centroids(dim=4, n_centroids=2, seed=42)
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    store = str(tmp_path / "store")
+    # crash state: kept/batch_id=0 written (the batch's kept set {1}),
+    # seen/batch_id=0 TORN (only id 1 committed)
+    sim.semantic_cells(vecs.filter(F.col("vec_id") == 1), cents).write.parquet(
+        f"{store}/kept/batch_id=0"
+    )
+    vecs.filter(F.col("vec_id") == 1).select("vec_id").write.parquet(
+        f"{store}/seen/batch_id=0"
+    )
+
+    src = str(tmp_path / "drops")
+    os.makedirs(src)
+    tmp = f"{src}/.t0"
+    vecs.coalesce(1).write.parquet(tmp)
+    f = [x for x in os.listdir(tmp) if x.endswith(".parquet")][0]
+    os.rename(f"{tmp}/{f}", f"{src}/drop_0.parquet")
+
+    q = streaming_semantic_dedup(
+        read_event_stream(spark, src, vecs.schema, max_files_per_trigger=1),
+        store, str(tmp_path / "ckpt"), cents, threshold=0.9,
+    )
+    q.awaitTermination(120)
+    kept = {r.vec_id for r in spark.read.parquet(f"{store}/kept").collect()}
+    assert kept == {1}, kept  # NOT {2}: the torn seen row must not hide id 1
+    seen = spark.read.parquet(f"{store}/seen")
+    assert seen.count() == 2 and seen.select("vec_id").distinct().count() == 2
