@@ -2515,3 +2515,115 @@ def x98_rfm_segments(spark, sf_dir):
         F.ntile(4).over(Window.orderBy(F.asc("frequency"), F.asc("user_id"))).alias("f_score"),
         F.ntile(4).over(Window.orderBy(F.asc("monetary_bp"), F.asc("user_id"))).alias("m_score"),
     )
+
+
+@register(
+    "x99_sessionization",
+    # DuckDB islands twin of Spark's session_window(gap=30m): a new
+    # session starts when ts - lag(ts) >= gap (session_window merges on
+    # strict window OVERLAP, end-exclusive), session_end = max(ts) + gap.
+    # Equal-ts ties collapse into one session regardless of lag order, so
+    # the island assignment is deterministic; value sums ride bp
+    # fixed-point integers.
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts,
+               CAST(floor(value * 10000 + 0.5) AS BIGINT) AS value_bp,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+        SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+        FROM ordered
+    )
+    SELECT user_id,
+           min(ts)                       AS session_start,
+           max(ts) + INTERVAL 30 MINUTE  AS session_end,
+           CAST(count(*) AS BIGINT)      AS n_events,
+           CAST(sum(value_bp) AS BIGINT) AS value_bp
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="Gap-based sessionization (streaming.sessionize batch mode, "
+    "Spark session_window 30m) — the same operator the streaming path "
+    "runs with a watermark, now DuckDB-oracled via the SQL islands "
+    "rewrite (lag-gap flag + running sum). One session-window aggregate "
+    "= one user-key exchange; bp fixed-point keeps the value sum exact.",
+    tags=("streaming", "W1", "analytics"),
+)
+def x99_sessionization(spark, sf_dir):
+    from ..streaming.sessionize import sessionize
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts",
+        F.expr("CAST(floor(value * 10000 + 0.5D) AS BIGINT)").alias("value_bp"),
+    )
+    return sessionize(
+        e, gap="30 minutes", ts_col="ts", key_cols=["user_id"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_bp").cast("long").alias("value_bp"),
+        ],
+    )
+
+
+@register(
+    "x100_funnel_conversion",
+    # Ordered funnel view -> click -> purchase: each step's anchor is the
+    # user's FIRST qualifying event STRICTLY AFTER the previous step's
+    # anchor. Pure min-ts joins — integer-exact timestamps both engines.
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t
+        FROM events e JOIN s1 ON s1.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t
+        FROM events e JOIN s2 ON s2.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id
+    )
+    SELECT 1 AS step, 'view' AS event_type,
+           CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+    UNION ALL
+    SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+    """,
+    doc="Ordered funnel conversion (view -> click -> purchase): users "
+    "counted at each step only when the step's first qualifying event "
+    "falls strictly after their previous step's anchor — the product "
+    "funnel the reference's interaction marts feed. Shape: K chained "
+    "per-user min aggregates + user-key equi-joins; each stage input "
+    "shrinks to the surviving users, so at 100 TB only |users|-sized "
+    "relations chain after the first conditional aggregate.",
+    tags=("analytics", "A3", "J1"),
+)
+def x100_funnel_conversion(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+
+    def first_after(step_type, prev):
+        q = e.filter(F.col("event_type") == step_type)
+        if prev is not None:
+            q = q.join(prev, "user_id").filter(F.col("ts") > F.col("t")).drop("t")
+        return q.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    s1 = first_after("view", None)
+    s2 = first_after("click", s1)
+    s3 = first_after("purchase", s2)
+    rows = None
+    for step, (name, s) in enumerate(
+        [("view", s1), ("click", s2), ("purchase", s3)], start=1
+    ):
+        r = s.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(step).alias("step"), F.lit(name).alias("event_type"), "n_users"
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows

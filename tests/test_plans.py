@@ -192,6 +192,8 @@ NEW_CATALYST_ONLY = [
     "x96_bm25_scores",
     "x97_cohort_retention",
     "x98_rfm_segments",
+    "x99_sessionization",
+    "x100_funnel_conversion",
 ]
 
 
