@@ -1662,3 +1662,151 @@ def bm25_scores(
         F.count(F.lit(1)).alias("n_hits"),
         F.sum("s_e6").cast("long").alias("score_e6"),
     )
+
+
+def _merge_adjacent(toks: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right merge of every adjacent ``(a, b)`` symbol pair
+    in a token array into the single symbol ``a+b`` — one BPE merge
+    applied to one word, as a pure Catalyst fold (no UDF).
+
+    ``aggregate`` walks the array once accumulating the rewritten array;
+    when the accumulator's last symbol is ``a`` and the next token is
+    ``b`` they collapse into ``a+b``. Because the merged symbol replaces
+    the accumulator tail, an overlapping run like ``a a a`` (pair
+    ``(a,a)``) merges the FIRST two and leaves the third — exactly the
+    non-overlapping left-to-right scan of Sennrich et al. 2016's
+    reference implementation (``re.sub`` with non-overlapping matches).
+    Symbols are threaded as literal Columns, never interpolated into SQL
+    text, so quotes/backslashes in symbols are safe.
+    """
+    merged = F.lit(a + b)
+    # F.get is 0-based and yields NULL (never an error) out of bounds, so
+    # the empty-accumulator probe is safe under ANSI mode too.
+    return F.aggregate(
+        toks,
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, t: F.when(
+            (F.get(acc, F.size(acc) - 1) == F.lit(a)) & (t == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(t))),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 16,
+    text_col: str = "text",
+    lowercase: bool = True,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016,
+    arXiv:1508.07909 Algorithm 1): iteratively find the corpus-wide most
+    frequent adjacent symbol pair and merge it, ``n_merges`` times.
+
+    Returns the learned merge table ``(rank, a, b, merged,
+    n_occurrences)`` with ``rank`` starting at 1 in merge order — the
+    artifact a tokenizer ships (merges.txt). Ties on count break on
+    ``(a, b)`` lexicographically so training is deterministic; merging
+    stops early when no pair reaches ``min_pair_count``.
+
+    Iteration 1's pair statistics are exactly ``bpe_pair_counts`` (the
+    DuckDB-oracled x93 entry), so the loop's base case is cross-engine
+    verified; the full sequence is pinned against a pure-Python
+    reference implementation in tests (iterative state makes the loop
+    itself non-SQL-expressible — driver records the rows-only check).
+
+    Scale shape: training state is the WORD-FREQUENCY table (bounded by
+    |vocab|, orders of magnitude smaller than the corpus), symbolized
+    once and localCheckpoint-ed per merge so lineage stays flat. Each
+    iteration is one map-side-combinable pair count plus a 1-row
+    TakeOrdered (the argmax — a bounded driver scalar, same class as the
+    incremental max-ts read) and one Catalyst fold rewrite; the corpus
+    text is read exactly once, up front.
+    """
+    word = F.explode(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    ).alias("word")
+    words = df.select(word)
+    if lowercase:
+        words = words.select(F.lower(F.col("word")).alias("word"))
+    wf = (
+        words.filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.expr(
+                "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+            ).alias("toks"),
+            "n",
+        )
+        .localCheckpoint(eager=True)
+    )
+    spark = df.sparkSession
+    out_schema = "rank INT, a STRING, b STRING, merged STRING, n_occurrences BIGINT"
+    merges: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        # Words fully merged to one symbol carry no pairs; filtering them
+        # also guards the sequence(1, 0) -> [1, 0] descending trap (see
+        # bpe_pair_counts).
+        pair_counts = (
+            wf.filter(F.size("toks") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(toks) - 1),"
+                        " i -> struct(element_at(toks, i) AS a,"
+                        " element_at(toks, i + 1) AS b))"
+                    )
+                ).alias("p"),
+                "n",
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n").cast("long").alias("cnt"))
+        )
+        top = pair_counts.orderBy(F.desc("cnt"), "a", "b").take(1)
+        if not top or top[0]["cnt"] < min_pair_count:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], top[0]["cnt"]
+        merges.append((rank, a, b, a + b, cnt))
+        wf = wf.select(
+            _merge_adjacent(F.col("toks"), a, b).alias("toks"), "n"
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(merges, out_schema)
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Tokenize documents with a learned BPE merge list (rank order):
+    symbolize each whitespace word to characters, then apply every merge
+    as a chained Catalyst fold — the inference half of ``bpe_train``.
+
+    Returns ``(id_col, tokens, n_tokens)`` where ``tokens`` is the
+    space-joined symbol string (words separated by the word-boundary
+    marker ``▁``) — flat strings, so the result is driver- and
+    sink-friendly. The merge chain is ``len(merges)`` nested folds; each
+    level references the previous expression once, so codegen grows
+    linearly in the merge count (vocabulary-scale merge lists should
+    tokenize via a broadcast trie in a pandas UDF instead; this covers
+    the expression path up to a few hundred merges).
+    """
+    src = f"lower({text_col})" if lowercase else text_col
+    # filter() drops empty words (empty text splits to ['']) before the
+    # char explode, so sequence() never sees a zero length.
+    toks = F.expr(
+        "flatten(transform("
+        f" filter(split(trim(coalesce({src}, '')), '\\\\s+'), w -> w != ''),"
+        " w -> concat(array('▁'),"
+        "     transform(sequence(1, length(w)), i -> substring(w, i, 1)))))"
+    )
+    for a, b in merges:
+        toks = _merge_adjacent(toks, a, b)
+    return df.select(
+        F.col(id_col),
+        F.array_join(toks, " ").alias("tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )

@@ -1743,3 +1743,199 @@ def q28_typed_projection(spark, sf_dir):
         # explicit try_cast works under both ANSI modes: 'BUILDING' -> NULL
         F.expr("try_cast(c_mktsegment AS INT)").alias("segment_as_int"),
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-level / windowed OLAP surfaces (round 7, session 2).
+#
+# The reference's BI layer slices the marts along the region -> nation
+# hierarchy and by calendar buckets (dbt/dbt_duckdb/models/ecom_marts/sales/
+# fct_order_details.sql aggregates; src/sample_ecom_mart_query_duckdb.py
+# pivots by month in pandas). These four entries certify the engine-side
+# forms a migrating user reaches for: ROLLUP subtotals, PIVOT
+# cross-tabulation, LAG month-over-month deltas, and sliding window-frame
+# aggregates. All money math rides the bp fixed point so every value is
+# integer-exact cross-engine; window frames aggregate BIGINTs only
+# (DuckDB's segment-tree sliding-frame accumulation reorders double sums,
+# integers are immune).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "x101_rollup_revenue",
+    oracle=f"""
+    SELECT CASE WHEN GROUPING(r.r_name) = 1 THEN 'ALL' ELSE r.r_name END AS region_name,
+           CASE WHEN GROUPING(n.n_name) = 1 THEN 'ALL' ELSE n.n_name END AS nation_name,
+           CAST(GROUPING(r.r_name) AS INT)      AS region_total,
+           CAST(GROUPING(n.n_name) AS INT)      AS nation_total,
+           {o_dsum('o.o_totalprice')}           AS revenue,
+           count(*)                             AS n_orders
+    FROM orders o
+    JOIN customer c ON c.c_custkey  = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+    doc="ROLLUP over the region -> nation hierarchy with GROUPING() "
+    "indicators: one Expand pass emits nation rows, region subtotals, and "
+    "the grand total in a single aggregation (no 3-scan UNION). Subtotal "
+    "labels are derived from GROUPING(), not NULL-ness, so NULL-named "
+    "dimensions can never be mistaken for totals. Scale: Expand triples "
+    "the pre-shuffle row volume but partial aggregation collapses it "
+    "map-side; the shuffled key space is |nations| + |regions| + 1.",
+    tags=("A2", "A9"),
+)
+def x101_rollup_revenue(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(dsum(F.col("o_totalprice")).alias("revenue"),
+             F.count(F.lit(1)).alias("n_orders"),
+             F.grouping("r_name").cast("int").alias("region_total"),
+             F.grouping("n_name").cast("int").alias("nation_total"))
+        .select(
+            F.when(F.col("region_total") == 1, F.lit("ALL"))
+            .otherwise(F.col("r_name")).alias("region_name"),
+            F.when(F.col("nation_total") == 1, F.lit("ALL"))
+            .otherwise(F.col("n_name")).alias("nation_name"),
+            "region_total", "nation_total", "revenue", "n_orders",
+        )
+    )
+
+
+@register(
+    "x102_pivot_priority_quarter",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(CAST(sum({o_bp('o_totalprice')}) FILTER (WHERE quarter(o_orderdate) = 1)
+                AS BIGINT) / {BP}.0 AS DOUBLE) AS q1_revenue,
+           CAST(CAST(sum({o_bp('o_totalprice')}) FILTER (WHERE quarter(o_orderdate) = 2)
+                AS BIGINT) / {BP}.0 AS DOUBLE) AS q2_revenue,
+           CAST(CAST(sum({o_bp('o_totalprice')}) FILTER (WHERE quarter(o_orderdate) = 3)
+                AS BIGINT) / {BP}.0 AS DOUBLE) AS q3_revenue,
+           CAST(CAST(sum({o_bp('o_totalprice')}) FILTER (WHERE quarter(o_orderdate) = 4)
+                AS BIGINT) / {BP}.0 AS DOUBLE) AS q4_revenue
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="PIVOT cross-tab: order revenue by priority x calendar quarter, "
+    "explicit value list [1..4] so the plan needs no distinct-values "
+    "pre-pass (Spark otherwise runs a collect() for the pivot domain — "
+    "the 100 TB rule is: always pass the value list). Empty cells are "
+    "NULL on both engines (DuckDB FILTER over zero rows -> NULL sum).",
+    tags=("A2", "A3"),
+)
+def x102_pivot_priority_quarter(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    piv = (
+        o.select("o_orderpriority",
+                 F.quarter("o_orderdate").alias("q"),
+                 to_bp(F.col("o_totalprice")).alias("bp"))
+        .groupBy("o_orderpriority")
+        .pivot("q", [1, 2, 3, 4])
+        .agg((F.sum("bp") / F.lit(float(BP))).cast("double"))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.col("1").alias("q1_revenue"),
+        F.col("2").alias("q2_revenue"),
+        F.col("3").alias("q3_revenue"),
+        F.col("4").alias("q4_revenue"),
+    )
+
+
+@register(
+    "x103_mom_revenue_growth",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               CAST(sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS bp
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT month,
+           CAST(bp / 10000.0 AS DOUBLE)                                   AS revenue,
+           CAST((bp - lag(bp) OVER (ORDER BY month)) / 10000.0 AS DOUBLE) AS delta,
+           round(CAST(bp AS DOUBLE) / lag(bp) OVER (ORDER BY month), 6)   AS growth
+    FROM monthly
+    """,
+    doc="Month-over-month revenue growth via LAG over an ordered monthly "
+    "rollup. The lag/division runs on the exact bp BIGINTs (never on "
+    "re-summed doubles) so delta is exact and growth is an identical "
+    "IEEE divide on both engines; the first month's delta/growth are "
+    "NULL by LAG's default. Scale: the windowed input is |months| rows — "
+    "a single-partition window over an already-aggregated frame is the "
+    "correct shape (the window never sees fact rows).",
+    tags=("A2", "W1", "F7"),
+)
+def x103_mom_revenue_growth(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(F.sum(to_bp(F.col("o_totalprice"))).alias("bp"))
+    )
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        (F.col("bp") / F.lit(float(BP))).cast("double").alias("revenue"),
+        ((F.col("bp") - F.lag("bp").over(w)) / F.lit(float(BP)))
+        .cast("double").alias("delta"),
+        F.round(F.col("bp").cast("double") / F.lag("bp").over(w), 6).alias("growth"),
+    )
+
+
+@register(
+    "x104_trailing_7d_stats",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS bp,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT day,
+           CAST(bp / 10000.0 AS DOUBLE) AS revenue,
+           CAST(CAST(sum(bp) OVER w AS BIGINT) / 10000.0 AS DOUBLE)  AS sum_7d,
+           round(CAST(CAST(sum(bp) OVER w AS BIGINT) AS DOUBLE)
+                 / (count(*) OVER w * CAST(10000.0 AS DOUBLE)), 2)   AS avg_7d,
+           CAST(max(bp) OVER w / 10000.0 AS DOUBLE)                  AS max_7d,
+           CAST(count(*) OVER w AS BIGINT)                           AS n_days_7d
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Sliding 7-day trailing window over the daily revenue series: "
+    "SUM/MAX/COUNT with ROWS BETWEEN 6 PRECEDING AND CURRENT ROW. The "
+    "frame aggregates bp BIGINTs only — DuckDB evaluates sliding frames "
+    "with a segment tree whose double-summation order differs from "
+    "Spark's running accumulation, so integer frames are the only "
+    "bit-stable form (module docstring convention). Scale: like x103 the "
+    "window input is the |days| rollup, not fact rows; partition the "
+    "window by a series key when the series count grows.",
+    tags=("A2", "W1"),
+)
+def x104_trailing_7d_stats(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(to_bp(F.col("o_totalprice"))).alias("bp"),
+             F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        (F.col("bp") / F.lit(float(BP))).cast("double").alias("revenue"),
+        (F.sum("bp").over(w) / F.lit(float(BP))).cast("double").alias("sum_7d"),
+        F.round(F.sum("bp").over(w).cast("double")
+                / (F.count(F.lit(1)).over(w) * F.lit(float(BP))), 2).alias("avg_7d"),
+        (F.max("bp").over(w) / F.lit(float(BP))).cast("double").alias("max_7d"),
+        F.count(F.lit(1)).over(w).alias("n_days_7d"),
+    )

@@ -2627,3 +2627,27 @@ def x100_funnel_conversion(spark, sf_dir):
         )
         rows = r if rows is None else rows.unionByName(r)
     return rows
+
+
+@register(
+    "x105_bpe_merges",
+    # Iterative trainer state (argmax -> merge -> recount) is not
+    # SQL-expressible, so no DuckDB twin exists for the full sequence —
+    # the driver records the rows-only check (like x33). The loop's base
+    # case IS oracled: iteration 1's pair statistics are exactly x93
+    # (bpe_pair_counts), and the whole merge sequence + the greedy fold
+    # are pinned against a pure-Python Sennrich reference in
+    # tests/test_operators.py::test_bpe_train_matches_python_reference.
+    oracle=None,
+    doc="Distributed BPE tokenizer training (operators.text.bpe_train; "
+    "Sennrich et al. 2016 Algorithm 1): 8 merges learned from the "
+    "documents corpus — returns the merges.txt artifact (rank, a, b, "
+    "merged, n_occurrences). State is the |vocab|-bounded word-frequency "
+    "table, localCheckpoint-ed per merge; each iteration is one "
+    "map-combinable pair count + a 1-row argmax + a Catalyst fold "
+    "rewrite, with the corpus text read exactly once up front.",
+    tags=("LLM", "tokenizer", "iterative"),
+)
+def x105_bpe_merges(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return tx.bpe_train(d, n_merges=8)

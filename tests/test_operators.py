@@ -1334,3 +1334,116 @@ def test_bm25_scores_ranking_semantics(spark):
     assert out[2].score_e6 == out[3].score_e6     # identical docs tie
     assert out[5].score_e6 < out[2].score_e6      # length penalty
     assert out[4].n_hits == 1 and out[1].n_hits == 1
+
+
+def _py_bpe_train(texts, n_merges, min_pair_count=2):
+    """Pure-Python Sennrich Algorithm-1 reference for bpe_train."""
+    import collections
+
+    wf = collections.Counter()
+    for t in texts:
+        for w in (t or "").strip().lower().split():
+            if len(w) >= 2:
+                wf[tuple(w)] += 1
+    wf = dict(wf)
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pc = collections.Counter()
+        for toks, n in wf.items():
+            for i in range(len(toks) - 1):
+                pc[(toks[i], toks[i + 1])] += n
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_pair_count:
+            break
+        merges.append((rank, a, b, a + b, cnt))
+        new_wf = collections.Counter()
+        for toks, n in wf.items():
+            out = []
+            for t in toks:
+                if out and out[-1] == a and t == b:
+                    out[-1] = a + b
+                else:
+                    out.append(t)
+            new_wf[tuple(out)] += n
+        wf = dict(new_wf)
+    return merges
+
+
+def _py_bpe_apply(text, merges):
+    toks = []
+    for w in (text or "").strip().lower().split():
+        toks += ["▁"] + list(w)
+    for a, b in merges:
+        out = []
+        for t in toks:
+            if out and out[-1] == a and t == b:
+                out[-1] = a + b
+            else:
+                out.append(t)
+        toks = out
+    return toks
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """Full merge sequence — counts, symbols, deterministic tie-breaks,
+    early stop — equals the pure-Python Sennrich reference, including an
+    overlapping-run word (aaaa) and a word that merges down to ONE symbol
+    within the horizon (the sequence(1,0) trap guard)."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    texts = [
+        "the cat sat on the mat",
+        "the hat that the cat wore",
+        "aaaa aaaa ab",
+        "to to to be be",
+        None,
+        "x",  # length-1 word: no pairs, never crashes
+    ]
+    schema = StructType(
+        [StructField("doc_id", IntegerType()), StructField("text", StringType())]
+    )
+    df = spark.createDataFrame(list(enumerate(texts)), schema)
+    got = [tuple(r) for r in tx.bpe_train(df, n_merges=12).collect()]
+    want = _py_bpe_train(texts, 12)
+    assert got == want
+    # early stop: min_pair_count above every count learns nothing
+    assert tx.bpe_train(df, n_merges=3, min_pair_count=10**6).count() == 0
+
+
+def test_bpe_train_empty_corpus(spark):
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", IntegerType()), StructField("text", StringType())]
+    )
+    out = tx.bpe_train(spark.createDataFrame([], schema), n_merges=4)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "rank", "a", "b", "merged", "n_occurrences"]
+
+
+def test_bpe_apply_matches_python_reference(spark):
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    texts = [
+        "the cat sat on the mat",
+        "the hat that the cat wore",
+        "aaaa aaaa ab",
+        "to to to be be",
+        None,
+        "",
+        "x",
+    ]
+    schema = StructType(
+        [StructField("doc_id", IntegerType()), StructField("text", StringType())]
+    )
+    df = spark.createDataFrame(list(enumerate(texts)), schema)
+    merges = [(r.a, r.b) for r in tx.bpe_train(df, n_merges=8).collect()]
+    assert merges  # the corpus must actually learn something
+    got = {r.doc_id: (r.tokens, r.n_tokens)
+           for r in tx.bpe_apply(df, merges, id_col="doc_id").collect()}
+    for i, t in enumerate(texts):
+        want = _py_bpe_apply(t, merges)
+        assert got[i] == (" ".join(want), len(want)), f"doc {i}"
