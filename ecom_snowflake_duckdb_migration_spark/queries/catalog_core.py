@@ -1939,3 +1939,112 @@ def x104_trailing_7d_stats(spark, sf_dir):
         (F.max("bp").over(w) / F.lit(float(BP))).cast("double").alias("max_7d"),
         F.count(F.lit(1)).over(w).alias("n_days_7d"),
     )
+
+
+@register(
+    "x106_balance_quantiles",
+    # Both sides compute discrete quantiles with the IDENTICAL rank
+    # arithmetic (rank ceil(p*n) over the (balance, custkey) total order,
+    # in pure integers) rather than each engine's quantile function —
+    # interpolating quantiles differ by an ulp across engines
+    # ((1-f)*lo + f*hi vs lo + f*(hi-lo)), exact rank selection cannot.
+    oracle="""
+    WITH ranked AS (
+        SELECT c_mktsegment,
+               c_acctbal,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal, c_custkey) AS rn,
+               count(*)    OVER (PARTITION BY c_mktsegment)      AS n
+        FROM customer
+    )
+    SELECT c_mktsegment,
+           CAST(max(n) AS BIGINT)                                AS n_customers,
+           min(c_acctbal)                                        AS min_bal,
+           max(CASE WHEN rn = (n + 3)     // 4 THEN c_acctbal END) AS p25,
+           max(CASE WHEN rn = (n + 1)     // 2 THEN c_acctbal END) AS p50,
+           max(CASE WHEN rn = (3 * n + 3) // 4 THEN c_acctbal END) AS p75,
+           max(c_acctbal)                                        AS max_bal
+    FROM ranked
+    GROUP BY c_mktsegment
+    """,
+    doc="Exact per-group discrete quantiles (p25/p50/p75 of account "
+    "balance by market segment) via rank selection: row_number over a "
+    "total order + one conditional aggregate — the exact complement to "
+    "the mergeable histogram-sketch quantiles (x70). Scale: one window "
+    "shuffle on the group key; for skewed groups prefer the sketch — "
+    "this is the small-group exact path a finance reconciliation needs.",
+    tags=("W1", "A2", "A8"),
+)
+def x106_balance_quantiles(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    wseg = Window.partitionBy("c_mktsegment")
+    w = wseg.orderBy("c_acctbal", "c_custkey")
+    ranked = c.select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wseg).alias("n"),
+    )
+
+    def at(target):
+        return F.max(F.when(F.col("rn") == target, F.col("c_acctbal")))
+
+    return ranked.groupBy("c_mktsegment").agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.min("c_acctbal").alias("min_bal"),
+        at(F.expr("(n + 3) div 4")).alias("p25"),
+        at(F.expr("(n + 1) div 2")).alias("p50"),
+        at(F.expr("(3 * n + 3) div 4")).alias("p75"),
+        F.max("c_acctbal").alias("max_bal"),
+    )
+
+
+@register(
+    "x107_day_set_ops",
+    oracle="""
+    SELECT day, 'both' AS membership FROM (
+        SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders
+        INTERSECT
+        SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+    )
+    UNION ALL
+    SELECT day, 'orders_only' AS membership FROM (
+        SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders
+        EXCEPT
+        SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+    )
+    UNION ALL
+    SELECT day, 'events_only' AS membership FROM (
+        SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+        EXCEPT
+        SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders
+    )
+    """,
+    doc="INTERSECT / EXCEPT completion of the set-op family (U1-U3 cover "
+    "UNION only; SURVEY §2.7 notes the reference never uses these — a "
+    "migrating user still will): calendar days partitioned into "
+    "both/orders-only/events-only membership. Spark plans INTERSECT and "
+    "EXCEPT as left-semi / left-anti joins over pre-aggregated "
+    "distincts, so each branch is one shuffle on the day key.",
+    tags=("U1", "U2"),
+)
+def x107_day_set_ops(spark, sf_dir):
+    o_days = (
+        load(spark, sf_dir, "orders")
+        .select(F.col("o_orderdate").cast("date").alias("day"))
+        .distinct()
+    )
+    e_days = (
+        load(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"))
+        .distinct()
+    )
+
+    def tag(df, label):
+        return df.select("day", F.lit(label).alias("membership"))
+
+    return (
+        tag(o_days.intersect(e_days), "both")
+        .unionByName(tag(o_days.subtract(e_days), "orders_only"))
+        .unionByName(tag(e_days.subtract(o_days), "events_only"))
+    )
