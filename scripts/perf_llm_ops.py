@@ -113,6 +113,7 @@ def main() -> int:
             tx.dsir_weights(corpus, bench), "logw_e6", n=500
         ),
         "bpe_pair_counts": lambda: tx.bpe_pair_counts(docs),
+        "bpe_train_8": lambda: tx.bpe_train(docs, n_merges=8),
         "bm25_scores": lambda: tx.bm25_scores(
             docs, ["spark", "hash", "merge", "window"]
         ),
