@@ -2048,3 +2048,82 @@ def x107_day_set_ops(spark, sf_dir):
         .unionByName(tag(o_days.subtract(e_days), "orders_only"))
         .unionByName(tag(e_days.subtract(o_days), "events_only"))
     )
+
+
+@register(
+    "x108_corr_discount_qty",
+    # Correlation/regression from raw integer moments, never F.corr /
+    # corr(): both engines accumulate the six moments as exact integers
+    # (quantity is integer-valued, discount is 2-decimal -> bp), combine
+    # them in DECIMAL(38,0) (DuckDB's HUGEINT sums are already exact),
+    # and only then convert to DOUBLE for one shared IEEE
+    # divide/sqrt — conversions of identical exact integers are
+    # correctly rounded in both engines, and sqrt/divide are
+    # IEEE-determined, so the unrounded doubles match bit-for-bit.
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               count(*)                                                   AS n,
+               sum(CAST(l_quantity AS BIGINT))                            AS sx,
+               sum(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT))       AS sy,
+               sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+               sum(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)
+                   * CAST(floor(l_discount * 10000 + 0.5) AS BIGINT))     AS syy,
+               sum(CAST(l_quantity AS BIGINT)
+                   * CAST(floor(l_discount * 10000 + 0.5) AS BIGINT))     AS sxy
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_items,
+           CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+                / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                       * CAST(n * syy - sy * sy AS DOUBLE)) AS DOUBLE)  AS corr_qty_disc,
+           CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) AS DOUBLE)          AS slope_bp,
+           CAST((CAST(sy AS DOUBLE)
+                 - CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE)
+                   * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS DOUBLE) AS intercept_bp
+    FROM m
+    """,
+    doc="Distributed Pearson correlation + least-squares slope/intercept "
+    "(discount-bp ~ quantity per return flag) from six integer moments "
+    "in ONE map-combinable groupBy — the moments pattern every "
+    "distributed regression reduces to. Built-in corr()/regr_slope() "
+    "accumulate doubles whose summation order is engine- and "
+    "partition-dependent; integer moments are associative, so the "
+    "result is bit-stable cross-engine AND run-to-run at any "
+    "parallelism. DECIMAL(38,0) combine bounds: exact past 1e9 rows "
+    "per group where BIGINT n*sxy would overflow.",
+    tags=("A2", "A7", "F16"),
+)
+def x108_corr_discount_qty(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.floor(F.col("l_discount") * 10_000 + F.lit(0.5)).cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    d38 = "decimal(38,0)"
+    n, sx, sy = [F.col(c).cast(d38) for c in ("n", "sx", "sy")]
+    sxx, syy, sxy = [F.col(c).cast(d38) for c in ("sxx", "syy", "sxy")]
+    cov_n = (n * sxy - sx * sy).cast("double")
+    var_x = (n * sxx - sx * sx).cast("double")
+    var_y = (n * syy - sy * sy).cast("double")
+    slope = cov_n / var_x
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_items"),
+        (cov_n / F.sqrt(var_x * var_y)).cast("double").alias("corr_qty_disc"),
+        slope.cast("double").alias("slope_bp"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).cast("double").alias("intercept_bp"),
+    )
