@@ -194,6 +194,15 @@ NEW_CATALYST_ONLY = [
     "x98_rfm_segments",
     "x99_sessionization",
     "x100_funnel_conversion",
+    "x101_rollup_revenue",
+    "x102_pivot_priority_quarter",
+    "x103_mom_revenue_growth",
+    "x104_trailing_7d_stats",
+    # x105_bpe_merges returns a driver-local merges table (its per-iteration
+    # pair-count plan is x93's, already pinned above)
+    "x106_balance_quantiles",
+    "x107_day_set_ops",
+    "x108_corr_discount_qty",
 ]
 
 
