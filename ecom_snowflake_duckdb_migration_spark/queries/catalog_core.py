@@ -2127,3 +2127,56 @@ def x108_corr_discount_qty(spark, sf_dir):
             / F.col("n").cast("double")
         ).cast("double").alias("intercept_bp"),
     )
+
+
+@register(
+    "x109_entity_match_pairs",
+    oracle="""
+    WITH blocked AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               substr(c_name, 1, 16) AS blk
+        FROM customer
+    )
+    SELECT a.c_custkey AS custkey_a,
+           b.c_custkey AS custkey_b,
+           a.c_name    AS name_a,
+           b.c_name    AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_distance
+    FROM blocked a
+    JOIN blocked b
+      ON b.blk = a.blk AND b.c_nationkey = a.c_nationkey
+     AND b.c_custkey > a.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    doc="Entity-resolution candidate pairs (the MDM/dedupe staple): block "
+    "customers on (nation, 16-char name prefix), self-join within blocks, "
+    "verify with Levenshtein <= 1. Same blocked-verify shape as the "
+    "MinHash-LSH family — candidate pairs are bounded by the block sizes, "
+    "never all-pairs, and edit distance (integer DP, identical in both "
+    "engines) runs only on co-blocked candidates. At 100 TB swap the "
+    "prefix block for phonetic/LSH keys; the join shape is unchanged.",
+    tags=("J3", "F1", "LLM"),
+)
+def x109_entity_match_pairs(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey",
+        F.substring("c_name", 1, 16).alias("blk"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    lev = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("b.blk") == F.col("a.blk"))
+            & (F.col("b.c_nationkey") == F.col("a.c_nationkey"))
+            & (F.col("b.c_custkey") > F.col("a.c_custkey")),
+        )
+        .filter(lev <= 1)
+        .select(
+            F.col("a.c_custkey").alias("custkey_a"),
+            F.col("b.c_custkey").alias("custkey_b"),
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_name").alias("name_b"),
+            lev.cast("int").alias("edit_distance"),
+        )
+    )

@@ -203,6 +203,7 @@ NEW_CATALYST_ONLY = [
     "x106_balance_quantiles",
     "x107_day_set_ops",
     "x108_corr_discount_qty",
+    "x109_entity_match_pairs",
 ]
 
 
