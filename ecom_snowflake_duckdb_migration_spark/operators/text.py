@@ -1810,3 +1810,178 @@ def bpe_apply(
         F.array_join(toks, " ").alias("tokens"),
         F.size(toks).cast("long").alias("n_tokens"),
     )
+
+
+def _hashed_presence_features(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    """Binary hashed bag-of-words features: distinct (id, bucket) pairs
+    over word unigrams + bigrams, hashed with the cross-engine h60 into
+    ``n_buckets`` (the dsir_weights feature space, presence-only)."""
+    from .sketches import h60
+
+    t = f"split(trim(coalesce({text_col}, '')), '\\\\s+')"
+    arr = (
+        f"concat({t}, CASE WHEN size({t}) >= 2 THEN"
+        f" transform(sequence(1, size({t}) - 1),"
+        f" i -> concat_ws(' ', slice({t}, i, 2)))"
+        f" ELSE array() END)"
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.expr(arr)).alias("g"))
+        .select(F.col(id_col), (h60(F.col("g")) % n_buckets).alias("b"))
+        .distinct()
+    )
+
+
+def quality_classifier_train(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    n_iters: int = 15,
+    lr: float = 2.0,
+) -> list[int]:
+    """Train the GPT-3-style discriminative quality classifier (Brown et
+    al. 2020 appendix A: a linear classifier separating the curated
+    target corpus from raw data, used to filter pretraining data):
+    logistic regression on binary hashed unigram+bigram features, target
+    docs labeled 1 and corpus docs 0, by full-batch gradient descent.
+
+    Returns the learned weights as a plain list of ``n_buckets + 1``
+    integers in e6 fixed point (index 0 = bias, index b+1 = bucket b) —
+    feed it to ``quality_classifier_score``. The discriminative
+    counterpart of ``dsir_weights``' generative LLR estimator.
+
+    Determinism: weights live in e6 INTEGERS on the driver; per doc the
+    margin is an exact integer sum of its buckets' weights, the residual
+    ``floor((sigmoid(z) - y) * 1e6)`` re-quantizes before the per-bucket
+    gradient sum, so every distributed sum is an order-independent
+    integer and training is bit-reproducible at any parallelism (the
+    only floats are the driver-side update and one sigmoid per doc from
+    identical integer inputs).
+
+    Scale: the feature table (|docs| x avg distinct buckets) is built
+    once and localCheckpoint-ed; each iteration is one broadcast join +
+    doc groupBy (the margin), one doc-keyed join of the |docs|-row
+    residual back onto features, and one bucket groupBy that combines
+    map-side to <= n_buckets rows collected to the driver. Weights
+    (n_buckets e6 ints) always fit the driver by construction.
+    """
+    labeled = corpus.select(
+        F.col(id_col), F.col(text_col), F.lit(0).alias("y")
+    ).unionByName(
+        target.select(F.col(id_col), F.col(text_col), F.lit(1).alias("y"))
+    ).select(
+        # synthetic id: corpus/target id spaces may overlap
+        F.monotonically_increasing_id().alias("_tid"), text_col, "y"
+    )
+    feats = _hashed_presence_features(
+        labeled, text_col, "_tid", n_buckets
+    ).localCheckpoint(eager=True)
+    labels = labeled.select("_tid", "y").localCheckpoint(eager=True)
+    n_docs = labels.count()
+    spark = corpus.sparkSession
+    if n_docs == 0:
+        return [0] * (n_buckets + 1)
+
+    w = [0] * (n_buckets + 1)  # e6 ints; [0] is the bias
+
+    for _ in range(n_iters):
+        wdf = F.broadcast(
+            spark.createDataFrame(
+                [(b, w[b + 1]) for b in range(n_buckets)], "b INT, w_e6 LONG"
+            )
+        )
+        # margin z (exact integer) -> residual r = floor((sigmoid - y)*1e6)
+        margins = (
+            feats.join(wdf, feats["b"] == wdf["b"])
+            .groupBy("_tid")
+            .agg(F.sum("w_e6").alias("z_e6"))
+        )
+        resid = (
+            labels.join(margins, "_tid", "left")
+            .select(
+                "_tid",
+                F.floor(
+                    F.lit(1.0)
+                    / (
+                        F.lit(1.0)
+                        + F.exp(
+                            -F.greatest(
+                                F.lit(-30.0),
+                                F.least(
+                                    F.lit(30.0),
+                                    (F.coalesce(F.col("z_e6"), F.lit(0)) + w[0])
+                                    / F.lit(1e6),
+                                ),
+                            )
+                        )
+                    )
+                    * F.lit(1e6)
+                    - F.col("y") * F.lit(1e6)
+                ).cast("long").alias("r_e6"),
+            )
+        )
+        grad_rows = (
+            feats.join(resid, "_tid")
+            .groupBy("b")
+            .agg(F.sum("r_e6").alias("g_e6"))
+            .collect()
+        )
+        bias_grad = resid.agg(F.sum("r_e6")).collect()[0][0] or 0
+        w[0] -= int(round(lr * bias_grad / n_docs))
+        for row in grad_rows:
+            w[row["b"] + 1] -= int(round(lr * row["g_e6"] / n_docs))
+    return w
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    weights_e6: list[int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents with a trained quality classifier: returns
+    ``(id_col, score_e6)`` where score_e6 = floor(sigmoid(bias + sum of
+    feature weights) * 1e6) — feed to ``token_budget_select`` /
+    ``gumbel_topk_sample`` for the selection step, exactly like
+    ``dsir_weights``. One broadcast join + one doc groupBy; documents
+    with no features score sigmoid(bias)."""
+    n_buckets = len(weights_e6) - 1
+    spark = df.sparkSession
+    wdf = F.broadcast(
+        spark.createDataFrame(
+            [(b, weights_e6[b + 1]) for b in range(n_buckets)], "b INT, w_e6 LONG"
+        )
+    )
+    feats = _hashed_presence_features(df, text_col, id_col, n_buckets)
+    z = (
+        feats.join(wdf, "b")
+        .groupBy(id_col)
+        .agg(F.sum("w_e6").alias("z_e6"))
+    )
+    return (
+        df.select(id_col)
+        .join(z, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.floor(
+                F.lit(1e6)
+                / (
+                    F.lit(1.0)
+                    + F.exp(
+                        -F.greatest(
+                            F.lit(-30.0),
+                            F.least(
+                                F.lit(30.0),
+                                (F.coalesce(F.col("z_e6"), F.lit(0))
+                                 + weights_e6[0]) / F.lit(1e6),
+                            ),
+                        )
+                    )
+                )
+            ).cast("long").alias("score_e6"),
+        )
+    )

@@ -2651,3 +2651,31 @@ def x100_funnel_conversion(spark, sf_dir):
 def x105_bpe_merges(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return tx.bpe_train(d, n_merges=8)
+
+
+@register(
+    "x110_quality_classifier",
+    # Gradient-descent training is iterative (like x105's BPE loop) — no
+    # SQL twin exists, so the driver records the rows-only check. The
+    # behavioral contract is pytest-pinned (planted separable corpora
+    # separate, training is bit-deterministic thanks to e6-integer
+    # gradients, zero-weight scores are exactly sigmoid(0)); the
+    # generative counterpart of the same estimator IS fully oracled (x91
+    # dsir_weights, same h60 hashed feature space).
+    oracle=None,
+    doc="GPT-3-style discriminative quality classifier (Brown et al. 2020 "
+    "appendix A; operators.text.quality_classifier_train/_score): "
+    "logistic regression on binary hashed unigram+bigram features, "
+    "trained src0-vs-rest by full-batch GD with e6-integer gradients "
+    "(bit-reproducible at any parallelism), then scores every corpus "
+    "doc. Per iteration: one broadcast join + doc groupBy, one doc-keyed "
+    "residual join, one bucket groupBy collected at <= n_buckets rows — "
+    "weights are driver-bounded by construction.",
+    tags=("LLM", "quality", "iterative"),
+)
+def x110_quality_classifier(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    target = d.filter(F.col("source") == "src0")
+    corpus = d.filter(F.col("source") != "src0")
+    w = tx.quality_classifier_train(corpus, target, n_buckets=512, n_iters=8)
+    return tx.quality_classifier_score(corpus, w)

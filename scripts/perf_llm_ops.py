@@ -114,6 +114,10 @@ def main() -> int:
         ),
         "bpe_pair_counts": lambda: tx.bpe_pair_counts(docs),
         "bpe_train_8": lambda: tx.bpe_train(docs, n_merges=8),
+        "quality_classifier": lambda: tx.quality_classifier_score(
+            corpus,
+            tx.quality_classifier_train(corpus, bench, n_buckets=512, n_iters=8),
+        ),
         "bm25_scores": lambda: tx.bm25_scores(
             docs, ["spark", "hash", "merge", "window"]
         ),

@@ -1447,3 +1447,59 @@ def test_bpe_apply_matches_python_reference(spark):
     for i, t in enumerate(texts):
         want = _py_bpe_apply(t, merges)
         assert got[i] == (" ".join(want), len(want)), f"doc {i}"
+
+
+def _qc_frames(spark):
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", IntegerType()), StructField("text", StringType())]
+    )
+    target = spark.createDataFrame(
+        [(i, "alpha beta curated quality prose sample") for i in range(20)], schema
+    )
+    corpus = spark.createDataFrame(
+        [(100 + i, "zz9 qq8 junk spam noise blob") for i in range(20)]
+        + [(200 + i, "alpha beta curated quality prose sample") for i in range(5)],
+        schema,
+    )
+    return corpus, target
+
+
+def test_quality_classifier_separates_planted(spark):
+    """GPT-3-style filter on separable data: every target-like corpus doc
+    must outscore every junk doc after training."""
+    corpus, target = _qc_frames(spark)
+    w = tx.quality_classifier_train(corpus, target, n_buckets=256, n_iters=10)
+    scores = {
+        r.doc_id: r.score_e6
+        for r in tx.quality_classifier_score(corpus, w).collect()
+    }
+    junk = [scores[100 + i] for i in range(20)]
+    good = [scores[200 + i] for i in range(5)]
+    assert min(good) > max(junk), (min(good), max(junk))
+    assert min(good) > 500_000 > max(junk)  # separated around sigmoid(0)
+
+
+def test_quality_classifier_training_is_deterministic(spark):
+    """Integer-quantized gradients: two trainings are bit-identical."""
+    corpus, target = _qc_frames(spark)
+    w1 = tx.quality_classifier_train(corpus, target, n_buckets=128, n_iters=5)
+    w2 = tx.quality_classifier_train(corpus, target, n_buckets=128, n_iters=5)
+    assert w1 == w2
+    assert any(v != 0 for v in w1)
+
+
+def test_quality_classifier_empty_and_null(spark):
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", IntegerType()), StructField("text", StringType())]
+    )
+    empty = spark.createDataFrame([], schema)
+    w = tx.quality_classifier_train(empty, empty, n_buckets=64, n_iters=3)
+    assert w == [0] * 65
+    # zero weights score sigmoid(0) for every doc, including NULL text
+    df = spark.createDataFrame([(1, "anything"), (2, None)], schema)
+    got = {r.doc_id: r.score_e6 for r in tx.quality_classifier_score(df, w).collect()}
+    assert got == {1: 500_000, 2: 500_000}
