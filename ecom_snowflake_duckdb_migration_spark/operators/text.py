@@ -1869,18 +1869,24 @@ def quality_classifier_train(
     map-side to <= n_buckets rows collected to the driver. Weights
     (n_buckets e6 ints) always fit the driver by construction.
     """
-    labeled = corpus.select(
-        F.col(id_col), F.col(text_col), F.lit(0).alias("y")
-    ).unionByName(
-        target.select(F.col(id_col), F.col(text_col), F.lit(1).alias("y"))
-    ).select(
-        # synthetic id: corpus/target id spaces may overlap
-        F.monotonically_increasing_id().alias("_tid"), text_col, "y"
+    labeled = (
+        corpus.select(F.col(id_col), F.col(text_col), F.lit(0).alias("y"))
+        .unionByName(
+            target.select(F.col(id_col), F.col(text_col), F.lit(1).alias("y"))
+        )
+        .select(
+            # synthetic id: corpus/target id spaces may overlap
+            F.monotonically_increasing_id().alias("_tid"), text_col, "y"
+        )
+        # pin ONE materialization: feats and labels below must see the
+        # same _tid per row, and monotonically_increasing_id is only
+        # stable within a single evaluation's partition layout
+        .localCheckpoint(eager=True)
     )
     feats = _hashed_presence_features(
         labeled, text_col, "_tid", n_buckets
     ).localCheckpoint(eager=True)
-    labels = labeled.select("_tid", "y").localCheckpoint(eager=True)
+    labels = labeled.select("_tid", "y")
     n_docs = labels.count()
     spark = corpus.sparkSession
     if n_docs == 0:
