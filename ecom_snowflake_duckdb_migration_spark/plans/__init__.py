@@ -1,5 +1,6 @@
 """Physical-plan inspection and plan-shape assertions."""
 
+from .lint import Finding, assert_scale_clean, lint
 from .inspect import (
     PlanStats,
     assert_columns_pruned,
@@ -14,7 +15,10 @@ from .inspect import (
 )
 
 __all__ = [
+    "Finding",
     "PlanStats",
+    "assert_scale_clean",
+    "lint",
     "assert_columns_pruned",
     "assert_filter_pushed",
     "assert_no_python_in_plan",

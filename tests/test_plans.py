@@ -294,3 +294,68 @@ def test_semantic_dedup_pair_join_exchange_free_on_bucketed_cell_store(spark, sf
         assert kept_store == kept_mem and kept_store
     finally:
         spark.sql("DROP TABLE IF EXISTS t_semcells_b")
+
+
+class TestLint:
+    """plans.lint — the automated scale-hazard audit."""
+
+    def test_cartesian_flags_error(self, spark):
+        from pyspark.sql import functions as F
+
+        df = spark.range(100).withColumn("v", F.col("id") * 2)
+        cart = df.join(
+            spark.range(50).withColumnRenamed("id", "j").hint("shuffle_replicate_nl")
+        )
+        codes = {f.code for f in plans.lint(cart)}
+        assert "CARTESIAN" in codes
+        with pytest.raises(AssertionError, match="CARTESIAN"):
+            plans.assert_scale_clean(cart)
+
+    def test_global_window_flags_partitioned_does_not(self, spark):
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        df = spark.range(100).withColumn("v", F.col("id") % 7)
+        gw = df.select(F.sum("v").over(Window.orderBy("id").rowsBetween(-2, 0)))
+        assert {f.code for f in plans.lint(gw)} == {"GLOBAL_WINDOW"}
+        pw = df.select(F.sum("v").over(Window.partitionBy("v").orderBy("id")))
+        assert plans.lint(pw) == []
+
+    def test_row_python_udf_flags(self, spark):
+        from pyspark.sql.functions import udf
+
+        u = udf(lambda x: x + 1, "long")
+        codes = {f.code for f in plans.lint(spark.range(10).select(u("id")))}
+        assert "ROW_PYTHON" in codes
+
+    def test_unpushed_filter_flags(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import udf
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        u = udf(lambda s: s == "A", "boolean")  # UDF predicate can't push
+        codes = {f.code for f in plans.lint(li.filter(u("l_returnflag")))}
+        assert "FILTER_NOT_PUSHED" in codes
+        # a pushable predicate on the same scan stays clean
+        clean = li.filter(F.col("l_returnflag") == "A")
+        assert "FILTER_NOT_PUSHED" not in {f.code for f in plans.lint(clean)}
+
+    def test_collect_list_info(self, spark):
+        from pyspark.sql import functions as F
+
+        df = spark.range(20).withColumn("v", F.col("id") % 3)
+        codes = {f.code for f in plans.lint(df.groupBy("v").agg(F.collect_list("id")))}
+        assert "UNBOUNDED_GROUP_STATE" in codes
+
+    @pytest.mark.parametrize("name", SQL_EXPRESSIBLE_HEADLINE)
+    def test_headliners_are_scale_clean(self, spark, sf_dir, specs, name):
+        plans.assert_scale_clean(specs[name].fn(spark, sf_dir))
+
+    def test_global_window_by_design_is_visible(self, spark, sf_dir, specs):
+        """x103/x104 run a window over the pre-aggregated |months|/|days|
+        frame on purpose (justified in their docstrings) — the linter must
+        SEE it; the entries allow it explicitly."""
+        for name in ("x103_mom_revenue_growth", "x104_trailing_7d_stats"):
+            df = specs[name].fn(spark, sf_dir)
+            assert "GLOBAL_WINDOW" in {f.code for f in plans.lint(df)}
+            plans.assert_scale_clean(df, allow={"GLOBAL_WINDOW"})
