@@ -1503,3 +1503,51 @@ def test_quality_classifier_empty_and_null(spark):
     df = spark.createDataFrame([(1, "anything"), (2, None)], schema)
     got = {r.doc_id: r.score_e6 for r in tx.quality_classifier_score(df, w).collect()}
     assert got == {1: 500_000, 2: 500_000}
+
+
+def test_merge_adjacent_fold_property_sweep(spark):
+    """200 seeded random token arrays (multi-char symbols, quotes,
+    backslashes, unicode, overlapping runs) x random merge pairs: the
+    Catalyst fold must equal the pure-Python greedy scan on every one —
+    one Spark job for the whole sweep."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (ArrayType, IntegerType, StringType,
+                                   StructField, StructType)
+
+    rng = random.Random(42)
+    alphabet = ["a", "b", "ab", "ba", "'", '"', "\\", "▁", "ü", "aa"]
+    cases = []
+    for i in range(200):
+        toks = [rng.choice(alphabet) for _ in range(rng.randint(0, 12))]
+        a, b = rng.choice(alphabet), rng.choice(alphabet)
+        cases.append((i, toks, a, b))
+
+    def py_merge(toks, a, b):
+        out = []
+        for t in toks:
+            if out and out[-1] == a and t == b:
+                out[-1] = a + b
+            else:
+                out.append(t)
+        return out
+
+    schema = StructType([
+        StructField("i", IntegerType()),
+        StructField("toks", ArrayType(StringType())),
+    ])
+    # group cases by (a, b) so each pair becomes one column expression
+    by_pair = {}
+    for i, toks, a, b in cases:
+        by_pair.setdefault((a, b), []).append((i, toks))
+    for (a, b), rows in by_pair.items():
+        df = spark.createDataFrame(rows, schema)
+        got = {
+            r.i: list(r.m)
+            for r in df.select(
+                "i", tx._merge_adjacent(F.col("toks"), a, b).alias("m")
+            ).collect()
+        }
+        for i, toks in rows:
+            assert got[i] == py_merge(toks, a, b), (i, toks, a, b)
