@@ -441,3 +441,21 @@ def test_catalog_scale_clean(spark, sf_dir, specs):
             elif f.severity == "info" and f.code not in LINT_INFO_OK | allowed:
                 failures.append(f"{name}: [info] {f.code} — {f.message}")
     assert not failures, "\n".join(failures)
+
+
+def test_ecom_models_scale_clean(spark):
+    """All 37 reference-parity models pass the scale-hazard linter — the
+    pipeline the reference's dbt DAG runs daily must survive the same
+    audit as the catalog (lint formats plans without executing, so the
+    whole sweep is one pass over the model graph)."""
+    from ecom_snowflake_duckdb_migration_spark.ecom import PipelineRunner
+    from ecom_snowflake_duckdb_migration_spark.ecom.generate import generate_all
+    from ecom_snowflake_duckdb_migration_spark.ecom.registry import MODELS
+
+    runner = PipelineRunner(spark, generate_all(spark, n_customers=50))
+    failures = []
+    for name in MODELS:
+        for f in plans.lint(runner.ref(name)):
+            if f.severity in ("error", "warn"):
+                failures.append(f"{name}: [{f.severity}] {f.code} — {f.message}")
+    assert not failures, "\n".join(failures)
