@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 SCALE = 1_000_000  # fixed-point scale for engine-stable ratios
 
@@ -1991,3 +1992,74 @@ def quality_classifier_score(
             ).cast("long").alias("score_e6"),
         )
     )
+
+
+def bpe_apply_pandas(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Arrow-batched twin of ``bpe_apply`` for vocabulary-scale merge
+    lists: the Catalyst-fold chain grows codegen linearly per merge, so
+    past a few hundred merges tokenize per batch in a pandas loop with
+    the merge list shipped once in the task closure (a 50k-merge
+    vocabulary is ~1 MB).
+
+    Semantics are identical to ``bpe_apply`` (pinned by test): merges
+    apply in rank order, greedy left-to-right per merge. Rank-order
+    application equals the min-rank-bigram loop of standard BPE encoders
+    because merging rank k only creates adjacencies involving its output
+    symbol, and any pair containing that symbol was necessarily learned
+    AFTER rank k. Words memoize within a batch (Zipf: a handful of
+    distinct words dominate any real batch).
+
+    Scale: embarrassingly parallel mapInPandas — no shuffle, no state;
+    the output schema carries the CALLER's id column name and type.
+    """
+    import pandas as pd
+
+    id_field = df.schema[id_col]
+    out_schema = StructType([
+        id_field,
+        StructField("tokens", StringType()),
+        StructField("n_tokens", LongType()),
+    ])
+    pairs = list(merges)
+
+    def encode_word(w: str) -> list[str]:
+        toks = ["▁", *w]
+        for a, b in pairs:
+            out: list[str] = []
+            for t in toks:
+                if out and out[-1] == a and t == b:
+                    out[-1] = a + b
+                else:
+                    out.append(t)
+            toks = out
+        return toks
+
+    def run(batches):
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            tokens_col, n_col = [], []
+            for text in pdf[text_col]:
+                toks: list[str] = []
+                words = ("" if text is None else text).strip()
+                if lowercase:
+                    words = words.lower()
+                for w in words.split():
+                    got = cache.get(w)
+                    if got is None:
+                        got = cache[w] = encode_word(w)
+                    toks.extend(got)
+                tokens_col.append(" ".join(toks))
+                n_col.append(len(toks))
+            yield pd.DataFrame({
+                id_field.name: pdf[id_col],
+                "tokens": tokens_col,
+                "n_tokens": n_col,
+            })
+
+    return df.select(id_col, text_col).mapInPandas(run, out_schema)

@@ -1551,3 +1551,25 @@ def test_merge_adjacent_fold_property_sweep(spark):
         }
         for i, toks in rows:
             assert got[i] == py_merge(toks, a, b), (i, toks, a, b)
+
+
+def test_bpe_apply_pandas_matches_fold_path(spark):
+    """The Arrow-batched tokenizer equals the Catalyst-fold path on
+    trained merges, NULL/empty text included, and carries the caller's id
+    column name+type."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("media_key", LongType()), StructField("text", StringType())]
+    )
+    texts = ["the cat sat on the mat", "aaaa ab the hat", None, "", "x ü ▁"]
+    df = spark.createDataFrame(list(enumerate(texts)), schema)
+    merges = [(r.a, r.b) for r in tx.bpe_train(df, n_merges=6).collect()]
+    assert merges
+    fold = {r.media_key: (r.tokens, r.n_tokens)
+            for r in tx.bpe_apply(df, merges, id_col="media_key").collect()}
+    arrow = tx.bpe_apply_pandas(df, merges, id_col="media_key")
+    assert [f.name for f in arrow.schema.fields] == ["media_key", "tokens", "n_tokens"]
+    assert arrow.schema["media_key"].dataType == LongType()
+    got = {r.media_key: (r.tokens, r.n_tokens) for r in arrow.collect()}
+    assert got == fold
