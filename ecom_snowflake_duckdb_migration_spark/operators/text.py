@@ -1790,10 +1790,12 @@ def bpe_apply(
     space-joined symbol string (words separated by the word-boundary
     marker ``▁``) — flat strings, so the result is driver- and
     sink-friendly. The merge chain is ``len(merges)`` nested folds; each
-    level references the previous expression once, so codegen grows
-    linearly in the merge count (vocabulary-scale merge lists should
-    tokenize via a broadcast trie in a pandas UDF instead; this covers
-    the expression path up to a few hundred merges).
+    level references the previous expression once, so cost grows
+    LINEARLY in the merge count — measured at sf0.1 the fold path wins
+    only below ~16 merges (0.26 s at 8, 2.7 s at 89 vs a flat 0.36 s for
+    ``bpe_apply_pandas``; PERF_BPE_PATHS.json). Use this form for
+    tiny demonstration vocabularies and the pandas twin for anything
+    real.
     """
     src = f"lower({text_col})" if lowercase else text_col
     # filter() drops empty words (empty text splits to ['']) before the
@@ -2001,11 +2003,12 @@ def bpe_apply_pandas(
     id_col: str = "doc_id",
     lowercase: bool = True,
 ) -> DataFrame:
-    """Arrow-batched twin of ``bpe_apply`` for vocabulary-scale merge
-    lists: the Catalyst-fold chain grows codegen linearly per merge, so
-    past a few hundred merges tokenize per batch in a pandas loop with
-    the merge list shipped once in the task closure (a 50k-merge
-    vocabulary is ~1 MB).
+    """Arrow-batched twin of ``bpe_apply`` for real merge lists: the
+    Catalyst-fold chain costs linearly per merge while this path is flat
+    in the merge count — measured crossover at sf0.1 is ~16 merges
+    (PERF_BPE_PATHS.json: fold 0.26/0.86/2.7 s at 8/32/89 merges, arrow
+    ~0.36 s at every point, outputs bit-equal). The merge list ships
+    once in the task closure (a 50k-merge vocabulary is ~1 MB).
 
     Semantics are identical to ``bpe_apply`` (pinned by test): merges
     apply in rank order, greedy left-to-right per merge. Rank-order
@@ -2063,3 +2066,37 @@ def bpe_apply_pandas(
             })
 
     return df.select(id_col, text_col).mapInPandas(run, out_schema)
+
+
+def canonicalize_text(c: Column | str) -> Column:
+    """Dedup canonical form (the RefinedWeb/C4 pre-hash normalization):
+    lowercase, strip everything but [a-z0-9] and whitespace, collapse
+    whitespace runs to one space, trim. Catches the trivial variants
+    exact hashing misses (case, punctuation, spacing) while staying a
+    pure Catalyst expression. Character classes are chosen to behave
+    identically under Java regex (Spark) and RE2 (DuckDB oracle).
+    NULL stays NULL (every step is NULL-preserving) so canonical dedup
+    groups NULL-text docs under the same md5(NULL)=NULL-key semantics
+    as the raw exact_dedup_groups.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", ""), r"\s+", " "
+        )
+    )
+
+
+def canonical_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """``exact_dedup_groups`` over the canonicalized text: one shuffle on
+    the 128-bit hash of the normal form. Same scale shape as the raw
+    variant; strictly coarser groups (raw-equal implies canonical-equal).
+    """
+    return df.groupBy(
+        F.md5(canonicalize_text(F.col(text_col))).alias("canonical_hash")
+    ).agg(
+        F.min(id_col).alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
