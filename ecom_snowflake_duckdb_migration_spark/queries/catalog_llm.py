@@ -2679,3 +2679,45 @@ def x110_quality_classifier(spark, sf_dir):
     corpus = d.filter(F.col("source") != "src0")
     w = tx.quality_classifier_train(corpus, target, n_buckets=512, n_iters=8)
     return tx.quality_classifier_score(corpus, w)
+
+
+@register(
+    "x111_canonical_dedup",
+    # DuckDB regexp_replace needs the 'g' flag (first-match-only default);
+    # Spark replaces all matches by default. The corpus is mutated with
+    # case/punctuation/spacing variants of real documents so the entry
+    # proves canonicalization actually coarsens groups (raw md5 keeps the
+    # variants distinct; both engines must agree on which docs collapse).
+    oracle=r"""
+    WITH variants AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               upper(text) || '!!'
+        FROM documents WHERE doc_id % 97 = 0
+    )
+    SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS canonical_hash,
+           min(doc_id) AS canonical_doc_id,
+           count(*)    AS n_copies
+    FROM variants
+    GROUP BY 1
+    """,
+    doc="Canonicalize-then-hash dedup (operators.text.canonical_dedup_groups; "
+    "the RefinedWeb/C4 pre-hash normalization): lowercase + punctuation "
+    "strip + whitespace collapse, then the q40 hash-groupBy. The entry "
+    "plants uppercase+punctuated variants of every 97th document and both "
+    "engines must collapse exactly those pairs. Same one-shuffle scale "
+    "shape as q40; the normal form is computed in the scan projection.",
+    tags=("LLM", "dedup"),
+)
+def x111_canonical_dedup(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    variants = d.unionByName(
+        d.filter(F.col("doc_id") % 97 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.upper("text"), F.lit("!!")).alias("text"),
+            *[c for c in d.columns if c not in ("doc_id", "text")],
+        ).select(*d.columns)
+    )
+    return tx.canonical_dedup_groups(variants)

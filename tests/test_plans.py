@@ -204,6 +204,7 @@ NEW_CATALYST_ONLY = [
     "x107_day_set_ops",
     "x108_corr_discount_qty",
     "x109_entity_match_pairs",
+    "x111_canonical_dedup",
 ]
 
 
