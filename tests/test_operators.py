@@ -1573,3 +1573,27 @@ def test_bpe_apply_pandas_matches_fold_path(spark):
     assert arrow.schema["media_key"].dataType == LongType()
     got = {r.media_key: (r.tokens, r.n_tokens) for r in arrow.collect()}
     assert got == fold
+
+
+def test_percentile_approx_within_rank_epsilon_of_exact(spark, sf_dir):
+    """The scale path for quantiles (percentile_approx, Greenwald-Khanna)
+    must land within its accuracy parameter of the exact rank-selected
+    value on the committed data — the quantile twin of the ANN recall
+    gate: the approximate default is justified by a measured number, not
+    assumed. accuracy=100 bounds rank error by n/100; we assert the
+    returned value sits between the exact values at rank +- 2*n/100."""
+    from pyspark.sql import functions as F
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = c.count()
+    vals = sorted(r.c_acctbal for r in c.select("c_acctbal").collect())
+    acc = 100
+    eps = max(1, 2 * n // acc)
+    got = c.agg(
+        F.percentile_approx("c_acctbal", [0.25, 0.5, 0.75], acc).alias("q")
+    ).collect()[0]["q"]
+    for p, g in zip((0.25, 0.5, 0.75), got):
+        rank = int(p * (n - 1))
+        lo = vals[max(0, rank - eps)]
+        hi = vals[min(n - 1, rank + eps)]
+        assert lo <= g <= hi, (p, g, lo, hi)
