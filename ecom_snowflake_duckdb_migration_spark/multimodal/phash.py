@@ -96,7 +96,17 @@ def image_hashes(
 
     Errors are captured per row (``ok`` column), never thrown across the
     batch — the decode_images contract; one corrupt file must not kill a
-    100 TB job."""
+    100 TB job.
+
+    ``grid`` is capped at 8: both hashes pack ``grid * grid`` bits into
+    a 64-bit value, and numpy shifts >= 64 are undefined — a larger grid
+    would silently produce garbage hashes rather than wider ones."""
+    if grid * grid > 64:
+        raise ValueError(
+            f"grid={grid} needs {grid * grid} bits; the packed hash is "
+            "64-bit, so grid must be <= 8 (wider hashes would be silently "
+            "corrupted by undefined >=64-bit shifts)"
+        )
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

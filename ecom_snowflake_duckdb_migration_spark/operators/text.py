@@ -1693,6 +1693,24 @@ def _merge_adjacent(toks: Column, a: str, b: str) -> Column:
     )
 
 
+def _bpe_word_freq(df: DataFrame, text_col: str, lowercase: bool) -> DataFrame:
+    """``(word, n)`` frequency table shared by both trainers: whitespace
+    tokenization (Java ``\\s``), optional lowercase, length >= 2 (length-1
+    words carry no pairs). Keeping this Java-side guarantees the
+    driver-local trainer tokenizes identically to the distributed one."""
+    word = F.explode(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    ).alias("word")
+    words = df.select(word)
+    if lowercase:
+        words = words.select(F.lower(F.col("word")).alias("word"))
+    return (
+        words.filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def bpe_train(
     df: DataFrame,
     n_merges: int = 16,
@@ -1724,16 +1742,8 @@ def bpe_train(
     incremental max-ts read) and one Catalyst fold rewrite; the corpus
     text is read exactly once, up front.
     """
-    word = F.explode(
-        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
-    ).alias("word")
-    words = df.select(word)
-    if lowercase:
-        words = words.select(F.lower(F.col("word")).alias("word"))
     wf = (
-        words.filter(F.length("word") >= 2)
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("n"))
+        _bpe_word_freq(df, text_col, lowercase)
         .select(
             F.expr(
                 "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
@@ -1773,6 +1783,128 @@ def bpe_train(
             _merge_adjacent(F.col("toks"), a, b).alias("toks"), "n"
         ).localCheckpoint(eager=True)
     return spark.createDataFrame(merges, out_schema)
+
+
+def bpe_train_local(
+    df: DataFrame,
+    n_merges: int = 1024,
+    text_col: str = "text",
+    lowercase: bool = True,
+    min_pair_count: int = 2,
+    max_distinct_words: int = 5_000_000,
+) -> DataFrame:
+    """Vocabulary-scale BPE training: same algorithm, same deterministic
+    merge sequence as :func:`bpe_train` (pinned equal in tests), but the
+    merge loop runs DRIVER-SIDE over the collected word-frequency table —
+    the standard production shape (HuggingFace tokenizers, SentencePiece
+    train the same way): the corpus is scanned distributed exactly once
+    to build ``(word, n)``, and everything after is bounded by |vocab|,
+    not |corpus|.
+
+    Why: ``bpe_train`` launches one Spark job per merge (a pair-count
+    aggregation + a Catalyst-fold rewrite + a localCheckpoint). That is
+    the right shape to cross-verify the algorithm (its base case is the
+    DuckDB-oracled x93), but a production 32k-merge vocabulary would be
+    32k sequential Spark jobs. Here each merge is an O(touched words)
+    in-memory update: a pair -> words inverted index finds exactly the
+    words containing the chosen pair, and a lazy-deletion heap yields the
+    argmax without rescanning pair counts (ties break on (a, b)
+    lexicographically — identical to the distributed trainer's
+    ``orderBy(desc(cnt), a, b)``, since Python code-point string order
+    equals Spark's unsigned-byte UTF-8 order).
+
+    Driver memory bound: the collect is the DISTINCT-WORD table, not the
+    corpus — |vocab| * avg word length. Real web corpora hold this in the
+    tens of millions of rows (~GBs); ``max_distinct_words`` (default 5M)
+    makes the bound explicit and fails loudly instead of OOMing the
+    driver. For corpora beyond it, pre-truncate the tail (words with
+    n == 1 cannot win a merge while any pair reaches ``min_pair_count``
+    >= 2 twice... they still contribute counts, so we do NOT silently
+    drop them — raise and let the caller decide).
+
+    Returns the same ``(rank, a, b, merged, n_occurrences)`` merge table.
+    """
+    import heapq
+    from collections import Counter
+
+    wf_df = _bpe_word_freq(df, text_col, lowercase).localCheckpoint(eager=True)
+    n_distinct = wf_df.count()
+    if n_distinct > max_distinct_words:
+        raise ValueError(
+            f"corpus has {n_distinct} distinct words > max_distinct_words="
+            f"{max_distinct_words}; raise the bound (driver memory permitting) "
+            "or pre-filter the tail before training"
+        )
+    rows = wf_df.collect()
+    words: list[list[str]] = [list(r["word"]) for r in rows]
+    counts: list[int] = [r["n"] for r in rows]
+
+    pair_counts: Counter = Counter()
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for i, toks in enumerate(words):
+        n = counts[i]
+        for j in range(len(toks) - 1):
+            p = (toks[j], toks[j + 1])
+            pair_counts[p] += n
+            pair_words.setdefault(p, set()).add(i)
+
+    # lazy-deletion heap: push (-cnt, a, b) on EVERY count change; a popped
+    # entry is valid iff it matches the live count.
+    heap = [(-c, a, b) for (a, b), c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    def _word_pairs(toks: list[str]) -> Counter:
+        c: Counter = Counter()
+        for j in range(len(toks) - 1):
+            c[(toks[j], toks[j + 1])] += 1
+        return c
+
+    merges: list[tuple] = []
+    out_schema = "rank INT, a STRING, b STRING, merged STRING, n_occurrences BIGINT"
+    for rank in range(1, n_merges + 1):
+        best = None
+        while heap:
+            negc, a, b = heapq.heappop(heap)
+            if pair_counts.get((a, b), 0) == -negc and -negc > 0:
+                best = (a, b, -negc)
+                break
+        if best is None or best[2] < min_pair_count:
+            break
+        a, b, cnt = best
+        merges.append((rank, a, b, a + b, cnt))
+        touched = pair_words.get((a, b), set())
+        for i in list(touched):
+            toks = words[i]
+            n = counts[i]
+            before = _word_pairs(toks)
+            # greedy left-to-right merge — the same scan as _merge_adjacent
+            out: list[str] = []
+            for t in toks:
+                if out and out[-1] == a and t == b:
+                    out[-1] = a + b
+                else:
+                    out.append(t)
+            words[i] = out
+            after = _word_pairs(out)
+            for p in before.keys() | after.keys():
+                d = after[p] - before[p]
+                if d:
+                    pair_counts[p] += d * n
+                    c = pair_counts[p]
+                    if c <= 0:
+                        del pair_counts[p]
+                    else:
+                        heapq.heappush(heap, (-c, p[0], p[1]))
+                if after[p] == 0 and before[p] > 0:
+                    ws = pair_words.get(p)
+                    if ws is not None:
+                        ws.discard(i)
+                elif after[p] > 0 and before[p] == 0:
+                    pair_words.setdefault(p, set()).add(i)
+        # the merged pair itself is gone everywhere
+        pair_counts.pop((a, b), None)
+        pair_words.pop((a, b), None)
+    return df.sparkSession.createDataFrame(merges, out_schema)
 
 
 def bpe_apply(
@@ -2021,6 +2153,8 @@ def bpe_apply_pandas(
     Scale: embarrassingly parallel mapInPandas — no shuffle, no state;
     the output schema carries the CALLER's id column name and type.
     """
+    import re
+
     import pandas as pd
 
     id_field = df.schema[id_col]
@@ -2030,6 +2164,11 @@ def bpe_apply_pandas(
         StructField("n_tokens", LongType()),
     ])
     pairs = list(merges)
+    # Java \s is ASCII-only ([ \t\n\x0B\f\r]) while Python str.split()
+    # splits on all Unicode whitespace (e.g. U+00A0) — the twins must
+    # tokenize identically, so split on the Java class explicitly and
+    # drop empties exactly like the fold path's w != '' filter.
+    _java_ws = re.compile(r"[ \t\n\x0B\f\r]+")
 
     def encode_word(w: str) -> list[str]:
         toks = ["▁", *w]
@@ -2049,10 +2188,12 @@ def bpe_apply_pandas(
             tokens_col, n_col = [], []
             for text in pdf[text_col]:
                 toks: list[str] = []
-                words = ("" if text is None else text).strip()
+                words = "" if text is None else text
                 if lowercase:
                     words = words.lower()
-                for w in words.split():
+                for w in _java_ws.split(words):
+                    if not w:
+                        continue
                     got = cache.get(w)
                     if got is None:
                         got = cache[w] = encode_word(w)

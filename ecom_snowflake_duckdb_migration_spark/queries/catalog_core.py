@@ -2068,7 +2068,9 @@ def x107_day_set_ops(spark, sf_dir):
     # memberships from null-ness — measured sf16 3.95 -> 0.48 s.
     o_tag = o_days.select("day", F.lit(1).alias("_o"))
     e_tag = e_days.select(F.col("day").alias("e_day"), F.lit(1).alias("_e"))
-    return o_tag.join(e_tag, o_tag.day == e_tag.e_day, "full_outer").select(
+    # eqNullSafe: INTERSECT/EXCEPT (and the oracle) treat NULL = NULL as
+    # equal, so a NULL day must classify as "both", not as two singles.
+    return o_tag.join(e_tag, o_tag.day.eqNullSafe(e_tag.e_day), "full_outer").select(
         F.coalesce("day", "e_day").alias("day"),
         F.when(F.col("_o").isNotNull() & F.col("_e").isNotNull(), "both")
         .when(F.col("_o").isNotNull(), "orders_only")

@@ -39,10 +39,10 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from ..operators.incremental_dedup import incremental_minhash_pairs, lsh_band_table
 from ..sources import sketch_store
+from .store_io import read_batch_store
 
 
 def streaming_corpus_dedup(
@@ -89,25 +89,18 @@ def streaming_corpus_dedup(
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         batch = batch.select(id_col, text_col)
+        # exclude this batch's own (possibly torn) partition: a replay
+        # must see either none of its docs or all of them. Read errors
+        # other than "no committed batch yet" propagate (store_io).
+        full = read_batch_store(spark, docs_path, batch_id)
         corpus = None
-        if os.path.exists(docs_path):
-            try:
-                full = spark.read.parquet(docs_path)
-            except Exception:
-                # only uncommitted task output exists (crash before any
-                # file commit of the first batch) — no corpus yet
-                full = None
-            if full is not None:
-                # exclude this batch's own (possibly torn) partition: a
-                # replay must see either none of its docs or all of them
-                corpus = full.where(F.col("batch_id") != F.lit(batch_id)).select(
-                    id_col, text_col
-                )
-                # cross-batch redelivery: a doc id already in the corpus is
-                # not new — processing it again would re-emit its historical
-                # pairs into a fresh batch partition (duplicates across
-                # partitions).
-                batch = batch.join(corpus.select(id_col), id_col, "left_anti")
+        if full is not None:
+            corpus = full.select(id_col, text_col)
+            # cross-batch redelivery: a doc id already in the corpus is
+            # not new — processing it again would re-emit its historical
+            # pairs into a fresh batch partition (duplicates across
+            # partitions).
+            batch = batch.join(corpus.select(id_col), id_col, "left_anti")
         batch.persist()
         try:
             if batch.isEmpty():

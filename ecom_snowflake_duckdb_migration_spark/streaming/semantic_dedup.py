@@ -31,13 +31,13 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from ..operators.similarity import (
     semantic_cells,
     semantic_dedup,
     semantic_dedup_incremental,
 )
+from .store_io import read_batch_store
 
 
 def streaming_semantic_dedup(
@@ -57,28 +57,19 @@ def streaming_semantic_dedup(
     kept_path = os.path.join(store_dir, "kept")
     seen_path = os.path.join(store_dir, "seen")
 
-    def _read_excluding(spark, path: str, batch_id: int) -> DataFrame | None:
-        if not os.path.exists(path):
-            return None
-        try:
-            full = spark.read.parquet(path)
-        except Exception:
-            # only uncommitted task output exists (crash before any file
-            # commit of the first batch) — no committed store yet
-            return None
-        return full.where(F.col("batch_id") != F.lit(batch_id)).drop("batch_id")
-
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         batch = batch.select(id_col, vec_col)
-        seen = _read_excluding(spark, seen_path, batch_id)
+        seen = read_batch_store(spark, seen_path, batch_id, drop_batch_id=True)
         if seen is not None:
             batch = batch.join(seen.select(id_col), id_col, "left_anti")
         batch.persist()
         try:
             if batch.isEmpty():
                 return
-            corpus = _read_excluding(spark, kept_path, batch_id)
+            corpus = read_batch_store(
+                spark, kept_path, batch_id, drop_batch_id=True
+            )
             if corpus is not None:
                 kept_ids = semantic_dedup_incremental(
                     batch, corpus, centroids, threshold,

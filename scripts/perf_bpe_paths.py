@@ -31,17 +31,46 @@ def main() -> int:
     par = spark.sparkContext.defaultParallelism
     docs = load(spark, sf_dir, "documents").repartition(par).localCheckpoint(eager=True)
 
-    # one training pass at the largest horizon; prefixes give the sweep
+    # one training pass at the largest horizon; prefixes give the sweep.
+    # The driver-local trainer (the vocabulary-scale path) trains the
+    # same sequence — measure both and record merges/sec.
     max_merges = 256
     t0 = time.perf_counter()
     all_merges = [
         (r.a, r.b) for r in tx.bpe_train(docs, n_merges=max_merges).collect()
     ]
     train_sec = round(time.perf_counter() - t0, 2)
-    print(f"trained {len(all_merges)} merges in {train_sec}s", flush=True)
+    print(f"distributed: trained {len(all_merges)} merges in {train_sec}s", flush=True)
+
+    t0 = time.perf_counter()
+    local_rows = tx.bpe_train_local(docs, n_merges=max_merges).collect()
+    local_sec = round(time.perf_counter() - t0, 2)
+    local_merges = [(r.a, r.b) for r in local_rows]
+    assert local_merges == all_merges, "trainer paths diverged"
+    print(f"local: trained {len(local_merges)} merges in {local_sec}s", flush=True)
+
+    # vocabulary-scale horizon: the synthetic documents corpus has a
+    # 31-word vocabulary (saturates at 89 merges), so the >=1k-merge
+    # measurement trains on customer c_name — 15k distinct words (one
+    # per customer), a realistically rich symbol space.
+    cust = load(spark, sf_dir, "customer")
+    rich = cust.selectExpr("c_name AS text")
+    t0 = time.perf_counter()
+    deep = tx.bpe_train_local(rich, n_merges=4096, min_pair_count=1).collect()
+    deep_sec = round(time.perf_counter() - t0, 2)
+    print(f"local deep (customer c_name vocab): {len(deep)} merges in "
+          f"{deep_sec}s ({round(len(deep) / max(deep_sec, 1e-9), 1)} merges/sec)",
+          flush=True)
 
     results = {"sf_dir": sf_dir, "n_reps": n_reps, "parallelism": par,
                "train_merges": len(all_merges), "train_sec": train_sec,
+               "train_local_sec": local_sec,
+               "train_local_equals_distributed": local_merges == all_merges,
+               "train_local_deep": {
+                   "corpus": "customer c_name, 15k distinct words (documents "
+                             "has a 31-word vocabulary; saturates at 89 merges)",
+                   "n_merges": len(deep), "sec": deep_sec,
+                   "merges_per_sec": round(len(deep) / max(deep_sec, 1e-9), 1)},
                "sweep": {}}
     ks = [k for k in (8, 32, 128, 256) if k <= len(all_merges)]
     if len(all_merges) not in ks:

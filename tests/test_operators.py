@@ -1412,6 +1412,74 @@ def test_bpe_train_matches_python_reference(spark):
     assert tx.bpe_train(df, n_merges=3, min_pair_count=10**6).count() == 0
 
 
+def test_bpe_train_local_matches_distributed_and_python(spark):
+    """The driver-local vocabulary-scale trainer must produce the SAME
+    merge sequence as the distributed trainer and the pure-Python
+    reference — counts, symbols, tie-breaks, early stop."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    texts = [
+        "the cat sat on the mat",
+        "the hat that the cat wore",
+        "aaaa aaaa ab",
+        "to to to be be",
+        None,
+        "x",
+    ]
+    schema = StructType(
+        [StructField("doc_id", IntegerType()), StructField("text", StringType())]
+    )
+    df = spark.createDataFrame(list(enumerate(texts)), schema)
+    local = [tuple(r) for r in tx.bpe_train_local(df, n_merges=12).collect()]
+    assert local == _py_bpe_train(texts, 12)
+    assert local == [tuple(r) for r in tx.bpe_train(df, n_merges=12).collect()]
+    # early stop parity
+    assert tx.bpe_train_local(df, n_merges=3, min_pair_count=10**6).count() == 0
+
+
+def test_bpe_train_local_long_horizon_roundtrip(spark):
+    """A vocabulary-scale horizon (hundreds of merges, min_pair_count=1 so
+    training exhausts the corpus) still matches the pure-Python recount
+    reference merge-for-merge, and bpe_apply_pandas round-trips the
+    learned vocabulary: every whole word that became a single symbol
+    tokenizes to exactly [▁, word]."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    rng = __import__("random").Random(7)
+    vocab = ["tokenizer", "training", "byte", "pair", "encoding", "spark",
+             "catalyst", "shuffle", "partition", "vectorized", "überlang"]
+    texts = [" ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12)))
+             for _ in range(60)]
+    schema = StructType(
+        [StructField("doc_id", IntegerType()), StructField("text", StringType())]
+    )
+    df = spark.createDataFrame(list(enumerate(texts)), schema)
+    got = [tuple(r) for r in
+           tx.bpe_train_local(df, n_merges=500, min_pair_count=1).collect()]
+    want = _py_bpe_train(texts, 500, min_pair_count=1)
+    assert got == want
+    assert len(got) > 50  # the horizon actually exercised incremental updates
+    merges = [(a, b) for _, a, b, _, _ in got]
+    toks = {r.doc_id: r.tokens for r in
+            tx.bpe_apply_pandas(df, merges, id_col="doc_id").collect()}
+    # min_pair_count=1 exhausts every word to one symbol (the ▁ marker
+    # stays a separate token — bpe_train symbolizes words without it)
+    assert toks[0] == " ".join(f"▁ {w}" for w in texts[0].split())
+
+
+def test_bpe_train_local_distinct_word_guard(spark):
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", IntegerType()), StructField("text", StringType())]
+    )
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(0, "aa bb cc dd ee")], schema)
+    with _pytest.raises(ValueError, match="distinct words"):
+        tx.bpe_train_local(df, n_merges=2, max_distinct_words=3)
+
+
 def test_bpe_train_empty_corpus(spark):
     from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
@@ -1562,7 +1630,10 @@ def test_bpe_apply_pandas_matches_fold_path(spark):
     schema = StructType(
         [StructField("media_key", LongType()), StructField("text", StringType())]
     )
-    texts = ["the cat sat on the mat", "aaaa ab the hat", None, "", "x ü ▁"]
+    # "no break": Java \s is ASCII-only, so NBSP must stay INSIDE the
+    # token in both paths (round-7 ADVICE — Python str.split() would split it)
+    texts = ["the cat sat on the mat", "aaaa ab the hat", None, "", "x ü ▁",
+             "no break the\tcatsat"]
     df = spark.createDataFrame(list(enumerate(texts)), schema)
     merges = [(r.a, r.b) for r in tx.bpe_train(df, n_merges=6).collect()]
     assert merges

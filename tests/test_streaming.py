@@ -757,3 +757,55 @@ def test_streaming_semantic_dedup_torn_store_replay(spark, tmp_path):
     assert kept == {1}, kept  # NOT {2}: the torn seen row must not hide id 1
     seen = spark.read.parquet(f"{store}/seen")
     assert seen.count() == 2 and seen.select("vec_id").distinct().count() == 2
+
+
+def test_read_batch_store_guards(spark, tmp_path):
+    """store_io.read_batch_store: (a) missing dir and committed-batch-free
+    dirs read as 'no corpus yet'; (b) a legacy flat-append store raises a
+    migration error instead of an unresolved-column crash downstream; (c)
+    a damaged store FAILS the batch rather than masquerading as empty
+    (the round-7 ADVICE fix)."""
+    from ecom_snowflake_duckdb_migration_spark.streaming.store_io import (
+        LegacyStoreLayoutError,
+        read_batch_store,
+    )
+
+    # (a) missing / uncommitted-only
+    assert read_batch_store(spark, str(tmp_path / "nope"), 0) is None
+    empty = tmp_path / "empty"
+    (empty / "_temporary" / "0").mkdir(parents=True)
+    assert read_batch_store(spark, str(empty), 0) is None
+
+    # (b) legacy flat-append layout
+    legacy = str(tmp_path / "legacy")
+    spark.range(3).write.parquet(legacy)
+    with pytest.raises(LegacyStoreLayoutError, match="flat-append"):
+        read_batch_store(spark, legacy, 0)
+
+    # happy path: committed batches, own partition excluded
+    keyed = tmp_path / "keyed"
+    spark.range(2).write.parquet(str(keyed / "batch_id=0"))
+    spark.range(5).write.parquet(str(keyed / "batch_id=1"))
+    got = read_batch_store(spark, str(keyed), 1, drop_batch_id=True)
+    assert got.count() == 2 and got.columns == ["id"]
+
+    # (c) damaged store: a committed partition holding a corrupt file
+    # must raise, not return None
+    bad = keyed / "batch_id=2"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"not a parquet file")
+    df = read_batch_store(spark, str(keyed), 99)
+    with pytest.raises(Exception):
+        df.count()
+
+
+def test_image_hashes_grid_bound(spark):
+    """grid > 8 would silently truncate the 64-bit packed hash (numpy
+    shifts >= 64 are undefined) — must raise instead (round-7 ADVICE)."""
+    from ecom_snowflake_duckdb_migration_spark.multimodal import phash
+
+    df = spark.createDataFrame([("m1", bytearray(b""))], "media_id STRING, payload BINARY")
+    with pytest.raises(ValueError, match="grid"):
+        phash.image_hashes(df, grid=9)
+    with pytest.raises(ValueError, match="grid"):
+        phash.image_near_pairs(df, grid=12)
