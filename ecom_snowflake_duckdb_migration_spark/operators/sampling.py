@@ -314,6 +314,93 @@ def token_budget_select(
     )
 
 
+def exact_ntile_bucketed(
+    df: DataFrame,
+    n_tiles: int,
+    value_col: str,
+    tiebreak_col: str,
+    out_col: str,
+    descending: bool = False,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """EXACT ``ntile(n_tiles) OVER (ORDER BY value [DESC], tiebreak)``
+    without the global total order — the scale path for quantile scoring
+    (RFM and friends).
+
+    ``NTILE`` is a pure function of a row's global rank and the total
+    count, so it does not actually need a single-reducer sort: rows are
+    range-bucketed on ``value_col`` via approx-quantile cuts (monotone
+    cuts suffice — equal values always land in the same bucket, so the
+    (value, tiebreak) order is bucket-respecting wherever the approximate
+    cuts fall), ``row_number`` runs partitioned per bucket, bucket counts
+    are a driver-side prefix sum over ``n_buckets`` scalars (the
+    ``token_budget_select`` contract), and the tile comes from SQL
+    ``NTILE``'s floor allocation: with n rows and k tiles the first
+    ``n % k`` tiles hold ``n // k + 1`` rows. Bit-identical to the window
+    form, at one hash-ranged exchange with |rows|/n_buckets-bounded sort
+    runs instead of one reducer sorting everything.
+
+    ``value_col`` must be non-null (NULL orders differently under Spark
+    and DuckDB DESC; fail fast), ``tiebreak_col`` must be unique per row
+    for a deterministic total order.
+    """
+    if n_tiles <= 0:
+        raise ValueError("n_tiles must be positive")
+    from pyspark.sql import Window
+
+    cuts = df.stat.approxQuantile(
+        value_col, [i / n_buckets for i in range(1, n_buckets)], 0.01
+    )
+    v = F.col(value_col)
+    bucket = F.lit(0)
+    for c in sorted(set(float(c) for c in cuts)):
+        # bucket 0 holds the FIRST rows of the order in both directions;
+        # ties with the cut land in one bucket (strict compare one side)
+        bucket = bucket + (
+            F.when(v > F.lit(c), 0).otherwise(1)
+            if descending
+            else F.when(v > F.lit(c), 1).otherwise(0)
+        )
+    b = df.withColumn("_bkt", bucket)
+    order_v = v.desc() if descending else v.asc()
+    w = Window.partitionBy("_bkt").orderBy(order_v, F.col(tiebreak_col).asc())
+    ranked = b.withColumn("_rk_in", F.row_number().over(w))
+    stats = b.groupBy("_bkt").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.count_if(v.isNull()).alias("bad"),
+    ).collect()
+    if sum(r["bad"] for r in stats) > 0:
+        raise ValueError(f"{value_col} contains NULLs; ntile order undefined")
+    counts = {r["_bkt"]: r["c"] for r in stats}
+    offsets, running = {}, 0
+    for k in sorted(counts):
+        offsets[k] = running
+        running += counts[k]
+    n = running
+    off = (
+        F.coalesce(
+            F.element_at(
+                F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+                F.col("_bkt"),
+            ),
+            F.lit(0),
+        )
+        if offsets
+        else F.lit(0)
+    )
+    rank = off + F.col("_rk_in")  # exact global 1-based rank
+    q, m = divmod(n, n_tiles)
+    boundary = m * (q + 1)  # ranks <= boundary sit in the q+1-sized tiles
+    if q == 0:
+        tile = rank  # fewer rows than tiles: ntile gives rank itself
+    else:
+        tile = F.when(
+            rank <= F.lit(boundary), (rank + F.lit(q)) / F.lit(q + 1)
+        ).otherwise(F.lit(m) + (rank - F.lit(boundary) + F.lit(q - 1)) / F.lit(q))
+        tile = F.floor(tile)
+    return ranked.withColumn(out_col, tile.cast("int")).drop("_bkt", "_rk_in")
+
+
 def gumbel_topk_sample(
     df: DataFrame,
     logweight_e6_col: str,

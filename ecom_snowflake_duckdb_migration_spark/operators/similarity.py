@@ -357,13 +357,60 @@ def assign_cell(vec_col: Column | str, centroids: list[list[float]]) -> Column:
     return (F.lit(0) - F.array_max(sims)["negcell"]).alias("cell")
 
 
+def assign_cell_pandas(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "ivf_cell",
+) -> DataFrame:
+    """Vectorized twin of :func:`assign_cell` for production codebooks.
+
+    The literal-expression assigner evaluates one interpreted cosine fold
+    per centroid per row — fine at oracle-sized codebooks (<= 16 cells),
+    but linear in the codebook: measured 90 s for 128 cells x 20k vectors
+    where this one Arrow-batched float64 matmul takes well under a
+    second. Ties break to the LOWEST cell id (numpy argmax returns the
+    first maximum), matching assign_cell's (sim, -cell) array_max. Zero
+    shuffle; the codebook ships in the task closure (128 x 64 doubles =
+    64 KB). The expression path remains the DuckDB-oracle-matched form;
+    this is the path a real IVF deployment (sqrt(N) cells) uses.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = np.linalg.norm(C, axis=1)
+    schema = StructType(df.schema.fields + [StructField(out_col, IntegerType())])
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(**{out_col: pd.Series([], dtype="int32")})
+                continue
+            M = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            sims = (M @ C.T) / np.outer(np.linalg.norm(M, axis=1), Cn)
+            yield pdf.assign(**{out_col: np.argmax(sims, axis=1).astype("int32")})
+
+    return df.mapInPandas(run, schema)
+
+
 def ivf_partition(
     df: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "embedding",
+    method: str = "auto",
 ) -> DataFrame:
     """Attach the IVF cell id. Persisting the result partitioned/bucketed by
-    ``ivf_cell`` turns every probe into partition pruning at scale."""
+    ``ivf_cell`` turns every probe into partition pruning at scale.
+
+    ``method``: 'expr' = the Catalyst literal-codebook assigner (DuckDB
+    oracle twin; right for small codebooks), 'pandas' = the Arrow/numpy
+    kernel (production codebooks), 'auto' = expr up to 16 cells."""
+    if method == "auto":
+        method = "expr" if len(centroids) <= 16 else "pandas"
+    if method == "pandas":
+        return assign_cell_pandas(df, centroids, vec_col)
     return df.withColumn("ivf_cell", assign_cell(vec_col, centroids))
 
 
@@ -372,7 +419,7 @@ def ann_topk_ivf_centroids(
     query: DataFrame,
     centroids: list[list[float]],
     k: int = 10,
-    nprobe: int = 6,
+    nprobe: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -449,16 +496,52 @@ def quantize_int8(
     )
 
 
+def _probe_cells_pandas(
+    queries: DataFrame,
+    centroids: list[list[float]],
+    query_vec_col: str,
+    nprobe: int,
+) -> DataFrame:
+    """``queries`` + ``_cells`` (the nprobe nearest cell ids, sim desc,
+    ties by LOWER cell id) via one Arrow/numpy pass — the query-side twin
+    of :func:`assign_cell_pandas` for production codebooks."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (ArrayType, IntegerType, StructField,
+                                   StructType)
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = np.linalg.norm(C, axis=1)
+    nprobe = min(nprobe, len(centroids))
+    schema = StructType(
+        queries.schema.fields + [StructField("_cells", ArrayType(IntegerType()))]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(_cells=pd.Series([], dtype=object))
+                continue
+            M = np.array(pdf[query_vec_col].tolist(), dtype=np.float64)
+            sims = (M @ C.T) / np.outer(np.linalg.norm(M, axis=1), Cn)
+            # stable argsort on -sim: ties keep the lower cell id first
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            yield pdf.assign(_cells=[r.astype("int32").tolist() for r in top])
+
+    return queries.mapInPandas(run, schema)
+
+
 def knn_join(
     items: DataFrame,
     queries: DataFrame,
     centroids: list[list[float]],
     k: int = 10,
-    nprobe: int = 6,
+    nprobe: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_vec_col: str = "qe",
     query_id_col: str = "q_id",
+    method: str = "auto",
 ) -> DataFrame:
     """Batch k-NN join: for EVERY row of ``queries``, the top-``k`` items by
     cosine among the ``nprobe`` IVF cells nearest that query — the
@@ -476,28 +559,50 @@ def knn_join(
     partitioned by query id. With items persisted bucketed by ``ivf_cell``
     (``ivf_partition``) the item side arrives pre-partitioned and the join
     is exchange-free on that side.
+
+    ``method`` follows :func:`ivf_partition`: 'expr' keeps both cell
+    assignment and probe selection as literal-codebook Catalyst
+    expressions (the DuckDB-oracled form, right up to ~16 cells);
+    'pandas'/'auto'(>16) swaps both for the Arrow/numpy kernel — at a
+    production sqrt(N) codebook the expression form is linear-in-cells
+    interpreted work per row (measured 90 s vs < 1 s at 128 cells).
+    Probe-cell ties break by higher cell id in 'expr' and lower in
+    'pandas' (exact float-cosine ties across distinct trained centroids —
+    vanishingly rare, and >16-cell codebooks have no oracle to match).
     """
     from pyspark.sql import Window
 
+    if method == "auto":
+        method = "expr" if len(centroids) <= 16 else "pandas"
     d = len(centroids[0])
-    qn = norm(query_vec_col, d)
-    sims = F.array(
-        *[
-            F.struct(
-                cosine_lit(query_vec_col, c, qn).alias("sim"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    probe = F.slice(F.reverse(F.array_sort(sims)), 1, nprobe)
-    qcells = queries.select(
-        query_id_col,
-        query_vec_col,
-        norm(query_vec_col, d).alias("_qn"),
-        F.explode(F.transform(probe, lambda s: s["cell"])).alias("cell"),
-    )
-    celled = ivf_partition(items, centroids, vec_col).withColumnRenamed(
+    if method == "pandas":
+        qcells = _probe_cells_pandas(
+            queries, centroids, query_vec_col, nprobe
+        ).select(
+            query_id_col,
+            query_vec_col,
+            norm(query_vec_col, d).alias("_qn"),
+            F.explode("_cells").alias("cell"),
+        )
+    else:
+        qn = norm(query_vec_col, d)
+        sims = F.array(
+            *[
+                F.struct(
+                    cosine_lit(query_vec_col, c, qn).alias("sim"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        probe = F.slice(F.reverse(F.array_sort(sims)), 1, nprobe)
+        qcells = queries.select(
+            query_id_col,
+            query_vec_col,
+            norm(query_vec_col, d).alias("_qn"),
+            F.explode(F.transform(probe, lambda s: s["cell"])).alias("cell"),
+        )
+    celled = ivf_partition(items, centroids, vec_col, method=method).withColumnRenamed(
         "ivf_cell", "cell"
     )
     celled = celled.withColumn("_in", norm(vec_col, d))

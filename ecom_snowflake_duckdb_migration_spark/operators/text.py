@@ -1948,25 +1948,31 @@ def bpe_apply(
 
 
 def _hashed_presence_features(
-    df: DataFrame, text_col: str, id_col: str, n_buckets: int
+    df: DataFrame, text_col: str, id_cols, n_buckets: int, distinct: bool = True
 ) -> DataFrame:
     """Binary hashed bag-of-words features: distinct (id, bucket) pairs
     over word unigrams + bigrams, hashed with the cross-engine h60 into
-    ``n_buckets`` (the dsir_weights feature space, presence-only)."""
+    ``n_buckets`` (the dsir_weights feature space, presence-only).
+
+    The word array is let-bound through a one-element ``transform``
+    lambda so ``split`` evaluates ONCE per row — referencing the split
+    macro from every gram expression re-evaluates it per reference after
+    projection collapse (measured 5x the tokenize cost)."""
     from .sketches import h60
 
-    t = f"split(trim(coalesce({text_col}, '')), '\\\\s+')"
+    if isinstance(id_cols, str):
+        id_cols = [id_cols]
     arr = (
-        f"concat({t}, CASE WHEN size({t}) >= 2 THEN"
-        f" transform(sequence(1, size({t}) - 1),"
-        f" i -> concat_ws(' ', slice({t}, i, 2)))"
-        f" ELSE array() END)"
+        f"get(transform(array(split(trim(coalesce({text_col}, '')), '\\\\s+')),"
+        " t -> concat(t, CASE WHEN size(t) >= 2 THEN"
+        " transform(sequence(1, size(t) - 1),"
+        " i -> concat_ws(' ', slice(t, i, 2)))"
+        " ELSE array() END)), 0)"
     )
-    return (
-        df.select(F.col(id_col), F.explode(F.expr(arr)).alias("g"))
-        .select(F.col(id_col), (h60(F.col("g")) % n_buckets).alias("b"))
-        .distinct()
+    out = df.select(*id_cols, F.explode(F.expr(arr)).alias("g")).select(
+        *id_cols, (h60(F.col("g")) % n_buckets).alias("b")
     )
+    return out.distinct() if distinct else out
 
 
 def quality_classifier_train(
@@ -1977,6 +1983,8 @@ def quality_classifier_train(
     n_buckets: int = 1024,
     n_iters: int = 15,
     lr: float = 2.0,
+    train_sample_e6: int | None = None,
+    seed: int = 42,
 ) -> list[int]:
     """Train the GPT-3-style discriminative quality classifier (Brown et
     al. 2020 appendix A: a linear classifier separating the curated
@@ -1998,81 +2006,103 @@ def quality_classifier_train(
     identical integer inputs).
 
     Scale: the feature table (|docs| x avg distinct buckets) is built
-    once and localCheckpoint-ed; each iteration is one broadcast join +
-    doc groupBy (the margin), one doc-keyed join of the |docs|-row
-    residual back onto features, and one bucket groupBy that combines
-    map-side to <= n_buckets rows collected to the driver. Weights
+    once and localCheckpoint-ed with the bias as a constant feature
+    (bucket -1 on every doc) — so each iteration is ONE broadcast join +
+    doc groupBy (the margin, bias included), one doc-keyed join of the
+    |docs|-row residual back onto features, and ONE bucket groupBy that
+    combines map-side to <= n_buckets + 1 rows collected to the driver
+    (the b = -1 row IS the bias gradient; no second collect). Weights
     (n_buckets e6 ints) always fit the driver by construction.
+
+    ``train_sample_e6`` trains on a deterministic hash sample of both
+    sides (e6 rate; the ``sampling`` module's engine-stable hash) — the
+    standard sample-train / full-score split when the raw corpus is
+    orders of magnitude bigger than what the classifier needs; scoring
+    (``quality_classifier_score``) always runs over the full corpus.
     """
-    labeled = (
-        corpus.select(F.col(id_col), F.col(text_col), F.lit(0).alias("y"))
-        .unionByName(
-            target.select(F.col(id_col), F.col(text_col), F.lit(1).alias("y"))
+    if train_sample_e6 is not None:
+        from .sampling import deterministic_sample
+
+        corpus = deterministic_sample(corpus, train_sample_e6, id_col=id_col, seed=seed)
+        target = deterministic_sample(target, train_sample_e6, id_col=id_col, seed=seed)
+    # composite (_y, _id) doc key: corpus/target id spaces may overlap and
+    # the label disambiguates — no synthetic monotonic id, so no extra
+    # materialization is needed to keep the feats/labels join stable
+    labeled = corpus.select(
+        F.lit(0).alias("_y"), F.col(id_col).alias("_id"), F.col(text_col)
+    ).unionByName(
+        target.select(
+            F.lit(1).alias("_y"), F.col(id_col).alias("_id"), F.col(text_col)
         )
+    )
+    # bias as the constant feature b = -1 on every doc, and the whole
+    # feature table folded to ONE ROW PER DOC (bucket array + label): an
+    # iteration is then a single job — margin and residual are per-row
+    # expressions against the literal weight array (no join, no doc-keyed
+    # shuffle), and the only exchange is the gradient groupBy, which
+    # map-side combines to <= n_buckets + 1 rows before collecting (the
+    # b = -1 row IS the bias gradient; no second pass). AQE sizes the
+    # checkpointed frame's partitions to the data.
+    doc_feats = (
+        _hashed_presence_features(
+            labeled, text_col, ["_y", "_id"], n_buckets, distinct=False
+        )
+        # collect_set = the distinct + list fold in ONE shuffle (set
+        # order is nondeterministic, but every consumer below is an
+        # order-independent integer sum)
+        .groupBy("_y", "_id")
+        .agg(F.collect_set("b").alias("bs"))
+        .join(labeled.select("_y", "_id"), ["_y", "_id"], "right")
         .select(
-            # synthetic id: corpus/target id spaces may overlap
-            F.monotonically_increasing_id().alias("_tid"), text_col, "y"
+            F.col("_y").alias("y"),
+            F.concat(
+                F.array(F.lit(-1)), F.coalesce(F.col("bs"), F.array())
+            ).alias("bs"),
         )
-        # pin ONE materialization: feats and labels below must see the
-        # same _tid per row, and monotonically_increasing_id is only
-        # stable within a single evaluation's partition layout
         .localCheckpoint(eager=True)
     )
-    feats = _hashed_presence_features(
-        labeled, text_col, "_tid", n_buckets
-    ).localCheckpoint(eager=True)
-    labels = labeled.select("_tid", "y")
-    n_docs = labels.count()
-    spark = corpus.sparkSession
+    n_docs = doc_feats.count()
     if n_docs == 0:
         return [0] * (n_buckets + 1)
 
     w = [0] * (n_buckets + 1)  # e6 ints; [0] is the bias
 
     for _ in range(n_iters):
-        wdf = F.broadcast(
-            spark.createDataFrame(
-                [(b, w[b + 1]) for b in range(n_buckets)], "b INT, w_e6 LONG"
-            )
+        # weight lookup as a literal array indexed by bucket + 1 (0 = bias)
+        warr = F.lit([int(v) for v in w])
+        z = F.aggregate(
+            F.col("bs"),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc + F.get(warr, b + F.lit(1)),
         )
         # margin z (exact integer) -> residual r = floor((sigmoid - y)*1e6)
-        margins = (
-            feats.join(wdf, feats["b"] == wdf["b"])
-            .groupBy("_tid")
-            .agg(F.sum("w_e6").alias("z_e6"))
-        )
-        resid = (
-            labels.join(margins, "_tid", "left")
-            .select(
-                "_tid",
-                F.floor(
-                    F.lit(1.0)
-                    / (
-                        F.lit(1.0)
-                        + F.exp(
-                            -F.greatest(
-                                F.lit(-30.0),
-                                F.least(
-                                    F.lit(30.0),
-                                    (F.coalesce(F.col("z_e6"), F.lit(0)) + w[0])
-                                    / F.lit(1e6),
-                                ),
-                            )
-                        )
+        r = F.floor(
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.exp(
+                    -F.greatest(
+                        F.lit(-30.0), F.least(F.lit(30.0), z / F.lit(1e6))
                     )
-                    * F.lit(1e6)
-                    - F.col("y") * F.lit(1e6)
-                ).cast("long").alias("r_e6"),
+                )
             )
-        )
-        grad_rows = (
-            feats.join(resid, "_tid")
-            .groupBy("b")
-            .agg(F.sum("r_e6").alias("g_e6"))
-            .collect()
-        )
-        bias_grad = resid.agg(F.sum("r_e6")).collect()[0][0] or 0
-        w[0] -= int(round(lr * bias_grad / n_docs))
+            * F.lit(1e6)
+            - F.col("y") * F.lit(1e6)
+        ).cast("long")
+        # persist barrier: projection collapse would otherwise push the
+        # margin fold through the explode and recompute it per exploded
+        # row (measured 2.7x); the cache fills inside the gradient job
+        # itself, so each iteration is exactly one job
+        rdf = doc_feats.select(r.alias("r_e6"), "bs").persist()
+        try:
+            grad_rows = (
+                rdf.select("r_e6", F.explode("bs").alias("b"))
+                .groupBy("b")
+                .agg(F.sum("r_e6").alias("g_e6"))
+                .collect()
+            )
+        finally:
+            rdf.unpersist()
         for row in grad_rows:
             w[row["b"] + 1] -= int(round(lr * row["g_e6"] / n_docs))
     return w

@@ -2489,17 +2489,27 @@ def x97_cohort_retention(spark, sf_dir):
     "quartiles) — the marketing-analytics classic over the event stream; "
     "fixed anchor date keeps recency deterministic (F10 injectable-clock "
     "convention) and bp fixed-point monetary keeps the quartile order "
-    "engine-exact. One per-user aggregate + three global ntile windows "
-    "(single-exchange on an |users|-sized relation; at 100 TB swap ntile "
-    "for approx-percentile cuts to avoid the global sort).",
+    "engine-exact. Size-gated like q22/x107: below the gate the literal "
+    "three global ntile windows (the oracle surface), above it "
+    "operators.sampling.exact_ntile_bucketed — range-bucketed rank + "
+    "driver prefix offsets over n_buckets scalars, BIT-IDENTICAL tiles "
+    "without any single-reducer sort (parity pinned both ways in "
+    "tests/test_operators.py).",
     tags=("analytics", "W1", "A3"),
 )
 def x98_rfm_segments(spark, sf_dir):
-    from pyspark.sql import Window
+    from .catalog_core import _BROADCAST_GATE_BYTES, _parquet_bytes
 
+    base = _rfm_base(spark, sf_dir)
+    if _parquet_bytes(sf_dir, "events") < _BROADCAST_GATE_BYTES:
+        return _rfm_ntile_window(base)
+    return _rfm_ntile_bucketed(base)
+
+
+def _rfm_base(spark, sf_dir):
     e = load(spark, sf_dir, "events")
     is_p = F.col("event_type") == "purchase"
-    base = e.groupBy("user_id").agg(
+    return e.groupBy("user_id").agg(
         F.datediff(F.lit("2024-02-01").cast("date"), F.max(F.to_date("ts"))).alias(
             "recency_days"
         ),
@@ -2509,12 +2519,32 @@ def x98_rfm_segments(spark, sf_dir):
             .otherwise(F.lit(0))
         ).cast("long").alias("monetary_bp"),
     )
+
+
+def _rfm_ntile_window(base):
+    """Literal ntile windows — oracle-shaped; one global total order per
+    score (fine while |users| fits one reducer's sort)."""
+    from pyspark.sql import Window
+
     return base.select(
         "*",
         F.ntile(4).over(Window.orderBy(F.desc("recency_days"), F.asc("user_id"))).alias("r_score"),
         F.ntile(4).over(Window.orderBy(F.asc("frequency"), F.asc("user_id"))).alias("f_score"),
         F.ntile(4).over(Window.orderBy(F.asc("monetary_bp"), F.asc("user_id"))).alias("m_score"),
     )
+
+
+def _rfm_ntile_bucketed(base):
+    """Scale shape: three exact bucketed ntiles (each one range-bucketed
+    exchange), identical output — no global sort anywhere."""
+    from ..operators.sampling import exact_ntile_bucketed
+
+    base = base.localCheckpoint(eager=False)
+    out = exact_ntile_bucketed(
+        base, 4, "recency_days", "user_id", "r_score", descending=True
+    )
+    out = exact_ntile_bucketed(out, 4, "frequency", "user_id", "f_score")
+    return exact_ntile_bucketed(out, 4, "monetary_bp", "user_id", "m_score")
 
 
 @register(
@@ -2668,9 +2698,11 @@ def x105_bpe_merges(spark, sf_dir):
     "logistic regression on binary hashed unigram+bigram features, "
     "trained src0-vs-rest by full-batch GD with e6-integer gradients "
     "(bit-reproducible at any parallelism), then scores every corpus "
-    "doc. Per iteration: one broadcast join + doc groupBy, one doc-keyed "
-    "residual join, one bucket groupBy collected at <= n_buckets rows — "
-    "weights are driver-bounded by construction.",
+    "doc. Training folds features to one bucket-array row per doc "
+    "(bias as the constant bucket -1); an iteration is then ONE job — "
+    "margin and residual are per-row expressions, the only exchange is "
+    "the map-side-combined gradient groupBy collected at <= n_buckets+1 "
+    "rows — weights are driver-bounded by construction.",
     tags=("LLM", "quality", "iterative"),
 )
 def x110_quality_classifier(spark, sf_dir):

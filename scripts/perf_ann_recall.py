@@ -1,0 +1,126 @@
+"""IVF recall@10 + probe cost at production geometry.
+
+The round-7 recall gate used an 8-cell codebook on the sf0.1 embeddings
+(2000 x 64); production IVF sizes the codebook ~sqrt(N). The sf1/sf16
+embedding files are EXACT COPIES of the sf0.1 vectors (gen_sf_multiply
+offsets ids only), so a recall sweep over them is degenerate — every
+query's top-k is its own duplicates, recall@10 = 1.0 at nprobe=1. This
+script instead derives a 20000-vector DISTINCT set from the committed
+sf0.1 embeddings (10 seeded Gaussian perturbations per vector at ~0.82
+cosine — the near-duplicate cluster structure a real corpus has), trains
+a 128-cell codebook (sqrt(N) ~ 141), and measures recall@10 vs the exact
+numpy oracle plus probe wall time per nprobe, so the family default is
+justified at the geometry a real deployment would run.
+
+Usage: python scripts/perf_ann_recall.py [sf_dir] [n_cells] [out.json]
+Writes PERF_ANN_RECALL.json.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from ecom_snowflake_duckdb_migration_spark.operators import similarity as sim
+from ecom_snowflake_duckdb_migration_spark.session import get_spark
+
+
+def perturbed_embeddings(spark, sf_dir: str, copies: int = 10, seed: int = 7,
+                         rel_sigma: float = 0.7):
+    """20000 DISTINCT vectors derived from the committed sf0.1 set: copy i
+    of vector v is v + rel_sigma*||v||*unit_gaussian (cosine ~0.82 to the
+    base — near-duplicate clusters straddling cell boundaries). Deterministic; also used by the
+    pytest recall pin."""
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    rows = base.orderBy("vec_id").collect()
+    rng = np.random.RandomState(seed)
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = np.array([r.vec_id for r in rows])
+    out_ids, out_vecs = [], []
+    n = len(ids)
+    for i in range(copies):
+        g = rng.standard_normal(mat.shape)
+        g /= np.linalg.norm(g, axis=1, keepdims=True)
+        pert = mat + rel_sigma * np.linalg.norm(mat, axis=1, keepdims=True) * g
+        out_ids.extend((ids + i * 1_000_000).tolist())
+        out_vecs.extend([[float(x) for x in row] for row in pert])
+    return spark.createDataFrame(
+        list(zip(out_ids, out_vecs)), "vec_id bigint, embedding array<double>"
+    ).repartition(32).localCheckpoint(eager=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_cells = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    out_path = sys.argv[3] if len(sys.argv) > 3 else "PERF_ANN_RECALL.json"
+    spark = get_spark(app_name="ann-recall", shuffle_partitions=32)
+    emb = perturbed_embeddings(spark, sf_dir)
+
+    t0 = time.perf_counter()
+    centroids = sim.train_centroids(emb, n_centroids=n_cells, seed=42)
+    train_sec = round(time.perf_counter() - t0, 2)
+    print(f"trained {n_cells} centroids in {train_sec}s", flush=True)
+
+    rows = emb.orderBy("vec_id").collect()  # ids[:n_queries] == the query filter
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    nrm = np.linalg.norm(mat, axis=1)
+    k = 10
+    n_queries = 100
+    truth = {}
+    for qi in ids[:n_queries]:
+        qv = mat[ids == qi][0]
+        cos = mat @ qv / (nrm * np.linalg.norm(qv))
+        order = np.lexsort((ids, -cos))
+        truth[int(qi)] = set(ids[order][:k].tolist())
+
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    sweep = {}
+    for nprobe in (1, 2, 4, 6, 8, 12, 16):
+        res = sim.knn_join(emb, queries, centroids, k=k, nprobe=nprobe)
+        res.count()  # warm (plan + codegen; the codebook is literal-inlined)
+        t0 = time.perf_counter()
+        got = {}
+        for r in res.collect():
+            got.setdefault(r.q_id, set()).add(r.vec_id)
+        probe_sec = round(time.perf_counter() - t0, 3)
+        recall = round(
+            sum(
+                len(got.get(int(qi), set()) & truth[int(qi)]) / k
+                for qi in ids[:n_queries]
+            )
+            / n_queries,
+            4,
+        )
+        sweep[str(nprobe)] = {"recall_at_10": recall, "probe_sec": probe_sec,
+                              "scored_fraction": round(nprobe / n_cells, 4)}
+        print(f"nprobe={nprobe}: recall@10={recall} probe={probe_sec}s", flush=True)
+
+    out = {
+        "sf_dir": sf_dir,
+        "geometry": "10 seeded ~0.82-cosine perturbations per committed "
+                    "sf0.1 vector (sf1/sf16 embedding files are exact "
+                    "duplicates — recall on them is degenerately 1.0)",
+        "n_vectors": int(len(ids)), "dim": int(mat.shape[1]),
+        "n_cells": n_cells, "train_sec": train_sec, "n_queries": n_queries,
+        "k": k, "sweep": sweep,
+    }
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {out_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -118,6 +118,14 @@ def main() -> int:
             corpus,
             tx.quality_classifier_train(corpus, bench, n_buckets=512, n_iters=8),
         ),
+        # the production shape: train on a 25% deterministic hash sample,
+        # score the full corpus
+        "quality_classifier_sampled": lambda: tx.quality_classifier_score(
+            corpus,
+            tx.quality_classifier_train(
+                corpus, bench, n_buckets=512, n_iters=8, train_sample_e6=250_000
+            ),
+        ),
         "bm25_scores": lambda: tx.bm25_scores(
             docs, ["spark", "hash", "merge", "window"]
         ),

@@ -6,13 +6,16 @@ headline set already proved?
 
 Usage: python scripts/perf_olap_scale.py <sf_dir> [n_runs=3] [out.json]
                                          [entries=comma,list]
-(x109's all-pairs-within-block verify is quadratic in block size for BOTH
-engines — measure it at a smaller SF than the aggregation entries.)
+x109's OUTPUT is quadratic in the duplication factor (238M pairs at
+sf16), so Arrow-materializing it measures driver marshalling, not the
+query — COUNT_MODE entries are timed as count()/COUNT(*) on both engines
+instead and labeled as such in the JSON.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -30,7 +33,15 @@ ENTRIES = [
     "x107_day_set_ops",
     "x108_corr_discount_qty",
     "x109_entity_match_pairs",
+    "x98_rfm_segments",
 ]
+COUNT_MODE = {"x109_entity_match_pairs"}
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
 
 
 def main() -> int:
@@ -45,14 +56,38 @@ def main() -> int:
     from ecom_snowflake_duckdb_migration_spark.session import get_spark
 
     specs = all_queries()
+    bench_mod.HEADLINE = [e for e in entries if e not in COUNT_MODE]
     duck = bench_duckdb(specs, sf_dir)
+    if any(e in COUNT_MODE for e in entries):
+        import duckdb
+
+        con = duckdb.connect()
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents", "embeddings"):
+            path = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(path):
+                con.execute(f"CREATE OR REPLACE VIEW {t} AS"
+                            f" SELECT * FROM read_parquet('{path}')")
+        for name in entries:
+            if name not in COUNT_MODE:
+                continue
+            sql = f"SELECT count(*) FROM ({specs[name].oracle})"
+            con.execute(sql).fetchone()  # warm
+            best = min(
+                _timed(lambda: con.execute(sql).fetchone()) for _ in range(n)
+            )
+            duck[name] = round(best, 4)
 
     spark = get_spark(app_name="olap-scale", shuffle_partitions=32)
     fns = {}
     for name in entries:
         fn = specs[name].fn
-        fn(spark, sf_dir).toArrow()  # warm (JIT + listing + page cache)
-        fns[name] = lambda fn=fn: fn(spark, sf_dir).toArrow()
+        if name in COUNT_MODE:
+            fn(spark, sf_dir).count()
+            fns[name] = lambda fn=fn: fn(spark, sf_dir).count()
+        else:
+            fn(spark, sf_dir).toArrow()  # warm (JIT + listing + page cache)
+            fns[name] = lambda fn=fn: fn(spark, sf_dir).toArrow()
     t0 = time.perf_counter()
     sp = time_blocked(fns)
     _ = time.perf_counter() - t0
@@ -66,6 +101,7 @@ def main() -> int:
         "ratio": round(total_s / total_d, 3),
         "spark_queries": sp,
         "duckdb_queries": duck,
+        "count_mode_entries": sorted(COUNT_MODE & set(entries)),
     }
     print(json.dumps(out), flush=True)
     with open(out_path, "w") as f:

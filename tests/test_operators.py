@@ -1201,10 +1201,12 @@ def test_ann_ivf_recall_gate(spark):
 
     Committed sf0.1 embeddings (2000 x 64), trained codebook (8 cells,
     seed 42), 50 queries, exact numpy oracle. Measured curve (recall@10):
-    nprobe 1 -> 0.48, 2 -> 0.64, 4 -> 0.81, 6 -> 0.93, 8 -> 1.0. The old
-    nprobe=4 default sat UNDER the 0.9 bar on this geometry (neighbors
-    straddle cell boundaries with only 8 cells), so the family default is
-    now nprobe=6 — the smallest probe count measured >= 0.9 here."""
+    nprobe 1 -> 0.48, 2 -> 0.64, 4 -> 0.81, 6 -> 0.93, 8 -> 1.0. nprobe=4
+    sits UNDER the 0.9 bar on this geometry (neighbors straddle cell
+    boundaries with only 8 cells); 6 is the smallest >= 0.9 here. The
+    FAMILY default is calibrated at production geometry instead — see
+    test_ann_ivf_recall_gate_production_geometry (128 cells, 20k distinct
+    vectors: 0.9 needs nprobe=8, hence the nprobe=8 default)."""
     import numpy as np
 
     emb = (
@@ -1237,9 +1239,70 @@ def test_ann_ivf_recall_gate(spark):
         ) / 50
     print("ivf recall@10 by nprobe:", recalls)
     assert recalls[8] >= 0.99                 # full probe == exact search
-    assert recalls[6] >= 0.90                 # the recorded default
-    assert recalls[4] < 0.90                  # why the default moved off 4
+    assert recalls[6] >= 0.90                 # smallest >= 0.9 at 8 cells
+    assert recalls[4] < 0.90                  # why 4 is not enough
     assert recalls[2] <= recalls[4] <= recalls[6] <= recalls[8] + 1e-9
+
+
+def test_ann_ivf_recall_gate_production_geometry(spark):
+    """The round-7 gate used an 8-cell codebook; production IVF sizes the
+    codebook ~sqrt(N). This pins recall at that geometry: a TRAINED
+    128-cell codebook over 20000 DISTINCT vectors (the sf1/sf16 embedding
+    files are exact duplicates of sf0.1's — recall on them is
+    degenerately 1.0 at nprobe=1 — so the set is 10 seeded ~0.82-cosine
+    perturbations per committed sf0.1 vector: near-duplicate clusters
+    that straddle cell boundaries). Measured curve (PERF_ANN_RECALL.json):
+    nprobe 1 -> 0.64, 4 -> 0.84, 6 -> 0.88, 8 -> 0.90, 12 -> 0.93,
+    16 -> 0.96. nprobe=8 is the smallest >= 0.9 — the family default.
+    Also exercises the pandas (numpy-kernel) assignment path end-to-end:
+    at >16 cells knn_join auto-dispatches to it (the expression path
+    measured 90 s vs < 5 s here)."""
+    import numpy as np
+
+    base = (
+        spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .select("vec_id", "embedding").orderBy("vec_id").collect()
+    )
+    rng = np.random.RandomState(7)
+    mat0 = np.array([r.embedding for r in base], dtype=np.float64)
+    ids0 = np.array([r.vec_id for r in base])
+    out_ids, out_vecs = [], []
+    for i in range(10):
+        g = rng.standard_normal(mat0.shape)
+        g /= np.linalg.norm(g, axis=1, keepdims=True)
+        pert = mat0 + 0.7 * np.linalg.norm(mat0, axis=1, keepdims=True) * g
+        out_ids.extend((ids0 + i * 1_000_000).tolist())
+        out_vecs.extend([[float(x) for x in row] for row in pert])
+    emb = spark.createDataFrame(
+        list(zip(out_ids, out_vecs)), "vec_id bigint, embedding array<double>"
+    ).repartition(8).localCheckpoint(eager=True)
+
+    centroids = sim.train_centroids(emb, n_centroids=128, seed=42)
+    ids = np.array(out_ids)
+    mat = np.array(out_vecs, dtype=np.float64)
+    nrm = np.linalg.norm(mat, axis=1)
+    k, n_q = 10, 60
+    truth = {}
+    order_ids = np.argsort(ids)
+    for qi in ids[order_ids][:n_q]:
+        qv = mat[ids == qi][0]
+        cos = mat @ qv / (nrm * np.linalg.norm(qv))
+        truth[int(qi)] = set(ids[np.lexsort((ids, -cos))][:k].tolist())
+    queries = emb.filter(F.col("vec_id") < n_q).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    recalls = {}
+    for nprobe in (4, 8, 16):
+        got = {}
+        for r in sim.knn_join(emb, queries, centroids, k=k, nprobe=nprobe).collect():
+            got.setdefault(r.q_id, set()).add(r.vec_id)
+        recalls[nprobe] = sum(
+            len(got.get(q, set()) & t) / k for q, t in truth.items()
+        ) / n_q
+    print("production-geometry recall@10 by nprobe:", recalls)
+    assert recalls[8] >= 0.90                 # the family default's floor
+    assert recalls[16] >= recalls[8] >= recalls[4] - 1e-9
+    assert recalls[4] < 0.90                  # why the default is not 4
 
 
 def test_bpe_pair_counts_planted(spark):
@@ -1668,3 +1731,63 @@ def test_percentile_approx_within_rank_epsilon_of_exact(spark, sf_dir):
         lo = vals[max(0, rank - eps)]
         hi = vals[min(n - 1, rank + eps)]
         assert lo <= g <= hi, (p, g, lo, hi)
+
+
+def test_exact_ntile_bucketed_matches_window_ntile(spark):
+    """exact_ntile_bucketed must equal ntile(k) OVER (ORDER BY v, id) for
+    every k/direction on data with heavy ties, negatives, and n < k —
+    the bit-identical claim behind x98's scale branch."""
+    import random
+
+    from pyspark.sql import Window
+    from ecom_snowflake_duckdb_migration_spark.operators.sampling import (
+        exact_ntile_bucketed,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, rng.choice([-5, 0, 0, 3, 3, 3, 7, 100])) for i in range(200)]
+    df = spark.createDataFrame(rows, "id INT, v INT")
+    for k in (1, 3, 4, 7):
+        for desc in (False, True):
+            order = [F.desc("v") if desc else F.asc("v"), F.asc("id")]
+            want = {
+                r.id: r.t
+                for r in df.select(
+                    "id", F.ntile(k).over(Window.orderBy(*order)).alias("t")
+                ).collect()
+            }
+            got = {
+                r.id: r.t
+                for r in exact_ntile_bucketed(
+                    df, k, "v", "id", "t", descending=desc, n_buckets=5
+                ).collect()
+            }
+            assert got == want, (k, desc)
+    # n < k: ntile degenerates to rank
+    tiny = spark.createDataFrame([(1, 10), (2, 20)], "id INT, v INT")
+    got = {r.id: r.t for r in
+           exact_ntile_bucketed(tiny, 4, "v", "id", "t").collect()}
+    assert got == {1: 1, 2: 2}
+    # NULL value fails fast
+    import pytest as _pytest
+    withnull = spark.createDataFrame([(1, None), (2, 5)], "id INT, v INT")
+    with _pytest.raises(ValueError, match="NULL"):
+        exact_ntile_bucketed(withnull, 4, "v", "id", "t")
+
+
+def test_rfm_bucketed_branch_matches_window(spark, sf_dir):
+    """x98's two size-gate branches are bit-identical on committed data —
+    the claim that lets the GLOBAL_WINDOW allowance narrow to the
+    below-gate branch."""
+    from ecom_snowflake_duckdb_migration_spark.queries.catalog_llm import (
+        _rfm_base,
+        _rfm_ntile_bucketed,
+        _rfm_ntile_window,
+    )
+
+    base = _rfm_base(spark, sf_dir)
+    cols = ["user_id", "recency_days", "frequency", "monetary_bp",
+            "r_score", "f_score", "m_score"]
+    want = sorted(tuple(r) for r in _rfm_ntile_window(base).select(cols).collect())
+    got = sorted(tuple(r) for r in _rfm_ntile_bucketed(base).select(cols).collect())
+    assert got == want and len(got) > 0

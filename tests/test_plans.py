@@ -401,10 +401,11 @@ LINT_ALLOW: dict[str, dict[str, str]] = {
     "x103_mom_revenue_growth": {"GLOBAL_WINDOW": "|months| rollup input"},
     "x104_trailing_7d_stats": {"GLOBAL_WINDOW": "|days| rollup input"},
     "x98_rfm_segments": {
-        "GLOBAL_WINDOW": "exact ntile needs a total order over |users|; "
-        "the scalable path is quantile-bucket + prefix rank "
-        "(sampling.token_budget_select machinery) at the cost of "
-        "oracle-exact quartile boundaries"
+        "GLOBAL_WINDOW": "BELOW-GATE branch only (sf0.01 here): literal "
+        "ntile windows over |users|. Above the 64 MB gate the entry "
+        "switches to sampling.exact_ntile_bucketed — range-bucketed rank "
+        "+ driver prefix offsets, bit-identical tiles, no global sort "
+        "(parity pinned in test_rfm_bucketed_branch_matches_window)"
     },
     # predicates on derived/array values cannot reach the parquet reader
     "q56_dedup_canonical_embeddings": {

@@ -809,3 +809,116 @@ def test_image_hashes_grid_bound(spark):
         phash.image_hashes(df, grid=9)
     with pytest.raises(ValueError, match="grid"):
         phash.image_near_pairs(df, grid=12)
+
+
+def _last_state_rows(q, timeout=300) -> int:
+    """Drain an availableNow query and return the final micro-batch's total
+    state-store row count across stateful operators."""
+    q.awaitTermination(timeout)
+    prog = [p for p in (q.recentProgress or []) if p.get("stateOperators")]
+    assert prog, "no stateful progress captured"
+    return sum(op["numRowsTotal"] for op in prog[-1]["stateOperators"])
+
+
+def _event_rows(spark, batch_i: int, n_keys: int, kind: str = "view"):
+    """n_keys NEW keys per batch, event times batch_i hours apart — old
+    keys fall behind the watermark so bounded state must evict them."""
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 15, 6, 0)
+    rows = [
+        (batch_i * 100_000 + j, base + dt.timedelta(hours=batch_i, seconds=j % 60),
+         batch_i * 100_000 + j, kind, 1.0, "{}")
+        for j in range(n_keys)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+
+
+def test_dedup_state_rows_bounded_under_growing_keys(spark, tmp_path_factory):
+    """dropDuplicatesWithinWatermark state must stay at the watermark-
+    implied bound (~2 batches of keys: the current batch plus the
+    not-yet-advanced previous one) while cumulative distinct keys grow
+    linearly — fails against any shape that pins a row per key forever."""
+    root = tmp_path_factory.mktemp("dedup_bound")
+    src, out, ckpt = str(root / "src"), str(root / "out"), str(root / "ckpt")
+    K, n_batches = 100, 4
+    state_curve = []
+    for i in range(n_batches):
+        _event_rows(spark, i, K).coalesce(1).write.mode("append").parquet(src)
+        stream = streaming.read_event_stream(
+            spark, src, spark.read.parquet(src).schema
+        )
+        q = (
+            streaming.dedup_stream(stream, ["event_id"], "ts", "10 minutes")
+            .writeStream.outputMode("append")
+            .format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        state_curve.append(_last_state_rows(q))
+    assert max(state_curve) <= int(2.5 * K), state_curve
+    assert state_curve[-1] < n_batches * K, state_curve  # not cumulative
+    assert spark.read.parquet(out).count() == n_batches * K
+
+
+def test_session_window_state_rows_bounded(spark, tmp_path_factory):
+    """session_window aggregation state holds only sessions the watermark
+    has not yet closed — per-user sessions from hours ago must be evicted,
+    not retained per key."""
+    from ecom_snowflake_duckdb_migration_spark.streaming import sessionize
+
+    root = tmp_path_factory.mktemp("sess_bound")
+    src, out, ckpt = str(root / "src"), str(root / "out"), str(root / "ckpt")
+    K, n_batches = 100, 4
+    state_curve = []
+    for i in range(n_batches):
+        _event_rows(spark, i, K).coalesce(1).write.mode("append").parquet(src)
+        stream = streaming.read_event_stream(
+            spark, src, spark.read.parquet(src).schema
+        )
+        q = (
+            sessionize(stream, gap="5 minutes", watermark="10 minutes")
+            .writeStream.outputMode("append")
+            .format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        state_curve.append(_last_state_rows(q))
+    assert max(state_curve) <= int(2.5 * K), state_curve
+    assert state_curve[-1] < n_batches * K, state_curve
+
+
+def test_interval_join_state_rows_bounded(spark, tmp_path_factory):
+    """Stream-stream interval join buffers both sides only within the
+    watermark + join-window horizon: batches arriving hours apart must not
+    accumulate buffered rows across batches."""
+    root = tmp_path_factory.mktemp("join_bound")
+    csrc, psrc = str(root / "clicks"), str(root / "purch")
+    out, ckpt = str(root / "out"), str(root / "ckpt")
+    K, n_batches = 100, 4
+    state_curve = []
+    for i in range(n_batches):
+        _event_rows(spark, i, K, "click").coalesce(1).write.mode("append").parquet(csrc)
+        _event_rows(spark, i, K, "purchase").coalesce(1).write.mode("append").parquet(psrc)
+        schema = spark.read.parquet(csrc).schema
+        clicks = streaming.read_event_stream(spark, csrc, schema)
+        purchases = streaming.read_event_stream(spark, psrc, schema)
+        q = (
+            streaming.attribute_purchases_to_clicks(
+                clicks, purchases, attribution_window="5 minutes",
+                lateness="10 minutes",
+            )
+            .writeStream.outputMode("append")
+            .format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        state_curve.append(_last_state_rows(q))
+    # both sides buffer: bound is ~2 batches x 2 sides
+    assert max(state_curve) <= int(2.5 * 2 * K), state_curve
+    assert state_curve[-1] < n_batches * 2 * K, state_curve
+    # the join itself matched every same-user click->purchase pair
+    assert spark.read.parquet(out).count() == n_batches * K
