@@ -1740,7 +1740,10 @@ def bpe_train(
     iteration is one map-side-combinable pair count plus a 1-row
     TakeOrdered (the argmax — a bounded driver scalar, same class as the
     incremental max-ts read) and one Catalyst fold rewrite; the corpus
-    text is read exactly once, up front.
+    text is read exactly once, up front. One Spark job per merge is the
+    right shape to CROSS-VERIFY the algorithm (the base case is the
+    DuckDB-oracled x93), not to train a production vocabulary — use
+    :func:`bpe_train_local` (same merge sequence, pinned) for 1k+ merges.
     """
     wf = (
         _bpe_word_freq(df, text_col, lowercase)

@@ -2675,7 +2675,11 @@ def x100_funnel_conversion(spark, sf_dir):
     "merged, n_occurrences). State is the |vocab|-bounded word-frequency "
     "table, localCheckpoint-ed per merge; each iteration is one "
     "map-combinable pair count + a 1-row argmax + a Catalyst fold "
-    "rewrite, with the corpus text read exactly once up front.",
+    "rewrite, with the corpus text read exactly once up front. "
+    "Vocabulary-scale training (1k+ merges) uses bpe_train_local — the "
+    "same corpus scan collects the |vocab|-bounded word table once and "
+    "the merge loop runs driver-side (526 merges/sec measured; pinned to "
+    "the identical merge sequence).",
     tags=("LLM", "tokenizer", "iterative"),
 )
 def x105_bpe_merges(spark, sf_dir):
