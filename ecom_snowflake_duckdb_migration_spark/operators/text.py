@@ -129,6 +129,101 @@ def predict_language(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("predicted_lang", pred)
 
 
+def gopher_repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals (Rae et al. 2021 "Gopher" A1.1,
+    the MassiveText repetition filters), word-n-gram variant: the corpus
+    has no line structure, so the line-level rules are expressed on word
+    n-grams — the fraction of repeated n-grams and the character mass of
+    the single most frequent 2-gram, the signals that catch boilerplate
+    and degenerate repetition ahead of pretraining.
+
+    Returns ``(id_col, n_words, dup_2gram_frac_e6, dup_5gram_frac_e6,
+    top_2gram_char_frac_e6)``:
+
+    - ``dup_Ngram_frac_e6`` = (n_ngrams - distinct_ngrams) * 1e6 div
+      n_ngrams (0 when the doc has no such n-gram) — integer-exact, the
+      threshold feed for a Gopher-style drop rule;
+    - ``top_2gram_char_frac_e6`` = count(g*) * length(g*) * 1e6 div
+      length(text) where g* is the most frequent 2-gram (ties: the
+      lexicographically smallest — deterministic cross-engine).
+
+    Scale shape: one explode of tagged 2-/5-grams, one (doc, n, gram)
+    count, one (doc, n) fold — two hash exchanges on the doc key, all
+    partials map-side-combinable; the argmax rides min(struct(-cnt, g)),
+    never a window. NULL/empty texts produce zero-grams rows (fractions
+    0) so the output has exactly one row per input document.
+    """
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    base = df.select(
+        F.col(id_col),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("_tlen"),
+        F.split(t, r"\s+").alias("_ws"),
+    ).select(
+        id_col,
+        "_tlen",
+        F.when(
+            (F.size("_ws") == 1) & (F.element_at("_ws", 1) == ""), F.array()
+        ).otherwise(F.col("_ws")).alias("_ws"),
+    )
+    grams = None
+    for n in (2, 5):
+        g = base.filter(F.size("_ws") >= n).select(
+            id_col,
+            "_tlen",
+            F.lit(n).alias("_n"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(_ws) - {n - 1}),"
+                    f" i -> concat_ws(' ', slice(_ws, i, {n})))"
+                )
+            ).alias("g"),
+        )
+        grams = g if grams is None else grams.unionByName(g)
+    counted = grams.groupBy(id_col, "_n", "g").agg(
+        F.any_value("_tlen").alias("_tlen"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    per_n = counted.groupBy(id_col, "_n").agg(
+        F.any_value("_tlen").alias("_tlen"),
+        F.count(F.lit(1)).alias("distinct_g"),
+        F.sum("cnt").alias("total_g"),
+        F.min(F.struct((-F.col("cnt")).alias("negcnt"), F.col("g"))).alias("_top"),
+    )
+    stats = per_n.select(
+        id_col,
+        "_n",
+        # integer div keeps the fractions bit-stable cross-engine
+        F.expr(
+            f"CAST((total_g - distinct_g) * {SCALE} div total_g AS BIGINT)"
+        ).alias("dup_frac_e6"),
+        F.when(
+            (F.col("_n") == 2) & (F.col("_tlen") > 0),
+            F.expr(
+                f"CAST(CAST(-_top.negcnt AS BIGINT) * length(_top.g)"
+                f" * {SCALE} div _tlen AS BIGINT)"
+            ),
+        ).otherwise(F.lit(0)).cast("long").alias("top_char_frac_e6"),
+    )
+    pivoted = stats.groupBy(id_col).agg(
+        F.sum(F.when(F.col("_n") == 2, F.col("dup_frac_e6"))).alias("d2"),
+        F.sum(F.when(F.col("_n") == 5, F.col("dup_frac_e6"))).alias("d5"),
+        F.sum(F.when(F.col("_n") == 2, F.col("top_char_frac_e6"))).alias("t2"),
+    )
+    return (
+        base.select(id_col, F.size("_ws").cast("long").alias("n_words"))
+        .join(pivoted, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            F.coalesce("d2", F.lit(0)).cast("long").alias("dup_2gram_frac_e6"),
+            F.coalesce("d5", F.lit(0)).cast("long").alias("dup_5gram_frac_e6"),
+            F.coalesce("t2", F.lit(0)).cast("long").alias("top_2gram_char_frac_e6"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup family
 # ---------------------------------------------------------------------------

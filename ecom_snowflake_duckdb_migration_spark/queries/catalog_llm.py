@@ -2757,3 +2757,134 @@ def x111_canonical_dedup(spark, sf_dir):
         ).select(*d.columns)
     )
     return tx.canonical_dedup_groups(variants)
+
+
+@register(
+    "x112_gopher_repetition",
+    # Word-n-gram repetition signals; fractions ride e6 integer division
+    # (// in DuckDB, div in Spark) so both engines emit identical longs,
+    # and the top-2-gram argmax tie-breaks lexicographically in both
+    # (min(struct(-cnt, g)) here, ORDER BY cnt DESC, gr ASC there).
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id,
+               length(coalesce(text, '')) AS tlen,
+               CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(coalesce(text, '')), '\\s+')
+               END AS ws
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, tlen, 2 AS n,
+               unnest(list_transform(range(1, len(ws)),
+                      i -> ws[i] || ' ' || ws[i+1])) AS gr
+        FROM w WHERE len(ws) >= 2
+        UNION ALL
+        SELECT doc_id, tlen, 5 AS n,
+               unnest(list_transform(range(1, len(ws) - 3),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                           || ' ' || ws[i+3] || ' ' || ws[i+4])) AS gr
+        FROM w WHERE len(ws) >= 5
+    ),
+    c AS (
+        SELECT doc_id, n, gr, any_value(tlen) AS tlen, count(*) AS cnt
+        FROM g GROUP BY doc_id, n, gr
+    ),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                                     ORDER BY cnt DESC, gr ASC) AS rk
+        FROM c
+    ),
+    p AS (
+        SELECT doc_id, n, any_value(tlen) AS tlen,
+               count(*) AS distinct_g, CAST(sum(cnt) AS BIGINT) AS total_g,
+               max(CASE WHEN rk = 1 THEN cnt END) AS top_cnt,
+               max(CASE WHEN rk = 1 THEN gr END) AS top_g
+        FROM r GROUP BY doc_id, n
+    ),
+    s AS (
+        SELECT doc_id, n,
+               CAST((total_g - distinct_g) * 1000000 // total_g AS BIGINT)
+                   AS dup_frac_e6,
+               CASE WHEN n = 2 AND tlen > 0
+                    THEN CAST(CAST(top_cnt AS BIGINT) * length(top_g)
+                              * 1000000 // tlen AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS top_frac_e6
+        FROM p
+    )
+    SELECT w.doc_id,
+           CAST(len(w.ws) AS BIGINT) AS n_words,
+           CAST(coalesce(max(CASE WHEN s.n = 2 THEN s.dup_frac_e6 END), 0)
+                AS BIGINT) AS dup_2gram_frac_e6,
+           CAST(coalesce(max(CASE WHEN s.n = 5 THEN s.dup_frac_e6 END), 0)
+                AS BIGINT) AS dup_5gram_frac_e6,
+           CAST(coalesce(max(CASE WHEN s.n = 2 THEN s.top_frac_e6 END), 0)
+                AS BIGINT) AS top_2gram_char_frac_e6
+    FROM w LEFT JOIN s ON s.doc_id = w.doc_id
+    GROUP BY w.doc_id, len(w.ws)
+    """,
+    doc="Gopher/MassiveText repetition filters (Rae et al. 2021 A1.1), "
+    "word-n-gram variant (operators.text.gopher_repetition_stats): "
+    "per-document duplicate-2-gram and duplicate-5-gram fractions plus "
+    "the character mass of the most frequent 2-gram — the boilerplate / "
+    "degenerate-repetition signals every pretraining corpus is filtered "
+    "on. Shape: one tagged-gram explode, one (doc, n, gram) count, one "
+    "(doc, n) fold — two doc-key exchanges, map-side-combinable partials, "
+    "argmax as min(struct(-cnt, g)) (never a window).",
+    tags=("LLM", "quality"),
+)
+def x112_gopher_repetition(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return tx.gopher_repetition_stats(d)
+
+
+@register(
+    "x113_pii_redaction_planted",
+    # q54 proves NO false positives (the corpus is PII-free); this entry
+    # proves redaction actually FIRES: one email and one phone planted
+    # per document (deterministic from doc_id) with identical concat SQL
+    # in both engines, then the same operators.text.redact_pii. DuckDB
+    # regexp_replace needs the 'g' flag (first-match-only default).
+    oracle=r"""
+    WITH planted AS (
+        SELECT doc_id,
+               coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@example.com or call 555-867-5309 now' AS text
+        FROM documents
+    ),
+    e AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                   AS n_emails,
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g')
+                   AS after_email
+        FROM planted
+    )
+    SELECT doc_id, n_emails,
+           CAST(len(regexp_extract_all(after_email, '\+?[0-9][0-9() .-]{7,}[0-9]')) AS BIGINT)
+               AS n_phones,
+           regexp_replace(after_email, '\+?[0-9][0-9() .-]{7,}[0-9]', '[PHONE]', 'g')
+               AS redacted_text
+    FROM e
+    """,
+    doc="Planted-PII redaction (operators.text.redact_pii over documents "
+    "with one synthetic email + phone appended per row): q54 runs the "
+    "scrubber over the PII-free corpus and proves zero false positives; "
+    "this entry proves the rules FIRE — both engines must find and "
+    "replace exactly the planted spans, email rule before phone rule so "
+    "the address's digit runs are never split. Same per-row codegen "
+    "regexp shape as q54, no shuffle.",
+    tags=("LLM", "text-analysis", "pii"),
+)
+def x113_pii_redaction_planted(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-867-5309 now"),
+        ).alias("text"),
+    )
+    return tx.redact_pii(planted)

@@ -1791,3 +1791,47 @@ def test_rfm_bucketed_branch_matches_window(spark, sf_dir):
     want = sorted(tuple(r) for r in _rfm_ntile_window(base).select(cols).collect())
     got = sorted(tuple(r) for r in _rfm_ntile_bucketed(base).select(cols).collect())
     assert got == want and len(got) > 0
+
+
+def test_gopher_repetition_stats_planted(spark):
+    """Hand-computable repetition cases: a degenerate repeater, a
+    unique-text doc, a doc too short for 5-grams, and NULL/empty texts
+    (exactly one output row each, all-zero fractions)."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", IntegerType()), StructField("text", StringType())]
+    )
+    texts = [
+        (1, "ab ab ab ab ab"),        # 4 bigrams, 1 distinct; 1 5-gram
+        (2, "all words here differ"), # no repeats at all
+        (3, "x y"),                   # one bigram, no 5-gram
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(texts, schema)
+    got = {r.doc_id: r for r in tx.gopher_repetition_stats(df).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    r1 = got[1]
+    assert r1.n_words == 5
+    assert r1.dup_2gram_frac_e6 == (4 - 1) * 1_000_000 // 4
+    assert r1.dup_5gram_frac_e6 == 0  # a single 5-gram has no duplicate
+    # top 2-gram 'ab ab' (len 5) occurs 4x over 14 chars of text
+    assert r1.top_2gram_char_frac_e6 == 4 * 5 * 1_000_000 // len("ab ab ab ab ab")
+    assert got[2].dup_2gram_frac_e6 == 0 and got[2].dup_5gram_frac_e6 == 0
+    assert got[3].n_words == 2 and got[3].dup_5gram_frac_e6 == 0
+    for i in (4, 5):
+        assert (got[i].n_words, got[i].dup_2gram_frac_e6,
+                got[i].top_2gram_char_frac_e6) == (0, 0, 0)
+
+
+def test_redact_pii_planted_fires(spark):
+    """The planted-PII path (x113): redaction must FIRE on synthetic
+    email+phone spans and leave the original words intact."""
+    df = spark.createDataFrame(
+        [(7, "hello world contact user7@example.com or call 555-867-5309 now")],
+        "doc_id INT, text STRING",
+    )
+    r = tx.redact_pii(df).collect()[0]
+    assert r.n_emails == 1 and r.n_phones == 1
+    assert r.redacted_text == "hello world contact [EMAIL] or call [PHONE] now"
