@@ -563,12 +563,17 @@ def knn_join(
     ``method`` follows :func:`ivf_partition`: 'expr' keeps both cell
     assignment and probe selection as literal-codebook Catalyst
     expressions (the DuckDB-oracled form, right up to ~16 cells);
-    'pandas'/'auto'(>16) swaps both for the Arrow/numpy kernel — at a
-    production sqrt(N) codebook the expression form is linear-in-cells
-    interpreted work per row (measured 90 s vs < 1 s at 128 cells).
-    Probe-cell ties break by higher cell id in 'expr' and lower in
-    'pandas' (exact float-cosine ties across distinct trained centroids —
-    vanishingly rare, and >16-cell codebooks have no oracle to match).
+    'pandas'/'auto'(>16) swaps both for the Arrow/numpy kernel. The
+    expression form's cost at production codebooks is FRONTEND-side, not
+    data-side: a 128-centroid codebook inlines ~10k expression nodes, and
+    the measured cost is ~10 s of analysis at build plus ~20 s per
+    execution regardless of row count (codegen/eval of the giant tree;
+    the standalone 20k-row cell ASSIGN is only 0.4 s — it is the probe
+    tree composed under the join that pays) vs a flat ~5 s end-to-end on
+    the pandas path. Probe-cell ties break by higher cell id in 'expr'
+    and lower in 'pandas' (exact float-cosine ties across distinct
+    trained centroids — vanishingly rare, and >16-cell codebooks have no
+    oracle to match).
     """
     from pyspark.sql import Window
 

@@ -1835,3 +1835,26 @@ def test_redact_pii_planted_fires(spark):
     r = tx.redact_pii(df).collect()[0]
     assert r.n_emails == 1 and r.n_phones == 1
     assert r.redacted_text == "hello world contact [EMAIL] or call [PHONE] now"
+
+
+def test_assign_cell_pandas_matches_expr(spark, sf_dir):
+    """The Arrow/numpy cell assigner must agree with the literal-codebook
+    Catalyst expression on committed embeddings (8 trained cells — the
+    oracle-sized regime where both paths run), including the lowest-id
+    tie-break, and knn_join's two methods must return identical top-k."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = sim.train_centroids(e, n_centroids=8, seed=42)
+    a = {r.vec_id: r.ivf_cell
+         for r in sim.ivf_partition(e, cents, method="expr").collect()}
+    b = {r.vec_id: r.ivf_cell
+         for r in sim.ivf_partition(e, cents, method="pandas").collect()}
+    assert a == b and len(a) > 0
+    qs = e.limit(20).select(F.col("vec_id").alias("q_id"),
+                            F.col("embedding").alias("qe"))
+    ka = {(r.q_id, r.vec_id)
+          for r in sim.knn_join(e, qs, cents, k=5, nprobe=4, method="expr").collect()}
+    kb = {(r.q_id, r.vec_id)
+          for r in sim.knn_join(e, qs, cents, k=5, nprobe=4, method="pandas").collect()}
+    assert ka == kb
