@@ -183,6 +183,7 @@ def exact_quota_sample(
     strata_col: str = "source",
     id_col: str = "doc_id",
     seed: int = 42,
+    n_shards: int = 32,
 ) -> DataFrame:
     """EXACTLY ``quotas[stratum]`` rows per stratum (fewer only if the
     stratum is smaller), chosen by ranking the deterministic sample hash —
@@ -196,26 +197,40 @@ def exact_quota_sample(
     order is the same). Ties on the 8-hex-char hash (needs a 32-bit
     collision inside one stratum) break deterministically on id.
 
-    Scale: one window rank per stratum — a single hash-partitioned
-    shuffle on ``strata_col``; no global sort. A skew-prone stratum at
-    100 TB pays the same single-reducer sort any per-group top-k does —
-    shard such strata by a hash-salted sub-key first and re-rank the
-    (quota x shards) survivors.
+    Scale: with ``n_shards`` (the default 32) selection is two-phase —
+    rank within (stratum, hash-shard) and keep each shard's top quota
+    (every stratum-wide top-quota row is necessarily inside some shard's
+    top quota), then re-rank only the quota x n_shards survivors per
+    stratum. No single reducer ever sorts a whole stratum, so a skewed
+    stratum costs what its largest SHARD costs; results are identical to
+    the one-window form by the containment argument (pinned in tests).
+    Pass ``n_shards=1`` for the literal single-window shape (the DuckDB
+    oracle's form).
     """
     from pyspark.sql import Window
 
     if any(q <= 0 for q in quotas.values()):
         raise ValueError("every quota must be positive")
-    w = Window.partitionBy(strata_col).orderBy(
-        sample_hash(id_col, seed), F.col(id_col)
-    )
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
     quota_col = None
     for stratum, q in sorted(quotas.items()):
         cond = F.col(strata_col) == stratum
         quota_col = F.when(cond, q) if quota_col is None else quota_col.when(cond, q)
     quota_col = quota_col.otherwise(F.lit(0))
+    h = sample_hash(id_col, seed)
+    base = df
+    if n_shards > 1:
+        shard = F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), n_shards)
+        w1 = Window.partitionBy(strata_col, shard).orderBy(h, F.col(id_col))
+        base = (
+            df.withColumn("_rk1", F.row_number().over(w1))
+            .filter(F.col("_rk1") <= quota_col)
+            .drop("_rk1")
+        )
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(id_col))
     return (
-        df.withColumn("_rk", F.row_number().over(w))
+        base.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= quota_col)
         .drop("_rk")
     )

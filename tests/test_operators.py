@@ -1858,3 +1858,19 @@ def test_assign_cell_pandas_matches_expr(spark, sf_dir):
     kb = {(r.q_id, r.vec_id)
           for r in sim.knn_join(e, qs, cents, k=5, nprobe=4, method="pandas").collect()}
     assert ka == kb
+
+
+def test_exact_quota_sample_sharded_matches_single_window(spark, sf_dir):
+    """The two-phase (stratum, hash-shard) selection must pick EXACTLY the
+    same rows as the literal one-window-per-stratum form (every
+    stratum-wide top-quota row is inside some shard's top quota) — the
+    scale path that keeps a skewed stratum off a single reducer."""
+    from ecom_snowflake_duckdb_migration_spark.operators import sampling as sp
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    quotas = {r[0]: 9 for r in d.select("source").distinct().collect()}
+    one = {r.doc_id for r in
+           sp.exact_quota_sample(d, quotas, seed=5, n_shards=1).collect()}
+    sharded = {r.doc_id for r in
+               sp.exact_quota_sample(d, quotas, seed=5, n_shards=32).collect()}
+    assert one == sharded and len(one) > 0
