@@ -773,25 +773,65 @@ def pack_sequences(
     concat-and-wrap packing used to fill training context windows;
     ``pack_offset`` gives the item's start inside its pack.
 
-    Scale: one window cumsum. Unpartitioned it is a single-reducer
-    bottleneck (fine to ~10^8 items; documented driver for the global
-    contract) — pass ``partition_col`` (e.g. a shard key) to run the same
-    packing independently per shard with full parallelism, which is how a
-    100 TB corpus actually packs (pack ids are then per-shard).
+    Scale: the GLOBAL contract does not need a single-reducer window —
+    the exclusive cumsum is exact under range bucketing: rows range-
+    partition on ``order_cols`` (order-respecting by construction), the
+    within-bucket cumsum runs partitioned, and cross-bucket offsets are a
+    driver-side prefix sum over n_buckets scalars (the token_budget_select
+    / exact_ntile_bucketed contract). The bucketed frame is checkpointed
+    once because range boundaries are sampled per execution — the offsets
+    pass and the output pass must see the SAME bucketing. Pass
+    ``partition_col`` (e.g. a shard key) for per-shard pack ids instead
+    (one partitioned window, no checkpoint).
     """
     from pyspark.sql.window import Window
 
-    if partition_col is None:
-        w = Window.orderBy(*[F.col(c) for c in order_cols])
-    else:
-        w = Window.partitionBy(partition_col).orderBy(*[F.col(c) for c in order_cols])
-    cum_excl = F.coalesce(
+    if partition_col is not None:
+        w = Window.partitionBy(partition_col).orderBy(
+            *[F.col(c) for c in order_cols]
+        )
+        cum_excl = F.coalesce(
+            F.sum(F.col(token_col)).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        return (
+            df.withColumn("pack_id", F.floor(cum_excl / F.lit(budget)).cast("int"))
+            .withColumn("pack_offset", (cum_excl % F.lit(budget)).cast("int"))
+        )
+    n_buckets = df.sparkSession.sparkContext.defaultParallelism
+    b = (
+        df.repartitionByRange(n_buckets, *[F.col(c) for c in order_cols])
+        .localCheckpoint(eager=True)
+        .withColumn("_bkt", F.spark_partition_id())
+    )
+    w = Window.partitionBy("_bkt").orderBy(*[F.col(c) for c in order_cols])
+    cum_in = F.coalesce(
         F.sum(F.col(token_col)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0),
     )
+    totals = b.groupBy("_bkt").agg(F.sum(token_col).alias("t")).collect()
+    offsets, running = {}, 0
+    for k in sorted(r["_bkt"] for r in totals):
+        offsets[k] = running
+        running += next(r["t"] for r in totals if r["_bkt"] == k) or 0
+    off = (
+        F.coalesce(
+            F.element_at(
+                F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+                F.col("_bkt"),
+            ),
+            F.lit(0),
+        )
+        if offsets
+        else F.lit(0)
+    )
+    cum_excl = off + cum_in
     return (
-        df.withColumn("pack_id", F.floor(cum_excl / F.lit(budget)).cast("int"))
+        b.withColumn("pack_id", F.floor(cum_excl / F.lit(budget)).cast("int"))
         .withColumn("pack_offset", (cum_excl % F.lit(budget)).cast("int"))
+        .drop("_bkt")
     )
 
 

@@ -381,10 +381,6 @@ LINT_ALLOW: dict[str, dict[str, str]] = {
         "output — not a scan column"},
     "q55_stratified_sample": {
         "FILTER_NOT_PUSHED": "hash-membership sampling must see every row"},
-    "q38_sequence_packing": {
-        "GLOBAL_WINDOW": "the entry exercises pack_sequences' GLOBAL "
-        "contract (single token axis); at scale pass partition_col for "
-        "per-shard packing — the operator documents exactly this trade"},
     "x46_ann_cosine_topk": {"BNLJ": "1-row query vector broadcast"},
     "x47_cosine_neardup_pairs": {"BNLJ": "1-row norm-stats broadcast"},
     "x68_kmv_join_size": {"BNLJ": "two 1-row sketch frames"},
