@@ -388,9 +388,16 @@ def assign_cell_pandas(
             if len(pdf) == 0:
                 yield pdf.assign(**{out_col: pd.Series([], dtype="int32")})
                 continue
-            M = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            sims = (M @ C.T) / np.outer(np.linalg.norm(M, axis=1), Cn)
-            yield pdf.assign(**{out_col: np.argmax(sims, axis=1).astype("int32")})
+            # NULL vectors get a NULL cell (the expr path's semantics)
+            valid = pdf[vec_col].notna().to_numpy()
+            out = np.full(len(pdf), np.nan)
+            if valid.any():
+                M = np.array(pdf[vec_col][valid].tolist(), dtype=np.float64)
+                sims = (M @ C.T) / np.outer(np.linalg.norm(M, axis=1), Cn)
+                out[valid] = np.argmax(sims, axis=1)
+            yield pdf.assign(**{out_col: pd.array(
+                [None if np.isnan(v) else int(v) for v in out], dtype="Int32"
+            )})
 
     return df.mapInPandas(run, schema)
 

@@ -1874,3 +1874,16 @@ def test_exact_quota_sample_sharded_matches_single_window(spark, sf_dir):
     sharded = {r.doc_id for r in
                sp.exact_quota_sample(d, quotas, seed=5, n_shards=32).collect()}
     assert one == sharded and len(one) > 0
+
+
+def test_assign_cell_pandas_null_vectors(spark):
+    """A NULL embedding must yield a NULL cell (the expr path's
+    semantics), not crash the Arrow batch."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0])],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    got = {r.vec_id: r.ivf_cell
+           for r in sim.assign_cell_pandas(df, cents).collect()}
+    assert got == {1: 0, 2: None, 3: 1}
