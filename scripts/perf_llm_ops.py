@@ -129,6 +129,8 @@ def main() -> int:
         "bm25_scores": lambda: tx.bm25_scores(
             docs, ["spark", "hash", "merge", "window"]
         ),
+        "gopher_repetition": lambda: tx.gopher_repetition_stats(docs),
+        "pii_redaction": lambda: tx.redact_pii(docs),
         "corpus_diff": lambda: tx.corpus_diff(
             docs.filter(F.col("doc_id") % 7 != 0),
             docs.filter(F.col("doc_id") % 11 != 3),
