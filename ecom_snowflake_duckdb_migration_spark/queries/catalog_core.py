@@ -2222,7 +2222,7 @@ def x109_entity_match_pairs(spark, sf_dir):
         .filter(F.col("nrows").between(2, _X109_MAX_BLOCK))
         # blocks are few and small post-agg; AQE would coalesce the
         # explosion below onto too few tasks — spread it explicitly
-        .repartition(32)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     # exact-duplicate groups: every sorted-custkey pair, distance 0,
     # no verification needed (names equal by grouping)
