@@ -1887,3 +1887,47 @@ def test_assign_cell_pandas_null_vectors(spark):
     got = {r.vec_id: r.ivf_cell
            for r in sim.assign_cell_pandas(df, cents).collect()}
     assert got == {1: 0, 2: None, 3: 1}
+
+
+def test_gopher_repetition_stats_matches_python_reference(spark):
+    """Seeded random-corpus sweep vs a pure-Python reference: duplicate
+    n-gram fractions and the tie-broken top-2-gram char mass must match
+    on every document — one Spark job for the whole sweep (the BPE-family
+    ground-truth-pin pattern)."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(23)
+    vocab = ["a", "b", "ab", "the", "xx"]
+    texts = []
+    for _ in range(120):
+        k = rng.randint(0, 12)
+        texts.append(" ".join(rng.choice(vocab) for _ in range(k)) if k else
+                     rng.choice([None, "", "   "]))
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id INT, text STRING")
+
+    def ref(text):
+        tlen = len(text or "")
+        ws = (text or "").strip().split()
+        out = {"n_words": len(ws)}
+        for n, key in ((2, "dup_2gram_frac_e6"), (5, "dup_5gram_frac_e6")):
+            grams = [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+            out[key] = ((len(grams) - len(set(grams))) * 1_000_000 // len(grams)
+                        if grams else 0)
+            if n == 2:
+                if grams and tlen > 0:
+                    c = Counter(grams)
+                    top = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+                    out["top_2gram_char_frac_e6"] = (
+                        top[1] * len(top[0]) * 1_000_000 // tlen)
+                else:
+                    out["top_2gram_char_frac_e6"] = 0
+        return out
+
+    got = {r.doc_id: r.asDict() for r in tx.gopher_repetition_stats(df).collect()}
+    assert len(got) == len(texts)
+    for i, t in enumerate(texts):
+        want = ref(t)
+        g = got[i]
+        for k, v in want.items():
+            assert g[k] == v, (i, t, k, g[k], v)
