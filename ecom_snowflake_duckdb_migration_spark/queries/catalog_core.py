@@ -2193,9 +2193,13 @@ _X109_MAX_BLOCK = 1000  # block-purging cap: pairs/block <= 500k, one task
       AND levenshtein(a.c_name, b.c_name) <= 1
     """,
     doc="Entity-resolution candidate pairs (the MDM/dedupe staple): block "
-    "customers on (nation, 16-char name prefix, LENGTH — the length band "
-    "restricts matches to substitution edits, the standard ER length "
-    "blocking), purge blocks larger than the documented cap "
+    "customers on (nation, 16-char name prefix, LENGTH). SEMANTICS NOTE "
+    "(round-8 change, by design): this is SUBSTITUTION-ONLY ER — the "
+    "equal-length band excludes lev-1 pairs arising from a single "
+    "insert/delete (their lengths differ by 1), and blocks larger than "
+    "the purge cap emit nothing; both narrowings are applied to the "
+    "oracle in lockstep and differ from the round-7 unbanded "
+    "definition. Purge blocks larger than the documented cap "
     f"({_X109_MAX_BLOCK} rows — JedAI-style block purging: a pathological "
     "exact-duplicate storm is bounded, never quadratic-unbounded), then "
     "DEDUPE-BEFORE-VERIFY: Levenshtein runs once per distinct NAME pair "

@@ -2536,15 +2536,26 @@ def _rfm_ntile_window(base):
 
 def _rfm_ntile_bucketed(base):
     """Scale shape: three exact bucketed ntiles (each one range-bucketed
-    exchange), identical output — no global sort anywhere."""
-    from ..operators.sampling import exact_ntile_bucketed
+    exchange), identical output — no global sort anywhere.
 
-    base = base.localCheckpoint(eager=False)
-    out = exact_ntile_bucketed(
-        base, 4, "recency_days", "user_id", "r_score", descending=True
+    The r/f/m tiles are independent of each other, so the fused
+    multi-metric form computes all three off the checkpointed ``base`` in
+    a FIXED four jobs (checkpoint, one 3-column approxQuantile, one
+    (metric, bucket) stats collect, one output pass chaining the three
+    bucket-partitioned window ranks) — tile 3's plan no longer contains
+    tiles 1-2's windows (the round-8 sf16 sore spot: ~6x upstream
+    recompute, 3.1 s; the fused form reads ~1 s)."""
+    from ..operators.sampling import exact_ntile_bucketed_multi
+
+    return exact_ntile_bucketed_multi(
+        base, 4,
+        [
+            ("recency_days", "r_score", True),
+            ("frequency", "f_score", False),
+            ("monetary_bp", "m_score", False),
+        ],
+        "user_id",
     )
-    out = exact_ntile_bucketed(out, 4, "frequency", "user_id", "f_score")
-    return exact_ntile_bucketed(out, 4, "monetary_bp", "user_id", "m_score")
 
 
 @register(

@@ -24,8 +24,6 @@ unresolved-column AnalysisException.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -34,15 +32,32 @@ class LegacyStoreLayoutError(RuntimeError):
     """A durable store written by the pre-batch-keyed flat-append layout."""
 
 
-def _committed_partitions(path: str) -> list[str]:
-    return [d for d in os.listdir(path) if d.startswith("batch_id=")]
+def _store_child_names(spark: SparkSession, path: str) -> list[str] | None:
+    """Child entry names of ``path``, or None if it does not exist —
+    resolved through the Hadoop FileSystem API (NOT ``os.path``), so a
+    remote store URI (hdfs://, s3a://) is inspected with the same
+    resolution ``spark.read.parquet`` will use. Driver-local ``os``
+    calls on a remote URI would return "missing" and make a populated
+    durable store silently read as 'no corpus yet' — the exact
+    silent-empty failure mode this module exists to eliminate
+    (round-8 ADVICE)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return None
+    return [st.getPath().getName() for st in fs.listStatus(hpath)]
 
 
-def _has_flat_data(path: str) -> bool:
+def _committed_partitions(names: list[str]) -> list[str]:
+    return [d for d in names if d.startswith("batch_id=")]
+
+
+def _has_flat_data(names: list[str]) -> bool:
     # flat-append layout: parquet part files directly under the root
     return any(
         name.endswith(".parquet") or name.startswith("part-")
-        for name in os.listdir(path)
+        for name in names
         if not name.startswith(("_", "."))
     )
 
@@ -59,10 +74,11 @@ def read_batch_store(
     propagates every other read failure — a damaged durable store must
     fail the batch, not masquerade as an empty corpus.
     """
-    if not os.path.exists(path):
+    names = _store_child_names(spark, path)
+    if names is None:
         return None
-    if not _committed_partitions(path):
-        if _has_flat_data(path):
+    if not _committed_partitions(names):
+        if _has_flat_data(names):
             raise LegacyStoreLayoutError(
                 f"durable store at {path} uses the legacy flat-append layout "
                 "(no batch_id=* partitions); the store format was upgraded to "

@@ -1877,16 +1877,35 @@ def test_exact_quota_sample_sharded_matches_single_window(spark, sf_dir):
 
 
 def test_assign_cell_pandas_null_vectors(spark):
-    """A NULL embedding must yield a NULL cell (the expr path's
-    semantics), not crash the Arrow batch."""
+    """Degenerate-vector contract, shared by both kernels: NULL and
+    zero-norm embeddings yield a NULL cell in the expr path AND the
+    Arrow path (no crash, no silent cell-0), and a NULL/zero query
+    vector flows through knn_join's pandas probe emitting no candidates
+    instead of killing the task on a ragged numpy batch."""
     df = spark.createDataFrame(
-        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0])],
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0]), (4, [0.0, 0.0])],
         "vec_id INT, embedding ARRAY<DOUBLE>",
     )
     cents = [[1.0, 0.0], [0.0, 1.0]]
-    got = {r.vec_id: r.ivf_cell
-           for r in sim.assign_cell_pandas(df, cents).collect()}
-    assert got == {1: 0, 2: None, 3: 1}
+    want = {1: 0, 2: None, 3: 1, 4: None}
+    got_pd = {r.vec_id: r.ivf_cell
+              for r in sim.assign_cell_pandas(df, cents).collect()}
+    got_ex = {r.vec_id: r.ivf_cell
+              for r in sim.ivf_partition(df, cents, method="expr").collect()}
+    assert got_pd == want
+    assert got_ex == want
+
+    qs = spark.createDataFrame(
+        [(10, [1.0, 0.1]), (11, None), (12, [0.0, 0.0])],
+        "q_id INT, qe ARRAY<DOUBLE>",
+    )
+    for method in ("expr", "pandas"):
+        rows = sim.knn_join(df, qs, cents, k=2, nprobe=1, method=method).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.q_id, set()).add(r.vec_id)
+        assert by_q.get(10) == {1}  # cell 0 holds only vec 1 (2/4 are NULL-celled)
+        assert 11 not in by_q and 12 not in by_q
 
 
 def test_gopher_repetition_stats_matches_python_reference(spark):
