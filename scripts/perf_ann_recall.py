@@ -90,11 +90,20 @@ def main() -> int:
     for nprobe in (1, 2, 4, 6, 8, 12, 16):
         res = sim.knn_join(emb, queries, centroids, k=k, nprobe=nprobe)
         res.count()  # warm (plan + codegen; the codebook is literal-inlined)
-        t0 = time.perf_counter()
+        # min-of-5: the round-8 sweep timed ONE sample per nprobe and its
+        # "non-monotone probe_sec" (1.7s@8 vs 4.3s@12) was host
+        # interference windows, not work done — the warm steady-state
+        # probe is ~0.1-0.3 s and min-of-n recovers it
+        probe_sec = None
+        for _ in range(5):
+            t0 = time.perf_counter()
+            rows = res.collect()
+            dt = time.perf_counter() - t0
+            probe_sec = dt if probe_sec is None else min(probe_sec, dt)
+        probe_sec = round(probe_sec, 3)
         got = {}
-        for r in res.collect():
+        for r in rows:
             got.setdefault(r.q_id, set()).add(r.vec_id)
-        probe_sec = round(time.perf_counter() - t0, 3)
         recall = round(
             sum(
                 len(got.get(int(qi), set()) & truth[int(qi)]) / k
@@ -107,6 +116,48 @@ def main() -> int:
                               "scored_fraction": round(nprobe / n_cells, 4)}
         print(f"nprobe={nprobe}: recall@10={recall} probe={probe_sec}s", flush=True)
 
+    # store-backed probe: cell assignment + item norms paid once at
+    # write time, probes read ONLY the probed cells' directories
+    # (partition pruning pinned in tests/test_plans.py / test_operators)
+    import tempfile
+
+    store_dir = tempfile.mkdtemp(prefix="ivf_store_")
+    t0 = time.perf_counter()
+    sim.write_ivf_store(emb, centroids, store_dir)
+    store_write_sec = round(time.perf_counter() - t0, 2)
+    store_probe = {}
+    for nprobe in (4, 8, 16):
+        res = sim.probe_ivf_store(
+            spark, store_dir, queries, centroids, k=k, nprobe=nprobe
+        )
+        got = {}
+        for r in res.collect():
+            got.setdefault(r.q_id, set()).add(r.vec_id)
+        best = None
+        for _ in range(5):
+            t0 = time.perf_counter()
+            # a fresh probe each run: the cell-set collect + pruned scan
+            # + join are all inside the timed window (the recurring shape)
+            sim.probe_ivf_store(
+                spark, store_dir, queries, centroids, k=k, nprobe=nprobe
+            ).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        recall = round(
+            sum(
+                len(got.get(int(qi), set()) & truth[int(qi)]) / k
+                for qi in ids[:n_queries]
+            )
+            / n_queries,
+            4,
+        )
+        store_probe[str(nprobe)] = {
+            "recall_at_10": recall, "probe_sec": round(best, 3),
+            "scored_fraction": round(nprobe / n_cells, 4),
+        }
+        print(f"store nprobe={nprobe}: recall@10={recall} probe={best:.3f}s",
+              flush=True)
+
     out = {
         "sf_dir": sf_dir,
         "geometry": "10 seeded ~0.82-cosine perturbations per committed "
@@ -115,6 +166,10 @@ def main() -> int:
         "n_vectors": int(len(ids)), "dim": int(mat.shape[1]),
         "n_cells": n_cells, "train_sec": train_sec, "n_queries": n_queries,
         "k": k, "sweep": sweep,
+        "store_write_sec": store_write_sec, "store_probe": store_probe,
+        "timing": "probe_sec is min-of-5 warm collects (round-8's "
+                  "single-sample timing made host interference read as "
+                  "non-monotone probe cost)",
     }
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)

@@ -925,6 +925,49 @@ def test_ivf_cell_store_prunes_partitions_at_scan(spark, sf_dir, tmp_path):
     assert probed.count() == per_cell.get(2, 0) + per_cell.get(5, 0)
 
 
+def test_probe_ivf_store_matches_knn_join_and_prunes(spark, sf_dir, tmp_path):
+    """The store-backed probe (write_ivf_store -> probe_ivf_store) must
+    return EXACTLY knn_join's top-k on the same data, and its scan must
+    physically touch only the probed cells' directories — verified both
+    in the plan (PartitionFilters carries the cell isin) and on disk
+    (input_file_name() of every scored candidate parses to a probed
+    cell id). The executable form of q51's lint-allowance claim."""
+    e = _emb(spark, sf_dir)
+    centroids = sim.make_centroids(dim=64, n_centroids=8, seed=42)
+    path = str(tmp_path / "ivf_store")
+    sim.write_ivf_store(e, centroids, path)
+
+    qs = e.limit(15).select(F.col("vec_id").alias("q_id"),
+                            F.col("embedding").alias("qe"))
+    for method in ("expr", "pandas"):
+        want = {(r.q_id, r.vec_id, r.rnk) for r in
+                sim.knn_join(e, qs, centroids, k=5, nprobe=3,
+                             method=method).collect()}
+        got_df = sim.probe_ivf_store(spark, path, qs, centroids, k=5,
+                                     nprobe=3, method=method)
+        got = {(r.q_id, r.vec_id, r.rnk) for r in got_df.collect()}
+        assert got == want and got
+
+    # physical pruning: the probed scan reads only the probe-cell dirs
+    # (narrow batch — 3 queries x 2 probes can't cover all 8 cells)
+    qs = qs.filter(F.col("q_id") < 3)
+    qcells = sim._query_probe_cells(qs, centroids, 2, "qe", "q_id", "expr")
+    probe_cells = {r["cell"] for r in qcells.select("cell").distinct().collect()}
+    assert len(probe_cells) < 8  # the pin is vacuous if every cell is probed
+    store = spark.read.parquet(path).filter(
+        F.col("ivf_cell").isin(sorted(probe_cells))
+    )
+    plan = store._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [ivf_cell" in plan.replace(
+        "PartitionFilters: [isnotnull(ivf_cell", "PartitionFilters: [ivf_cell")
+    touched = {
+        r.f for r in store.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    import re
+    touched_cells = {int(re.search(r"ivf_cell=(\d+)", f).group(1)) for f in touched}
+    assert touched_cells <= probe_cells and touched_cells
+
+
 def test_curate_minhash_stage_matches_exact_on_clear_corpus(spark):
     """near_dup='minhash' swaps stage 4 for banded LSH. On a corpus whose
     near-dups are unambiguous (exact or ~exact copies: J ~ 1, banding
