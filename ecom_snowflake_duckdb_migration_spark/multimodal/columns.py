@@ -10,18 +10,20 @@ Five genuine standard formats decode natively (struct + numpy + stdlib
 zlib, no external libs): **BMP** (uncompressed BI_RGB, 8-bit-palette and
 24-bit), **WAV** (RIFF: PCM 8/16/24/32-bit + IEEE float32/64, incl.
 WAVE_FORMAT_EXTENSIBLE, normalized to mono int16), **JPEG** (baseline
-sequential DCT:
-grayscale + YCbCr color, 4:4:4/4:2:2/4:2:0 subsampling, restart markers —
+sequential AND progressive DCT:
+grayscale + YCbCr color, 4:4:4/4:2:2/4:2:0 subsampling, restart markers,
+multi-scan spectral selection + successive approximation —
 full encoder + decoder in ``jpeg.py``, cross-validated against the JVM's
-javax.imageio, including decoding a 4:2:0 stream the JVM itself encoded),
+javax.imageio, including decoding 4:2:0 and progressive streams the JVM
+itself encoded),
 **PNG** (all 8-bit color types and all five row filters in ``png.py``;
 lossless, so round-trips are exact), and **GIF** (87a/89a incl. animation,
 LZW, interlace, transparency and disposal in ``gif.py`` — animated GIFs
 feed ``sample_video_frames`` with real decoded frames, upgrading the
-video modality beyond the toy codec). Remaining formats (progressive
-JPEG, MP3, H.264) need PIL/librosa/ffmpeg, which are NOT in this
-container — those payloads raise ``NotImplementedError`` naming the
-missing piece; swapping a real codec in is a per-row function change
+video modality beyond the toy codec). Remaining formats (arithmetic/
+lossless/12-bit JPEG, MP3, H.264) need PIL/librosa/ffmpeg, which are NOT
+in this container — those payloads raise ``NotImplementedError`` naming
+the missing piece; swapping a real codec in is a per-row function change
 inside the same ``mapInPandas`` plumbing. A deterministic toy codec
 (``SIMG``/``SAUD``/``SVID`` headers + raw samples) remains for
 high-volume synthetic tests.

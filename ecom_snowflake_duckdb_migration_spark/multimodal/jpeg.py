@@ -1,14 +1,17 @@
-"""Baseline JPEG (ITU-T T.81 / JFIF) codec in pure numpy — no PIL needed.
+"""JPEG (ITU-T T.81 / JFIF) codec in pure numpy — no PIL needed.
 
-Scope: 8-bit baseline sequential DCT, single interleaved scan — GRAYSCALE
+Scope: the ENCODER emits 8-bit baseline sequential DCT (single
+interleaved scan); the DECODER reads both baseline sequential (SOF0) and
+PROGRESSIVE (SOF2) streams — multi-scan spectral selection + successive
+approximation, the format most web encoders emit — for GRAYSCALE
 (1 component) and YCbCr COLOR (3 components, luma + chroma quant/Huffman
 tables). The decoder additionally handles chroma subsampling with factors
-1-2 per axis (4:4:4 / 4:2:2 / 4:2:0 — verified against a 4:2:0 stream
-produced by the JVM's own encoder) and restart intervals (DRI/RSTn, which
-the encoder can also emit). Progressive/arithmetic modes raise
-``NotImplementedError`` naming what is missing (the multimodal operators
-capture that per row instead of failing the job — see
-``multimodal/columns.py``).
+1-2 per axis (4:4:4 / 4:2:2 / 4:2:0 — verified against 4:2:0 and
+progressive streams produced by the JVM's own encoder) and restart
+intervals (DRI/RSTn, which the encoder can also emit). Arithmetic-coded,
+hierarchical, lossless, and 12-bit modes raise ``NotImplementedError``
+naming what is missing (the multimodal operators capture that per row
+instead of failing the job — see ``multimodal/columns.py``).
 
 Why it exists: the multimodal column family (SURVEY §2.11) treats media as
 opaque binary + typed metadata and decodes inside Arrow-batched
@@ -521,14 +524,206 @@ def _read_block(reader, dc_dec, ac_dec, prev_dc, out_row) -> int:
     return dc
 
 
-def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline JFIF stream: grayscale -> (h, w) uint8, YCbCr
-    color -> (h, w, 3) uint8 RGB. Handles sampling factors 1-2 per axis
-    (4:4:4, 4:2:2, 4:2:0 — what real encoders emit; chroma is upsampled by
-    sample replication), so third-party-encoded photos decode too.
+def _entropy_end(payload: bytes, start: int) -> int:
+    """Absolute offset of the first real marker after an entropy-coded
+    segment: skips stuffed 0xFF00 bytes, RSTn markers, and 0xFF fill."""
+    i = start
+    n = len(payload)
+    while i + 1 < n:
+        if payload[i] != 0xFF:
+            i += 1
+            continue
+        nxt = payload[i + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            i += 2
+        elif nxt == 0xFF:
+            i += 1  # fill byte
+        else:
+            return i
+    return n
 
-    Restart intervals (DRI/RSTn) are honored. Raises NotImplementedError
-    for the honest remaining boundary: progressive / arithmetic streams.
+
+def _dc_scan_op(reader, dc_dec, block, predictors, ci, ah, al) -> None:
+    """One block's DC contribution in a progressive scan (T.81 G.1.2.1 /
+    libjpeg jdphuff decode_mcu_DC_first|refine): first pass decodes the
+    diff-coded value shifted up by Al; refinement passes OR the next
+    lower bit into the two's-complement coefficient."""
+    if ah == 0:
+        cat = dc_dec.decode(reader)
+        predictors[ci] += _extend(reader.read(cat), cat)
+        block[0] = predictors[ci] << al
+    elif reader.read(1):
+        block[0] |= 1 << al
+
+
+def _ac_scan_first(reader, ac_dec, block, ss, se, al, eob) -> None:
+    """AC band first pass (Ah=0) with EOB-run skipping (G.1.2.2 /
+    libjpeg decode_mcu_AC_first). ``eob`` is the scan's mutable
+    [EOBRUN] cell."""
+    if eob[0] > 0:
+        eob[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = ac_dec.decode(reader)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zero coefficients
+                k += 16
+                continue
+            eob[0] = (1 << r) - 1 + (reader.read(r) if r else 0)
+            return
+        k += r
+        if k > se:
+            raise ValueError("progressive AC run past band end")
+        block[k] = _extend(reader.read(s), s) << al
+        k += 1
+
+
+def _ac_scan_refine(reader, ac_dec, block, ss, se, al, eob) -> None:
+    """AC band refinement pass (Ah=Al+1) — correction bits for
+    history-nonzero coefficients, newly-significant coefficients placed
+    at history-zero positions (G.1.2.3 / libjpeg decode_mcu_AC_refine)."""
+    p1 = 1 << al
+
+    def correct(coef: int) -> int:
+        # coefficient already nonzero: read its correction bit; apply it
+        # only if this bit of the magnitude is still 0
+        if reader.read(1) and (coef & p1) == 0:
+            return coef + (p1 if coef >= 0 else -p1)
+        return coef
+
+    k = ss
+    if eob[0] == 0:
+        while k <= se:
+            rs = ac_dec.decode(reader)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s:
+                if s != 1:
+                    raise ValueError("invalid refinement magnitude category")
+                newval = p1 if reader.read(1) else -p1
+            elif r != 15:
+                eob[0] = (1 << r) + (reader.read(r) if r else 0)
+                break
+            # advance past r history-zero positions, correcting every
+            # history-nonzero coefficient on the way
+            while k <= se:
+                if block[k] != 0:
+                    block[k] = correct(int(block[k]))
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                block[k] = newval
+            k += 1
+    if eob[0] > 0:
+        while k <= se:
+            if block[k] != 0:
+                block[k] = correct(int(block[k]))
+            k += 1
+        eob[0] -= 1
+
+
+def _decode_progressive_scan(
+    header: bytes,
+    entropy: bytes,
+    frame_comps: list,
+    grids: list,
+    huff_dc: dict,
+    huff_ac: dict,
+    restart_interval: int,
+    geom: tuple,
+) -> None:
+    """Decode ONE progressive scan's entropy segment into the coefficient
+    grids (T.81 G.2 control procedure). Interleaved scans (>1 component,
+    DC only) walk the MCU grid; non-interleaved scans walk the single
+    component's OWN block grid — ceil(ceil(dim * fi / fmax) / 8), NOT the
+    MCU-padded grid (padding blocks are coded only in interleaved scans).
+    Restart markers reset DC predictors and the EOB run."""
+    h, w, hmax, vmax, mcux, mcuy = geom
+    ncomp_s = header[0]
+    scan: list[tuple[int, int, int]] = []  # (frame comp idx, dc id, ac id)
+    comp_ids = [c[0] for c in frame_comps]
+    for i in range(ncomp_s):
+        cs, tbls = header[1 + 2 * i], header[2 + 2 * i]
+        if cs not in comp_ids:
+            raise ValueError("scan references unknown component")
+        scan.append((comp_ids.index(cs), tbls >> 4, tbls & 0x0F))
+    ss, se = header[1 + 2 * ncomp_s], header[2 + 2 * ncomp_s]
+    ahal = header[3 + 2 * ncomp_s]
+    ah, al = ahal >> 4, ahal & 0x0F
+    if not (0 <= ss <= se <= 63):
+        raise ValueError("bad spectral selection band")
+    if ss == 0 and se != 0:
+        raise ValueError("progressive scan mixes DC and AC coefficients")
+    if ss > 0 and ncomp_s != 1:
+        raise ValueError("progressive AC scans must be non-interleaved")
+
+    reader = _BitReader(entropy)
+    predictors = [0] * len(frame_comps)
+    eob = [0]
+    unit_index = 0  # MCUs (interleaved) or blocks (non-interleaved)
+
+    def maybe_restart() -> None:
+        nonlocal predictors
+        if restart_interval and unit_index and unit_index % restart_interval == 0:
+            reader.restart()
+            predictors = [0] * len(frame_comps)
+            eob[0] = 0
+
+    if ncomp_s > 1:  # interleaved: DC scan over the MCU grid
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                unit_index += 1
+                for ci, dc_id, _ in scan:
+                    _, _, hi, vi = frame_comps[ci]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            _dc_scan_op(
+                                reader, huff_dc[dc_id],
+                                grids[ci][my * vi + by, mx * hi + bx],
+                                predictors, ci, ah, al,
+                            )
+        return
+    ci, dc_id, ac_id = scan[0]
+    _, _, hi, vi = frame_comps[ci]
+    cw = -(-w * hi // hmax)  # component sample dims: ceil(dim * fi / fmax)
+    ch = -(-h * vi // vmax)
+    bw = -(-cw // 8)  # component block dims: ceil(samples / 8)
+    bh = -(-ch // 8)
+    for by in range(bh):
+        for bx in range(bw):
+            maybe_restart()
+            unit_index += 1
+            block = grids[ci][by, bx]
+            if ss == 0:
+                _dc_scan_op(reader, huff_dc[dc_id], block, predictors, ci, ah, al)
+            elif ah == 0:
+                _ac_scan_first(reader, huff_ac[ac_id], block, ss, se, al, eob)
+            else:
+                _ac_scan_refine(reader, huff_ac[ac_id], block, ss, se, al, eob)
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a JFIF stream: grayscale -> (h, w) uint8, YCbCr color ->
+    (h, w, 3) uint8 RGB. Handles sampling factors 1-2 per axis (4:4:4,
+    4:2:2, 4:2:0 — what real encoders emit; chroma is upsampled by sample
+    replication), so third-party-encoded photos decode too.
+
+    Both baseline sequential (SOF0) and PROGRESSIVE (SOF2) modes decode:
+    progressive streams walk every scan — interleaved/non-interleaved DC,
+    spectral-selection AC bands, and successive-approximation refinement
+    passes (per-scan EOB runs, table redefinitions between scans) — into
+    the shared coefficient grids, then reconstruct exactly like baseline.
+    Cross-validated against javax.imageio's reader on the JVM encoder's
+    own progressive output (tests/test_multimodal.py). Restart intervals
+    (DRI/RSTn) are honored in both modes. Raises NotImplementedError for
+    the honest remaining boundary: arithmetic coding, hierarchical and
+    lossless modes, 12-bit precision.
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -541,12 +736,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     scan_tables: list[tuple[int, int]] = []  # (dc table id, ac table id)
     entropy_start = None
     restart_interval = 0
+    progressive = False
+    grids: list[np.ndarray] = []
+    hmax = vmax = mcux = mcuy = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0xFF:  # fill byte before a marker
+            pos += 1
+            continue
         size = struct.unpack_from(">H", payload, pos + 2)[0]
         body = payload[pos + 4 : pos + 2 + size]
         if marker == 0xDB:  # DQT (may hold several tables)
@@ -557,11 +758,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     raise NotImplementedError("16-bit quantization tables unsupported")
                 qtables[tq] = np.frombuffer(body, np.uint8, 64, off + 1).astype(np.int64)
                 off += 65
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                f"only baseline sequential DCT (SOF0) is supported, got SOF{marker - 0xC0}"
+                "only baseline sequential (SOF0) and progressive (SOF2) DCT "
+                f"are supported, got SOF{marker - 0xC0}"
             )
-        elif marker == 0xC0:  # SOF0
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if precision != 8:
                 raise NotImplementedError("only 8-bit precision supported")
@@ -575,6 +778,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         f"sampling factors {hi}x{vi} unsupported (1-2 only)"
                     )
                 frame_comps.append((comp_id, qid, hi, vi))
+            hmax = max(c[2] for c in frame_comps)
+            vmax = max(c[3] for c in frame_comps)
+            mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+            # Per-component block grid spans the full MCU grid (edge MCUs
+            # carry padding blocks that decode normally and are cropped
+            # away after reconstruction).
+            grids = [
+                np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
+                for _, _, hi, vi in frame_comps
+            ]
         elif marker == 0xC4:  # DHT (may hold several tables)
             off = 0
             while off < len(body):
@@ -587,9 +800,26 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS
+            if progressive:
+                end = _entropy_end(payload, pos + 2 + size)
+                _decode_progressive_scan(
+                    body,
+                    payload[pos + 2 + size : end],
+                    frame_comps,
+                    grids,
+                    huff_dc,
+                    huff_ac,
+                    restart_interval,
+                    (h, w, hmax, vmax, mcux, mcuy),
+                )
+                entropy_start = end  # marks "at least one scan decoded"
+                pos = end
+                continue
             ncomp_s = body[0]
             if ncomp_s != len(frame_comps):
-                raise NotImplementedError("partial-component scans unsupported")
+                raise NotImplementedError(
+                    "partial-component scans unsupported in baseline mode"
+                )
             for ci in range(ncomp_s):
                 tbls = body[2 + 2 * ci]
                 scan_tables.append((tbls >> 4, tbls & 0x0F))
@@ -597,41 +827,33 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             break
         pos += 2 + size
     if entropy_start is None or h is None:
-        raise ValueError("JPEG missing SOS/SOF0")
+        raise ValueError("JPEG missing SOS/SOF")
     for _, qid, _, _ in frame_comps:
         if qid not in qtables:
             raise ValueError("JPEG scan references missing quantization table")
 
-    reader = _BitReader(payload[entropy_start:])
     ncomp = len(frame_comps)
-    hmax = max(c[2] for c in frame_comps)
-    vmax = max(c[3] for c in frame_comps)
-    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
-    # Per-component block grid spans the full MCU grid (edge MCUs carry
-    # padding blocks that decode normally and are cropped away below).
-    grids = [
-        np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
-        for _, _, hi, vi in frame_comps
-    ]
-    predictors = [0] * ncomp
-    mcu_index = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
-                reader.restart()
-                predictors = [0] * ncomp
-            mcu_index += 1
-            for ci, (_, _, hi, vi) in enumerate(frame_comps):
-                dc_id, ac_id = scan_tables[ci]
-                for by in range(vi):
-                    for bx in range(hi):
-                        predictors[ci] = _read_block(
-                            reader,
-                            huff_dc[dc_id],
-                            huff_ac[ac_id],
-                            predictors[ci],
-                            grids[ci][my * vi + by, mx * hi + bx],
-                        )
+    if not progressive:
+        reader = _BitReader(payload[entropy_start:])
+        predictors = [0] * ncomp
+        mcu_index = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                    reader.restart()
+                    predictors = [0] * ncomp
+                mcu_index += 1
+                for ci, (_, _, hi, vi) in enumerate(frame_comps):
+                    dc_id, ac_id = scan_tables[ci]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            predictors[ci] = _read_block(
+                                reader,
+                                huff_dc[dc_id],
+                                huff_ac[ac_id],
+                                predictors[ci],
+                                grids[ci][my * vi + by, mx * hi + bx],
+                            )
     planes = []
     for ci, (_, qid, hi, vi) in enumerate(frame_comps):
         gbh, gbw = grids[ci].shape[:2]

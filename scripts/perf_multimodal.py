@@ -20,6 +20,37 @@ from ecom_snowflake_duckdb_migration_spark import multimodal as mm
 from ecom_snowflake_duckdb_migration_spark.session import get_spark
 
 
+def _progressive_payloads(spark, n: int, seed: int = 7) -> list[bytes]:
+    """n REAL progressive JPEG payloads: random RGB -> our baseline
+    encoder -> JVM ImageIO transcode with MODE_DEFAULT progression
+    (libjpeg's standard 10-scan script). Driver-side; ~ms per item."""
+    import numpy as np
+
+    from ecom_snowflake_duckdb_migration_spark.multimodal.jpeg import encode_jpeg
+
+    jvm = spark._jvm
+    rng = np.random.RandomState(seed)
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    param = writer.getDefaultWriteParam()
+    param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    out = []
+    for _ in range(n):
+        h = int(rng.randint(16, 33))
+        w = int(rng.randint(16, 33))
+        px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        bimg = jvm.javax.imageio.ImageIO.read(
+            jvm.java.io.ByteArrayInputStream(encode_jpeg(px))
+        )
+        bos = jvm.java.io.ByteArrayOutputStream()
+        ios = jvm.javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.write(None, jvm.javax.imageio.IIOImage(bimg, None, None), param)
+        ios.close()
+        out.append(bytes(bos.toByteArray()))
+    writer.dispose()
+    return out
+
+
 def main() -> int:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "PERF_MULTIMODAL.json"
     n_items = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
@@ -42,8 +73,26 @@ def main() -> int:
         "audio_hashes": lambda: mm.audio_hashes(audio),
         "audio_near_pairs": lambda: mm.audio_near_pairs(audio, max_hamming=3),
     }
+    # progressive JPEG decode: real SOF2 multi-scan streams transcoded by
+    # the JVM's writer from our baseline encodes (the JVM runs libjpeg's
+    # standard progressive script), decoded by the pure-numpy SOF2 path
+    n_prog = min(n_items, 1000)
+    prog = _progressive_payloads(spark, n_prog)
+    prog_df = spark.createDataFrame(
+        [(f"prog-{i}", p) for i, p in enumerate(prog)],
+        "media_id STRING, payload BINARY",
+    ).repartition(par).localCheckpoint(eager=True)
+
+    bad = (
+        mm.decode_images(prog_df).filter("ok <> 'ok'").count()
+    )
+    if bad:
+        raise SystemExit(f"{bad}/{n_prog} progressive payloads failed to decode")
+
     results = {}
-    for name, fn in ops.items():
+    sized = dict(ops, decode_progressive_jpeg=lambda: mm.decode_images(prog_df))
+    for name, fn in sized.items():
+        count = n_prog if name == "decode_progressive_jpeg" else n_items
         fn().count()  # warm
         times = []
         for _ in range(n_reps):
@@ -54,7 +103,7 @@ def main() -> int:
         results[name] = {
             "rows": n,
             "best_sec": round(best, 4),
-            "items_per_sec": round(n_items / best),
+            "items_per_sec": round(count / best),
         }
         print(f"{name}: {results[name]}", flush=True)
     with open(out_path, "w") as f:

@@ -286,10 +286,17 @@ def test_jpeg_unsupported_modes_raise_named_errors():
 
     img = _test_image(8, 8)
     data = bytearray(jpeg.encode_jpeg(img))
-    # flip SOF0 -> SOF2 (progressive): find the C0 marker
+    # flip SOF0 -> SOF3 (lossless): still a named boundary (SOF2
+    # progressive became a SUPPORTED mode in round 9)
     i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC3
+    with _pt.raises(NotImplementedError, match="SOF3"):
+        jpeg.decode_jpeg(bytes(data))
+    # a baseline stream relabeled SOF2 is CORRUPT (its single scan codes
+    # DC+AC together, illegal in progressive mode) -> ValueError, not a
+    # silent misdecode
     data[i + 1] = 0xC2
-    with _pt.raises(NotImplementedError, match="SOF2"):
+    with _pt.raises(ValueError):
         jpeg.decode_jpeg(bytes(data))
     # truncated entropy stream -> ValueError, and captured per-row in Spark
     good = jpeg.encode_jpeg(img)
@@ -423,6 +430,126 @@ def test_jpeg_decodes_third_party_420_stream(spark, tmp_path):
     diff = np.abs(java - ours.astype(np.int64))
     assert diff.mean() < 3
     assert diff.max() <= 16
+
+
+def _write_progressive_jpeg(jvm, bimg, path: str) -> None:
+    """Write ``bimg`` as a PROGRESSIVE JPEG via the JVM's own writer
+    (libjpeg's standard multi-scan script: interleaved DC first, then
+    spectral-selection AC bands with successive-approximation refinement
+    passes) — a third-party fixture our encoder cannot produce."""
+    writers = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpg")
+    writer = writers.next()
+    param = writer.getDefaultWriteParam()
+    param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(
+        jvm.java.io.File(path)
+    )
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(bimg, None, None), param)
+    ios.close()
+    writer.dispose()
+
+
+def _jpeg_scan_info(data: bytes):
+    """(sof_marker, n_scans) of a JPEG stream — walks marker segments,
+    skipping entropy bytes after each SOS."""
+    import struct as _s
+
+    sof = None
+    n_scans = 0
+    pos = 2
+    while pos + 4 <= len(data):
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        size = _s.unpack_from(">H", data, pos + 2)[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            sof = marker
+        pos += 2 + size
+        if marker == 0xDA:
+            n_scans += 1
+            while pos + 1 < len(data):
+                if data[pos] == 0xFF and data[pos + 1] not in (0x00, 0xFF) \
+                        and not (0xD0 <= data[pos + 1] <= 0xD7):
+                    break
+                pos += 1
+    return sof, n_scans
+
+
+def test_jpeg_progressive_color_cross_validated_against_jvm(spark, tmp_path):
+    """Progressive (SOF2) color decode: the JVM writes its standard
+    multi-scan progressive stream (DC + spectral AC bands + successive
+    approximation); our decoder must reconstruct it to the same RGB the
+    JVM's own reader produces, within the baseline tolerance (the only
+    legitimate difference is the chroma upsampling filter)."""
+    import numpy as np
+
+    from ecom_snowflake_duckdb_migration_spark.multimodal import jpeg
+
+    jvm = spark._jvm
+    h, w = 40, 56
+    bimg = jvm.java.awt.image.BufferedImage(w, h, 1)  # TYPE_INT_RGB
+    # smooth wrap-free gradients (same family as the baseline 4:2:0
+    # cross-validation test): the tolerance below is the chroma-
+    # upsampling-filter difference (replication vs libjpeg triangle),
+    # verified identical for a BASELINE encode of the same pixels —
+    # sharp chroma edges widen that filter gap for both modes equally,
+    # telling us nothing about progressive decode
+    for y in range(h):
+        for x in range(w):
+            bimg.setRGB(x, y, ((x * 4) << 16) | ((y * 6) << 8)
+                        | ((x + y) * 2))
+    path = str(tmp_path / "prog.jpg")
+    _write_progressive_jpeg(jvm, bimg, path)
+    with open(path, "rb") as f:
+        data = f.read()
+    sof, n_scans = _jpeg_scan_info(data)
+    assert sof == 0xC2 and n_scans > 3  # really progressive, really multi-scan
+    ours = jpeg.decode_jpeg(data)
+    assert ours.shape == (h, w, 3)
+    bimg2 = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(path))
+    java = np.zeros((h, w, 3), dtype=np.int64)
+    for y in range(h):
+        for x in range(w):
+            argb = bimg2.getRGB(x, y)
+            java[y, x] = [(argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF]
+    diff = np.abs(java - ours.astype(np.int64))
+    assert diff.mean() < 3
+    assert diff.max() <= 16
+
+
+def test_jpeg_progressive_grayscale_cross_validated_against_jvm(spark, tmp_path):
+    """Progressive grayscale: single-component scans are all
+    non-interleaved (component-grid walking, not MCU-grid) — decode must
+    match the JVM reader near-exactly (no chroma filter in play; +-1 for
+    IDCT rounding)."""
+    import numpy as np
+
+    from ecom_snowflake_duckdb_migration_spark.multimodal import jpeg
+
+    jvm = spark._jvm
+    h, w = 24, 40
+    bimg = jvm.java.awt.image.BufferedImage(w, h, 10)  # TYPE_BYTE_GRAY
+    raster = bimg.getRaster()
+    for y in range(h):
+        for x in range(w):
+            raster.setSample(x, y, 0, (x * 7 + y * 3) % 256)
+    path = str(tmp_path / "prog_gray.jpg")
+    _write_progressive_jpeg(jvm, bimg, path)
+    with open(path, "rb") as f:
+        data = f.read()
+    sof, n_scans = _jpeg_scan_info(data)
+    assert sof == 0xC2 and n_scans > 1
+    ours = jpeg.decode_jpeg(data)
+    assert ours.shape == (h, w)
+    bimg2 = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(path))
+    raster2 = bimg2.getRaster()
+    java = np.zeros((h, w), dtype=np.int64)
+    for y in range(h):
+        for x in range(w):
+            java[y, x] = raster2.getSample(x, y, 0)
+    diff = np.abs(java - ours.astype(np.int64))
+    assert diff.max() <= 1
 
 
 def test_jpeg_restart_intervals(spark, tmp_path):
