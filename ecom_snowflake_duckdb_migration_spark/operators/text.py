@@ -153,19 +153,18 @@ def gopher_repetition_stats(
     count, one (doc, n) fold — two hash exchanges on the doc key, all
     partials map-side-combinable; the argmax rides min(struct(-cnt, g)),
     never a window. NULL/empty texts produce zero-grams rows (fractions
-    0) so the output has exactly one row per input document.
+    0) so the output has exactly one row per input document. Words are
+    whitespace-delimited tokens after a FULL whitespace trim (regexp,
+    not trim() — trim strips spaces only, so a trailing newline would
+    fabricate an empty token).
     """
-    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    tr = _ws_trim(F.coalesce(F.col(text_col), F.lit("")))
     base = df.select(
         F.col(id_col),
         F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("_tlen"),
-        F.split(t, r"\s+").alias("_ws"),
-    ).select(
-        id_col,
-        "_tlen",
-        F.when(
-            (F.size("_ws") == 1) & (F.element_at("_ws", 1) == ""), F.array()
-        ).otherwise(F.col("_ws")).alias("_ws"),
+        F.when(tr == "", F.array().cast("array<string>"))
+        .otherwise(F.split(tr, r"\s+"))
+        .alias("_ws"),
     )
     grams = None
     for n in (2, 5):
@@ -222,6 +221,112 @@ def gopher_repetition_stats(
             F.coalesce("t2", F.lit(0)).cast("long").alias("top_2gram_char_frac_e6"),
         )
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _ws_trim(c: Column) -> Column:
+    """Strip leading/trailing WHITESPACE (``trim`` strips spaces only —
+    a trailing newline would otherwise fabricate an empty word token)."""
+    return F.regexp_replace(F.regexp_replace(c, r"^\s+", ""), r"\s+$", "")
+
+
+def gopher_quality_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The REST of Gopher A1.1 (Rae et al. 2021, MassiveText quality
+    filters) — the per-row signals x112's repetition stats don't cover,
+    emitted as one row per document with the combined pass verdict:
+
+    - ``n_words`` (whitespace tokens) — rule: 50..100,000;
+    - ``mean_word_len_e6`` — rule: 3..10 chars;
+    - ``symbol_word_ratio_e6`` — '#' chars + non-overlapping '...'/'…'
+      runs per word — rule: <= 0.1;
+    - ``bullet_line_frac_e6`` — lines whose first non-space char is a
+      bullet ('•', '-', '*') — rule: <= 0.10 (the paper's "90% of lines
+      must not start with a bullet");
+    - ``ellipsis_line_frac_e6`` — lines ending in '...'/'…' after
+      right-trim — rule: <= 0.30;
+    - ``alpha_word_frac_e6`` — words containing at least one [A-Za-z]
+      — rule: >= 0.80;
+    - ``n_required_stopwords`` — distinct members of the paper's 8-word
+      list (the, be, to, of, and, that, have, with) present as
+      lowercased tokens — rule: >= 2;
+    - ``passes_gopher`` — AND of all seven rules.
+
+    Every signal is a per-row Catalyst expression (zero shuffle; the
+    whole frame pipelines inside one codegen stage) and every fraction
+    rides e6 integer division, so the row is bit-identical cross-engine.
+    Feed ``passes_gopher`` into ``curate()``'s quality gate to apply the
+    full MassiveText rule set ahead of dedup.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    tr = _ws_trim(t)
+    words = F.when(tr == "", F.array().cast("array<string>")).otherwise(
+        F.split(tr, r"\s+")
+    )
+    lines = F.split(t, "\n")  # '' -> [''], matching DuckDB string_split
+    n_words = F.size(words).cast("long")
+    n_lines = F.size(lines).cast("long")
+    sum_wlen = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w_: acc + F.length(w_)
+    )
+    n_hash = (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))).cast("long")
+    n_ellipsis = F.size(F.regexp_extract_all(t, F.lit(r"\.\.\.|…"), F.lit(0))).cast("long")
+    bullets = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.substring(F.ltrim(ln), 1, 1).isin("•", "-", "*"),
+        )
+    ).cast("long")
+    ell_lines = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.rtrim(ln).endswith("...") | F.rtrim(ln).endswith("…"),
+        )
+    ).cast("long")
+    alpha_words = F.size(
+        F.filter(words, lambda w_: w_.rlike("[A-Za-z]"))
+    ).cast("long")
+    low_words = F.transform(words, F.lower)
+    n_stops = sum(
+        (
+            F.array_contains(low_words, sw).cast("long")
+            for sw in GOPHER_STOPWORDS
+        ),
+        F.lit(0).cast("long"),
+    )
+
+    def frac(num: Column, den: Column) -> Column:
+        # e6 integer division; (a - a % b) / b is exact (a divisible by b)
+        scaled = num * F.lit(SCALE)
+        return (
+            F.when(den > 0, (scaled - scaled % den) / den)
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        frac(sum_wlen, n_words).alias("mean_word_len_e6"),
+        frac(n_hash + n_ellipsis, n_words).alias("symbol_word_ratio_e6"),
+        frac(bullets, n_lines).alias("bullet_line_frac_e6"),
+        frac(ell_lines, n_lines).alias("ellipsis_line_frac_e6"),
+        frac(alpha_words, n_words).alias("alpha_word_frac_e6"),
+        n_stops.alias("n_required_stopwords"),
+    )
+    passes = (
+        F.col("n_words").between(50, 100_000)
+        & F.col("mean_word_len_e6").between(3 * SCALE, 10 * SCALE)
+        & (F.col("symbol_word_ratio_e6") <= SCALE // 10)
+        & (F.col("bullet_line_frac_e6") <= SCALE // 10)
+        & (F.col("ellipsis_line_frac_e6") <= 3 * SCALE // 10)
+        & (F.col("alpha_word_frac_e6") >= 8 * SCALE // 10)
+        & (F.col("n_required_stopwords") >= 2)
+    )
+    return out.withColumn("passes_gopher", passes)
 
 
 # ---------------------------------------------------------------------------

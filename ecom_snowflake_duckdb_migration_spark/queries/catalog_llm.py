@@ -2777,13 +2777,19 @@ def x111_canonical_dedup(spark, sf_dir):
     # and the top-2-gram argmax tie-breaks lexicographically in both
     # (min(struct(-cnt, g)) here, ORDER BY cnt DESC, gr ASC there).
     oracle=f"""
-    WITH w AS (
+    WITH tr AS (
         SELECT doc_id,
                length(coalesce(text, '')) AS tlen,
-               CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
-                    ELSE string_split_regex(trim(coalesce(text, '')), '\\s+')
-               END AS ws
+               regexp_replace(regexp_replace(coalesce(text, ''),
+                              '^\\s+', ''), '\\s+$', '') AS t
         FROM documents
+    ),
+    w AS (
+        SELECT doc_id, tlen,
+               CASE WHEN t = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(t, '\\s+')
+               END AS ws
+        FROM tr
     ),
     g AS (
         SELECT doc_id, tlen, 2 AS n,
@@ -2899,3 +2905,96 @@ def x113_pii_redaction_planted(spark, sf_dir):
         ).alias("text"),
     )
     return tx.redact_pii(planted)
+
+
+@register(
+    "x114_gopher_quality_signals",
+    # The non-repetition half of Gopher A1.1: every signal is a per-row
+    # expression; fractions ride e6 integer division (// vs div) and the
+    # word split / line split / trim semantics are pinned identical
+    # (string_split_regex + chr(10) split keep trailing empties in both
+    # engines; ltrim/rtrim default to space-trimming in both).
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id,
+               coalesce(text, '') AS t,
+               CASE WHEN regexp_replace(regexp_replace(coalesce(text, ''),
+                         '^\s+', ''), '\s+$', '') = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(
+                         regexp_replace(regexp_replace(coalesce(text, ''),
+                         '^\s+', ''), '\s+$', ''), '\s+')
+               END AS ws,
+               string_split(coalesce(text, ''), chr(10)) AS ls
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(len(ls) AS BIGINT) AS n_lines,
+               CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0)
+                    AS BIGINT) AS sum_wlen,
+               CAST(length(t) - length(replace(t, '#', '')) AS BIGINT)
+                   + CAST(len(regexp_extract_all(t, '\.\.\.|…')) AS BIGINT)
+                   AS n_symbols,
+               CAST(len(list_filter(ls,
+                    l -> substr(ltrim(l), 1, 1) IN ('•', '-', '*')))
+                    AS BIGINT) AS n_bullet_lines,
+               CAST(len(list_filter(ls,
+                    l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…'))
+                    AS BIGINT) AS n_ellipsis_lines,
+               CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+                    AS BIGINT) AS n_alpha_words,
+               CAST(list_contains(list_transform(ws, w -> lower(w)), 'the') AS BIGINT)
+                 + CAST(list_contains(list_transform(ws, w -> lower(w)), 'be') AS BIGINT)
+                 + CAST(list_contains(list_transform(ws, w -> lower(w)), 'to') AS BIGINT)
+                 + CAST(list_contains(list_transform(ws, w -> lower(w)), 'of') AS BIGINT)
+                 + CAST(list_contains(list_transform(ws, w -> lower(w)), 'and') AS BIGINT)
+                 + CAST(list_contains(list_transform(ws, w -> lower(w)), 'that') AS BIGINT)
+                 + CAST(list_contains(list_transform(ws, w -> lower(w)), 'have') AS BIGINT)
+                 + CAST(list_contains(list_transform(ws, w -> lower(w)), 'with') AS BIGINT)
+                   AS n_required_stopwords
+        FROM base
+    ),
+    s AS (
+        SELECT doc_id, n_words,
+               CASE WHEN n_words > 0
+                    THEN CAST(sum_wlen * 1000000 // n_words AS BIGINT)
+                    ELSE 0 END AS mean_word_len_e6,
+               CASE WHEN n_words > 0
+                    THEN CAST(n_symbols * 1000000 // n_words AS BIGINT)
+                    ELSE 0 END AS symbol_word_ratio_e6,
+               CASE WHEN n_lines > 0
+                    THEN CAST(n_bullet_lines * 1000000 // n_lines AS BIGINT)
+                    ELSE 0 END AS bullet_line_frac_e6,
+               CASE WHEN n_lines > 0
+                    THEN CAST(n_ellipsis_lines * 1000000 // n_lines AS BIGINT)
+                    ELSE 0 END AS ellipsis_line_frac_e6,
+               CASE WHEN n_words > 0
+                    THEN CAST(n_alpha_words * 1000000 // n_words AS BIGINT)
+                    ELSE 0 END AS alpha_word_frac_e6,
+               n_required_stopwords
+        FROM m
+    )
+    SELECT *,
+           (n_words BETWEEN 50 AND 100000
+            AND mean_word_len_e6 BETWEEN 3000000 AND 10000000
+            AND symbol_word_ratio_e6 <= 100000
+            AND bullet_line_frac_e6 <= 100000
+            AND ellipsis_line_frac_e6 <= 300000
+            AND alpha_word_frac_e6 >= 800000
+            AND n_required_stopwords >= 2) AS passes_gopher
+    FROM s
+    """,
+    doc="The full Gopher A1.1 quality rule set beyond repetition "
+    "(operators.text.gopher_quality_stats): word-count bounds, mean word "
+    "length, '#'/ellipsis symbol-to-word ratio, bullet-start and "
+    "ellipsis-end line fractions, the 80%%-alphabetic-words rule, and "
+    "the 8-stopword requirement — emitted per document with the combined "
+    "passes_gopher verdict (completes x112; together they are Rae et "
+    "al.'s MassiveText filter). Shape: pure per-row expressions, zero "
+    "shuffle, one codegen stage over the scan.",
+    tags=("LLM", "quality"),
+)
+def x114_gopher_quality_signals(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return tx.gopher_quality_stats(d)

@@ -1951,6 +1951,75 @@ def test_assign_cell_pandas_null_vectors(spark):
         assert 11 not in by_q and 12 not in by_q
 
 
+def test_gopher_quality_stats_matches_python_reference(spark):
+    """Crafted corpus + seeded random sweep vs a pure-Python reference of
+    Rae et al. A1.1: every signal and the combined verdict must match on
+    every document, and at least one crafted doc must PASS (the rule set
+    can fire true, not just reject)."""
+    import random
+    import re
+
+    passing = ("the cat and the dog have been with us " * 8).strip()
+    texts = [
+        passing,                                   # all rules green
+        "• item\n• item\n" + passing,              # bullet lines
+        ("to be... " * 60).strip(),                # ellipsis symbols
+        "#### " + passing,                         # hash symbols
+        "123 456 789 " * 20 + "the of",            # alpha-word rule
+        None, "", "   ",                           # degenerate
+        "short the of",                            # word-count floor
+    ]
+    rng = random.Random(31)
+    vocab = ["the", "be", "...", "#tag", "•", "abc", "12", "wordy", "\n"]
+    for _ in range(60):
+        texts.append(" ".join(rng.choice(vocab) for _ in range(rng.randint(0, 80))))
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id INT, text STRING")
+
+    def ref(text):
+        t = text or ""
+        ws = t.strip().split() if t.strip() else []
+        ls = t.split("\n")
+        nw, nl = len(ws), len(ls)
+        sum_wlen = sum(len(w) for w in ws)
+        n_sym = t.count("#") + len(re.findall(r"\.\.\.|…", t))
+        n_bul = sum(1 for l in ls if l.lstrip(" ")[:1] in ("•", "-", "*"))
+        n_ell = sum(1 for l in ls
+                    if l.rstrip(" ").endswith("...") or l.rstrip(" ").endswith("…"))
+        n_alpha = sum(1 for w in ws if re.search("[A-Za-z]", w))
+        low = {w.lower() for w in ws}
+        stops = sum(1 for s in tx.GOPHER_STOPWORDS if s in low)
+        e6 = lambda n, d: n * 1_000_000 // d if d > 0 else 0
+        row = {
+            "n_words": nw,
+            "mean_word_len_e6": e6(sum_wlen, nw),
+            "symbol_word_ratio_e6": e6(n_sym, nw),
+            "bullet_line_frac_e6": e6(n_bul, nl),
+            "ellipsis_line_frac_e6": e6(n_ell, nl),
+            "alpha_word_frac_e6": e6(n_alpha, nw),
+            "n_required_stopwords": stops,
+        }
+        row["passes_gopher"] = (
+            50 <= nw <= 100_000
+            and 3_000_000 <= row["mean_word_len_e6"] <= 10_000_000
+            and row["symbol_word_ratio_e6"] <= 100_000
+            and row["bullet_line_frac_e6"] <= 100_000
+            and row["ellipsis_line_frac_e6"] <= 300_000
+            and row["alpha_word_frac_e6"] >= 800_000
+            and stops >= 2
+        )
+        return row
+
+    got = {r.doc_id: r.asDict() for r in tx.gopher_quality_stats(df).collect()}
+    assert len(got) == len(texts)
+    n_pass = 0
+    for i, t in enumerate(texts):
+        want = ref(t)
+        n_pass += want["passes_gopher"]
+        for k, v in want.items():
+            assert got[i][k] == v, (i, repr(t)[:60], k, got[i][k], v)
+    assert n_pass >= 1  # the verdict fires true somewhere
+
+
 def test_gopher_repetition_stats_matches_python_reference(spark):
     """Seeded random-corpus sweep vs a pure-Python reference: duplicate
     n-gram fractions and the tie-broken top-2-gram char mass must match
