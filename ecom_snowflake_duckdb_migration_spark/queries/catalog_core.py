@@ -2269,3 +2269,152 @@ def x109_entity_match_pairs(spark, sf_dir):
         )
     )
     return sn_pairs.unionByName(cross)
+
+
+_X115_SCORE_MIN = 600_000  # weighted-score keep threshold (e6)
+
+
+@register(
+    "x115_entity_match_scored",
+    # Multi-field MDM scoring over x109's block machinery: within a
+    # (nation, 16-prefix, length) block — substitution-only ER, see x109
+    # — every custkey pair at banded levenshtein <= 2 is scored on THREE
+    # fields: name similarity (ln - lev)/ln, market-segment equality,
+    # and account-balance proximity (<= $500 on bp fixed-point), folded
+    # 60/25/15 in e6 integers. Oracle keeps literal levenshtein + the
+    # identical block-size cap and score arithmetic.
+    oracle=f"""
+    WITH blocked AS (
+        SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_bp,
+               substr(c_name, 1, 16) AS blk,
+               length(c_name)        AS ln
+        FROM customer
+    ),
+    sized AS (
+        SELECT *, count(*) OVER (PARTITION BY c_nationkey, blk, ln) AS bsz
+        FROM blocked
+    ),
+    pairs AS (
+        SELECT a.c_custkey AS custkey_a,
+               b.c_custkey AS custkey_b,
+               CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_distance,
+               a.ln AS ln,
+               CASE WHEN a.c_mktsegment = b.c_mktsegment
+                    THEN 1 ELSE 0 END AS same_segment,
+               CASE WHEN abs(a.bal_bp - b.bal_bp) <= 50000
+                    THEN 1 ELSE 0 END AS bal_close
+        FROM sized a
+        JOIN sized b
+          ON b.blk = a.blk AND b.c_nationkey = a.c_nationkey AND b.ln = a.ln
+         AND b.c_custkey > a.c_custkey
+        WHERE a.bsz <= {_X109_MAX_BLOCK}
+          AND levenshtein(a.c_name, b.c_name) <= 2
+    ),
+    scored AS (
+        SELECT custkey_a, custkey_b, edit_distance,
+               CAST((ln - edit_distance) * 1000000 // ln AS BIGINT)
+                   AS name_sim_e6,
+               CAST(same_segment AS INT) AS same_segment,
+               CAST(bal_close AS INT) AS bal_close,
+               CAST((60 * ((ln - edit_distance) * 1000000 // ln)
+                     + 25000000 * same_segment
+                     + 15000000 * bal_close) // 100 AS BIGINT) AS score_e6
+        FROM pairs
+    )
+    SELECT * FROM scored WHERE score_e6 >= {_X115_SCORE_MIN}
+    """,
+    doc="Weighted multi-field entity resolution (the MDM match step "
+    "x109's candidate generation feeds): same substitution-only blocks "
+    "(nation, 16-char prefix, length band; purge cap "
+    f"{_X109_MAX_BLOCK}), banded levenshtein widened to <= 2, and each "
+    "candidate pair scored 60% name similarity + 25% market-segment "
+    "equality + 15% balance proximity (<= $500, bp fixed-point) in e6 "
+    "integer arithmetic — kept at score >= 0.6 (an exact-name pair "
+    "qualifies alone; a lev-2 pair needs a corroborating field). "
+    "DEDUPE-BEFORE-VERIFY carries over: levenshtein runs once per "
+    "distinct NAME pair; segment/balance scoring fans out per custkey "
+    "pair via explode (per-pair O(1) expressions, never per-pair DP).",
+    tags=("J3", "F1", "LLM"),
+)
+def x115_entity_match_scored(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment",
+        F.expr("CAST(floor(c_acctbal * 100 + 0.5D) AS BIGINT)").alias("bal_bp"),
+        F.substring("c_name", 1, 16).alias("blk"),
+        F.length("c_name").alias("ln"),
+    )
+    per_name = c.groupBy("c_nationkey", "blk", "ln", "c_name").agg(
+        F.sort_array(
+            F.collect_list(F.struct("c_custkey", "c_mktsegment", "bal_bp"))
+        ).alias("rows")
+    )
+    blocks = (
+        per_name.groupBy("c_nationkey", "blk", "ln")
+        .agg(F.sort_array(F.collect_list(F.struct("c_name", "rows"))).alias("names"))
+        .withColumn(
+            "nrows", F.expr("aggregate(names, 0, (acc, x) -> acc + size(x.rows))")
+        )
+        .filter(F.col("nrows").between(2, _X109_MAX_BLOCK))
+        # blocks are few and small post-agg; AQE would coalesce the
+        # explosion below onto too few tasks — spread it explicitly
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def score(lev, ln, ra, rb):
+        name_sim = F.expr(f"CAST(({ln} - {lev}) * 1000000 div {ln} AS BIGINT)")
+        seg = F.when(
+            F.col(f"{ra}.c_mktsegment") == F.col(f"{rb}.c_mktsegment"), 1
+        ).otherwise(0)
+        bal = F.when(
+            F.abs(F.col(f"{ra}.bal_bp") - F.col(f"{rb}.bal_bp")) <= 50000, 1
+        ).otherwise(0)
+        return [
+            F.least(F.col(f"{ra}.c_custkey"), F.col(f"{rb}.c_custkey")).alias("custkey_a"),
+            F.greatest(F.col(f"{ra}.c_custkey"), F.col(f"{rb}.c_custkey")).alias("custkey_b"),
+            F.expr(lev).cast("int").alias("edit_distance"),
+            name_sim.alias("name_sim_e6"),
+            seg.cast("int").alias("same_segment"),
+            bal.cast("int").alias("bal_close"),
+            (
+                (F.lit(60) * name_sim
+                 + F.lit(25_000_000) * seg
+                 + F.lit(15_000_000) * bal)
+                - (F.lit(60) * name_sim
+                   + F.lit(25_000_000) * seg
+                   + F.lit(15_000_000) * bal) % 100
+            ).cast("long").alias("_score_scaled"),
+        ]
+
+    # exact-duplicate name groups: every sorted pair, lev 0, no verify
+    sn = (
+        blocks.select(F.col("ln").alias("_ln"), F.explode("names").alias("n"))
+        .select("_ln", F.col("n.rows").alias("rows"))
+        .filter(F.size("rows") >= 2)
+    )
+    sn_pairs = (
+        sn.select("_ln", "rows", F.posexplode("rows").alias("i", "ra"))
+        .select("_ln", "ra", F.explode(F.expr("slice(rows, i + 2, size(rows))")).alias("rb"))
+        .select(*score("0", "_ln", "ra", "rb"))
+    )
+    # distinct-name pairs: one banded-DP levenshtein per NAME pair, then
+    # fan the per-customer field scoring out by pure explode
+    np_ = (
+        blocks.select(F.col("ln").alias("_ln"), "names",
+                      F.posexplode("names").alias("i", "a"))
+        .select("_ln", "a", F.explode(F.expr("slice(names, i + 2, size(names))")).alias("b"))
+        .withColumn("_lev", F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), 2))
+        .filter(F.col("_lev") >= 0)
+    )
+    cross = (
+        np_.select("_ln", "_lev", F.col("b.rows").alias("rows_b"),
+                   F.explode("a.rows").alias("ra"))
+        .select("_ln", "_lev", "ra", F.explode("rows_b").alias("rb"))
+        .select(*score("_lev", "_ln", "ra", "rb"))
+    )
+    out = sn_pairs.unionByName(cross)
+    return (
+        out.withColumn("score_e6", (F.col("_score_scaled") / 100).cast("long"))
+        .drop("_score_scaled")
+        .filter(F.col("score_e6") >= _X115_SCORE_MIN)
+    )

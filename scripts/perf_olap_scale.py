@@ -33,9 +33,10 @@ ENTRIES = [
     "x107_day_set_ops",
     "x108_corr_discount_qty",
     "x109_entity_match_pairs",
+    "x115_entity_match_scored",
     "x98_rfm_segments",
 ]
-COUNT_MODE = {"x109_entity_match_pairs"}
+COUNT_MODE = {"x109_entity_match_pairs", "x115_entity_match_scored"}
 
 
 def _timed(fn) -> float:

@@ -416,6 +416,11 @@ LINT_ALLOW: dict[str, dict[str, str]] = {
         "FILTER_NOT_PUSHED": "size(split(text)) guard is a derived expression"},
     "x110_quality_classifier": {
         "FILTER_NOT_PUSHED": "hashed-feature predicates on derived columns"},
+    "x115_entity_match_scored": {
+        "FILTER_NOT_PUSHED": "isnotnull(length(c_name)) null guard inferred "
+        "by constraint propagation from the score threshold — a derived "
+        "expression, not a scan column (x109's identical scan has no "
+        "filter at all)"},
     # Arrow-batched Python: the one sanctioned non-codegen family
     "x33_media_decode_stats": {"ARROW_PYTHON": "binary media decode"},
 }
