@@ -1818,6 +1818,46 @@ def test_exact_ntile_bucketed_matches_window_ntile(spark):
         exact_ntile_bucketed(withnull, 4, "v", "id", "t")
 
 
+def test_exact_ntile_bucketed_multi_matches_chained_singles(spark):
+    """The fused multi-metric form must produce the SAME tiles as
+    applying the single-column form once per spec — on ties, negatives,
+    n < k, and mixed directions — while running a fixed number of jobs
+    (the x98 sf16 fix). NULL anywhere fails fast naming the column."""
+    import random
+
+    import pytest as _pytest
+
+    from ecom_snowflake_duckdb_migration_spark.operators.sampling import (
+        exact_ntile_bucketed,
+        exact_ntile_bucketed_multi,
+    )
+
+    rng = random.Random(13)
+    rows = [
+        (i, rng.choice([-5, 0, 0, 3, 3, 3, 7, 100]),
+         rng.randint(0, 4), rng.choice([-100, 0, 250]))
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "id INT, a INT, b INT, c INT")
+    specs = [("a", "ta", False), ("b", "tb", True), ("c", "tc", False)]
+    chained = df
+    for vc, oc, desc in specs:
+        chained = exact_ntile_bucketed(
+            chained, 4, vc, "id", oc, descending=desc, n_buckets=5
+        )
+    want = {r.id: (r.ta, r.tb, r.tc) for r in chained.collect()}
+    got = {
+        r.id: (r.ta, r.tb, r.tc)
+        for r in exact_ntile_bucketed_multi(df, 4, specs, "id", n_buckets=5).collect()
+    }
+    assert got == want and len(got) == 150
+    withnull = spark.createDataFrame([(1, None, 2), (2, 5, 3)], "id INT, a INT, b INT")
+    with _pytest.raises(ValueError, match="NULL"):
+        exact_ntile_bucketed_multi(
+            withnull, 4, [("a", "ta", False), ("b", "tb", False)], "id"
+        )
+
+
 def test_rfm_bucketed_branch_matches_window(spark, sf_dir):
     """x98's two size-gate branches are bit-identical on committed data —
     the claim that lets the GLOBAL_WINDOW allowance narrow to the
