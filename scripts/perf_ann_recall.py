@@ -116,6 +116,29 @@ def main() -> int:
                               "scored_fraction": round(nprobe / n_cells, 4)}
         print(f"nprobe={nprobe}: recall@10={recall} probe={probe_sec}s", flush=True)
 
+    # big-batch sweep (timing only): at 100 queries the per-job floor
+    # hides the work; at 1000 queries scoring dominates and probe_sec
+    # visibly tracks scored_fraction (the monotonicity the round-8
+    # single-sample numbers obscured)
+    big_queries = emb.filter(F.col("vec_id") < 1000).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    sweep_big = {}
+    for nprobe in (2, 8, 32):
+        res = sim.knn_join(emb, big_queries, centroids, k=k, nprobe=nprobe)
+        res.count()  # warm
+        best = None
+        for _ in range(5):
+            t0 = time.perf_counter()
+            res.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        sweep_big[str(nprobe)] = {
+            "probe_sec": round(best, 3),
+            "scored_fraction": round(nprobe / n_cells, 4),
+        }
+        print(f"bigbatch nprobe={nprobe}: probe={best:.3f}s", flush=True)
+
     # store-backed probe: cell assignment + item norms paid once at
     # write time, probes read ONLY the probed cells' directories
     # (partition pruning pinned in tests/test_plans.py / test_operators)
@@ -166,6 +189,7 @@ def main() -> int:
         "n_vectors": int(len(ids)), "dim": int(mat.shape[1]),
         "n_cells": n_cells, "train_sec": train_sec, "n_queries": n_queries,
         "k": k, "sweep": sweep,
+        "sweep_bigbatch_1000q": sweep_big,
         "store_write_sec": store_write_sec, "store_probe": store_probe,
         "timing": "probe_sec is min-of-5 warm collects (round-8's "
                   "single-sample timing made host interference read as "
