@@ -682,13 +682,22 @@ def _knn_score_topk(
     query_id_col: str,
 ) -> DataFrame:
     """Score the (query, cell)-exploded frame against cell-assigned items
-    (columns ``cell``, ``_in`` = item norm) and rank top-k per query."""
+    (columns ``cell``, ``_in`` = item norm) and rank top-k per query.
+
+    The pair dot uses the compact LAMBDA fold, NOT the ``dim`` unroll:
+    under this join the unrolled form measured 5x SLOWER (16.1 s vs
+    3.3 s for 1.25M 64-dim pairs — the ~400-node flat expression pushes
+    the joined stage out of whole-stage codegen, and interpreted
+    ``F.get`` chains re-walk the array per element), inverting the
+    scan-context economics the module docstring describes. IEEE sequence
+    identical either way, so results are unchanged."""
     from pyspark.sql import Window
 
+    del d  # kept in the signature for call-site symmetry/documentation
     scored = qcells.join(celled, "cell").select(
         query_id_col,
         F.col(id_col),
-        (dot(vec_col, query_vec_col, d) / (F.col("_in") * F.col("_qn"))).alias("cosine"),
+        (dot(vec_col, query_vec_col) / (F.col("_in") * F.col("_qn"))).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(
