@@ -8,17 +8,23 @@ Float determinism: all dot products fold left-to-right in DOUBLE —
 verified bit-identical to DuckDB's ``list_sum(list_transform(...))`` over
 the same parquet floats, so results need no rounding. No UDFs anywhere.
 
-Expression-shape economics (measured on this host, 1M x 64-dim rows):
-unrolling the fold into flat ``a0*b0 + a1*b1 + ...`` arithmetic buys only
-~25% per-eval over the lambda HOF form (0.39 s vs 0.52 s per 1M dots) but
-costs seconds of Catalyst analysis + codegen per query when it appears
-many times in one projection (8 centroid cosines unrolled = ~3k-node
-trees, ~4 s frontend). So: per-PAIR hot paths (the O(n^2 * d) work in
-pair joins/scans) take the optional ``dim`` unroll; per-ROW codebook
-expressions (assign_cell, probe-cell ranking) stay on the compact lambda
-form. Row norms are always projected once per side BEFORE any pair join —
-only the dot product is per-pair work — and LITERAL vector norms are
-computed driver-side in Python (IEEE-identical, see ``norm_lit``).
+Expression-shape economics (measured on this host, 64-dim doubles):
+unrolling the fold into flat ``a0*b0 + a1*b1 + ...`` arithmetic wins
+ONLY in simple scan-side projections (~25% per-eval: 0.39 s vs 0.52 s
+per 1M dots). UNDER A JOIN the same unroll measured 1.4-5x SLOWER than
+the lambda HOF form (knn cell join: 16.1 s vs 3.3 s per 1.25M pairs;
+SemDeDup self-join: 2.5 s vs 1.4 s; brute pair verify: 106 s vs 77 s
+per 16M pairs; even the 1-row broadcast top-k: 0.41 s vs 0.19 s) — the
+~400-node flat expression pushes the joined stage out of whole-stage
+codegen and interpreted ``F.get`` chains re-walk the array per element.
+It also costs seconds of Catalyst frontend when it appears many times
+in one projection (8 centroid cosines unrolled = ~3k-node trees, ~4 s).
+So (round-9 policy): every PAIR dot under a join uses the compact
+lambda fold; the ``dim`` unroll remains only for per-ROW norm
+projections on scan-side frames. Row norms are always projected once
+per side BEFORE any pair join — only the dot product is per-pair work —
+and LITERAL vector norms are computed driver-side in Python
+(IEEE-identical, see ``norm_lit``).
 """
 
 from __future__ import annotations
@@ -127,7 +133,7 @@ def ann_topk_bruteforce(
     q = query.select(F.col("qe"), norm("qe", dim).alias("_qn"))
     scored = df.crossJoin(F.broadcast(q)).select(
         F.col(id_col),
-        (dot(vec_col, "qe", dim) / (norm(vec_col, dim) * F.col("_qn"))).alias("cosine"),
+        (dot(vec_col, "qe") / (norm(vec_col, dim) * F.col("_qn"))).alias("cosine"),
     )
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
@@ -158,7 +164,7 @@ def cosine_pairs_bruteforce(
         a.join(b, F.col("id1") < F.col("id2"))
         .select(
             "id1", "id2",
-            (dot("v1", "v2", dim) / (F.col("n1") * F.col("n2"))).alias("cosine"),
+            (dot("v1", "v2") / (F.col("n1") * F.col("n2"))).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -249,7 +255,7 @@ def cosine_pairs_lsh(
     return (
         candidates.select(
             "id1", "id2",
-            (dot("v1", "v2", dim) / (F.col("n1") * F.col("n2"))).alias("cosine"),
+            (dot("v1", "v2") / (F.col("n1") * F.col("n2"))).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -285,7 +291,7 @@ def ann_topk_ivf(
     return (
         probed.select(
             F.col(id_col),
-            (dot(vec_col, "qe", dim) / (F.col("nrm") * F.col("_qn"))).alias("cosine"),
+            (dot(vec_col, "qe") / (F.col("nrm") * F.col("_qn"))).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
@@ -478,7 +484,7 @@ def ann_topk_ivf_centroids(
     return (
         probed.select(
             F.col(id_col),
-            (dot(vec_col, "qe", d) / (norm(vec_col, d) * F.col("_qn"))).alias("cosine"),
+            (dot(vec_col, "qe") / (norm(vec_col, d) * F.col("_qn"))).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
@@ -875,7 +881,7 @@ def semantic_removal_candidates(
             | ((F.col("a_csim") == F.col("b_csim")) & (F.col("a_id") < F.col("b_id")))
         )
         .where(
-            dot(F.col("a_vec"), F.col("b_vec"), dim) / (F.col("a_nrm") * F.col("b_nrm"))
+            dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_nrm") * F.col("b_nrm"))
             >= F.lit(float(threshold))
         )
         .select(F.col("b_id").alias("_rm"))
@@ -963,7 +969,7 @@ def semantic_dedup_incremental(
     veto = (
         b.join(c, F.col("b_cell") == F.col("c_cell"))
         .where(
-            dot(F.col("b_vec"), F.col("c_vec"), d) / (F.col("b_nrm") * F.col("c_nrm"))
+            dot(F.col("b_vec"), F.col("c_vec")) / (F.col("b_nrm") * F.col("c_nrm"))
             >= F.lit(float(threshold))
         )
         .select(F.col("b_id").alias("_veto"))
