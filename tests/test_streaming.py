@@ -799,6 +799,25 @@ def test_read_batch_store_guards(spark, tmp_path):
         df.count()
 
 
+def test_read_batch_store_resolves_fs_uris(spark, tmp_path):
+    """Store paths resolve through the Hadoop FileSystem API, not
+    driver-local os.path (round-8 ADVICE): a scheme-qualified URI of a
+    POPULATED store must read its committed batches — under the old
+    os.path.exists check, 'file:/...' read as missing and a populated
+    durable store silently became 'no corpus yet'."""
+    from ecom_snowflake_duckdb_migration_spark.streaming.store_io import (
+        read_batch_store,
+    )
+
+    keyed = tmp_path / "uri_store"
+    spark.range(4).write.parquet(str(keyed / "batch_id=0"))
+    uri = "file:" + str(keyed)
+    got = read_batch_store(spark, uri, 99, drop_batch_id=True)
+    assert got is not None and got.count() == 4
+    # and a missing URI still reads as 'no corpus yet', not an error
+    assert read_batch_store(spark, "file:" + str(tmp_path / "absent"), 0) is None
+
+
 def test_image_hashes_grid_bound(spark):
     """grid > 8 would silently truncate the 64-bit packed hash (numpy
     shifts >= 64 are undefined) — must raise instead (round-7 ADVICE)."""
