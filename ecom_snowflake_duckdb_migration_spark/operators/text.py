@@ -329,6 +329,76 @@ def gopher_quality_stats(
     return out.withColumn("passes_gopher", passes)
 
 
+def c4_line_filters(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4 preprocessing (Raffel et al. 2020 §2.2, the other canonical
+    corpus filter next to Gopher A1.1): LINE rules keep only lines that
+    end in terminal punctuation ('.', '!', '?', '\"' after right-trim),
+    contain at least 5 whitespace words, and do not mention
+    'javascript' (case-insensitive); PAGE rules then require >= 3
+    sentences in the kept text (terminal-punctuation count) and drop
+    pages containing 'lorem ipsum' or a '{' anywhere in the ORIGINAL
+    text (the code-leak heuristic).
+
+    Returns one row per document: ``(id_col, n_lines, n_kept_lines,
+    kept_chars, n_sentences, has_lorem_ipsum, has_brace, passes_c4,
+    kept_text)`` — ``kept_text`` is the newline-rejoin of surviving
+    lines, the frame the tokenizer/packing stages consume downstream.
+
+    Every rule is a per-row Catalyst expression (line split + array
+    filter HOFs; zero shuffle, one codegen stage over the scan), and the
+    counts are plain integers, so the row is bit-identical cross-engine.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(t, "\n")
+
+    def line_ok(ln: Column) -> Column:
+        r = F.rtrim(ln)
+        terminal = (
+            r.endswith(".") | r.endswith("!") | r.endswith("?") | r.endswith('"')
+        )
+        ltr = _ws_trim(ln)
+        n_words = F.when(ltr == "", F.lit(0)).otherwise(
+            F.size(F.split(ltr, r"\s+"))
+        )
+        return (
+            terminal
+            & (n_words >= 5)
+            & ~F.contains(F.lower(ln), F.lit("javascript"))
+        )
+
+    kept = F.filter(lines, line_ok)
+    kept_text = F.array_join(kept, "\n")
+
+    def count_char(src: Column, ch: str) -> Column:
+        return F.length(src) - F.length(F.replace(src, F.lit(ch), F.lit("")))
+
+    out = df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        F.length(kept_text).cast("long").alias("kept_chars"),
+        (
+            count_char(kept_text, ".")
+            + count_char(kept_text, "!")
+            + count_char(kept_text, "?")
+        ).cast("long").alias("n_sentences"),
+        F.contains(F.lower(t), F.lit("lorem ipsum")).alias("has_lorem_ipsum"),
+        F.contains(t, F.lit("{")).alias("has_brace"),
+        kept_text.alias("kept_text"),
+    )
+    passes = (
+        (F.col("n_sentences") >= 3)
+        & ~F.col("has_lorem_ipsum")
+        & ~F.col("has_brace")
+    )
+    return out.withColumn("passes_c4", passes).select(
+        id_col, "n_lines", "n_kept_lines", "kept_chars", "n_sentences",
+        "has_lorem_ipsum", "has_brace", "passes_c4", "kept_text",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup family
 # ---------------------------------------------------------------------------

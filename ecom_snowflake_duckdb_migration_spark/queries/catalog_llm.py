@@ -2998,3 +2998,70 @@ def x113_pii_redaction_planted(spark, sf_dir):
 def x114_gopher_quality_signals(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return tx.gopher_quality_stats(d)
+
+
+@register(
+    "x116_c4_line_filters",
+    # C4's line rules as list_filter lambdas; the word-count-per-line
+    # reuses the x112/x114 whitespace-trim discipline so both engines
+    # tokenize lines identically; kept_text is the newline rejoin and
+    # every count is a plain integer.
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, coalesce(text, '') AS t,
+               string_split(coalesce(text, ''), chr(10)) AS ls
+        FROM documents
+    ),
+    k AS (
+        SELECT doc_id, t, ls,
+               list_filter(ls, l ->
+                   (rtrim(l) LIKE '%.' OR rtrim(l) LIKE '%!'
+                    OR rtrim(l) LIKE '%?' OR rtrim(l) LIKE '%"')
+                   AND (CASE WHEN regexp_replace(regexp_replace(l,
+                                 '^\s+', ''), '\s+$', '') = '' THEN 0
+                        ELSE len(string_split_regex(
+                                 regexp_replace(regexp_replace(l,
+                                 '^\s+', ''), '\s+$', ''), '\s+')) END) >= 5
+                   AND NOT contains(lower(l), 'javascript')
+               ) AS kept
+        FROM base
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(ls) AS BIGINT) AS n_lines,
+               CAST(len(kept) AS BIGINT) AS n_kept_lines,
+               coalesce(array_to_string(kept, chr(10)), '') AS kept_text,
+               contains(lower(t), 'lorem ipsum') AS has_lorem_ipsum,
+               contains(t, '{') AS has_brace
+        FROM k
+    ),
+    s AS (
+        SELECT doc_id, n_lines, n_kept_lines,
+               CAST(length(kept_text) AS BIGINT) AS kept_chars,
+               CAST((length(kept_text) - length(replace(kept_text, '.', '')))
+                  + (length(kept_text) - length(replace(kept_text, '!', '')))
+                  + (length(kept_text) - length(replace(kept_text, '?', '')))
+                  AS BIGINT) AS n_sentences,
+               has_lorem_ipsum, has_brace, kept_text
+        FROM m
+    )
+    SELECT doc_id, n_lines, n_kept_lines, kept_chars, n_sentences,
+           has_lorem_ipsum, has_brace,
+           (n_sentences >= 3 AND NOT has_lorem_ipsum AND NOT has_brace)
+               AS passes_c4,
+           kept_text
+    FROM s
+    """,
+    doc="C4 preprocessing rules (Raffel et al. 2020 §2.2, "
+    "operators.text.c4_line_filters): keep lines ending in terminal "
+    "punctuation with >= 5 words and no 'javascript'; drop pages with "
+    "< 3 sentences, 'lorem ipsum', or a '{'. Emits the per-document "
+    "rule signals, the page verdict, AND the filtered kept_text the "
+    "tokenizer/packing stages consume — with x112/x114 this completes "
+    "the two canonical pretraining corpus filters. Shape: line-split + "
+    "array-filter HOFs, pure per-row expressions, zero shuffle.",
+    tags=("LLM", "quality"),
+)
+def x116_c4_line_filters(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return tx.c4_line_filters(d)

@@ -2060,6 +2060,67 @@ def test_gopher_quality_stats_matches_python_reference(spark):
     assert n_pass >= 1  # the verdict fires true somewhere
 
 
+def test_c4_line_filters_matches_python_reference(spark):
+    """Crafted corpus + seeded random sweep vs a pure-Python reference of
+    C4 §2.2: line keep/drop, kept_text reassembly, sentence counts, and
+    the page verdict must match per document, with at least one passer."""
+    import random
+    import re
+
+    good_line = "This sentence has more than five words in it."
+    texts = [
+        "\n".join([good_line] * 4),                     # passes
+        good_line + "\nshort line.\nno terminal punct here at all",
+        "var x = {a: 1}.\n" + "\n".join([good_line] * 3),   # brace page drop
+        "Lorem Ipsum dolor sit amet filler.\n" + good_line,  # lorem drop
+        "Enable JavaScript to view this page properly.\n" + good_line,
+        'He said "quoted line with six words here."\n' + good_line + "\n" + good_line,
+        None, "", "   \n  ",
+    ]
+    rng = random.Random(47)
+    frag = ["Hello there.", "tiny.", "no punct", "  padded line with five words!  ",
+            "javascript rules.", "{", "...", 'ends in quote words here now."']
+    for _ in range(50):
+        texts.append("\n".join(rng.choice(frag) for _ in range(rng.randint(0, 6))))
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id INT, text STRING")
+
+    def ref(text):
+        t = text or ""
+        ls = t.split("\n")
+
+        def ok(l):
+            r = l.rstrip(" ")
+            if not (r.endswith(".") or r.endswith("!") or r.endswith("?")
+                    or r.endswith('"')):
+                return False
+            ltr = l.strip()
+            nw = len(re.split(r"\s+", ltr)) if ltr else 0
+            return nw >= 5 and "javascript" not in l.lower()
+
+        kept = [l for l in ls if ok(l)]
+        kt = "\n".join(kept)
+        n_sent = kt.count(".") + kt.count("!") + kt.count("?")
+        row = {
+            "n_lines": len(ls), "n_kept_lines": len(kept),
+            "kept_chars": len(kt), "n_sentences": n_sent,
+            "has_lorem_ipsum": "lorem ipsum" in t.lower(),
+            "has_brace": "{" in t, "kept_text": kt,
+        }
+        row["passes_c4"] = (n_sent >= 3 and not row["has_lorem_ipsum"]
+                            and not row["has_brace"])
+        return row
+
+    got = {r.doc_id: r.asDict() for r in tx.c4_line_filters(df).collect()}
+    assert len(got) == len(texts)
+    n_pass = 0
+    for i, t in enumerate(texts):
+        want = ref(t)
+        n_pass += want["passes_c4"]
+        for k, v in want.items():
+            assert got[i][k] == v, (i, repr(t)[:60], k, got[i][k], v)
+    assert n_pass >= 2
+
+
 def test_gopher_repetition_stats_matches_python_reference(spark):
     """Seeded random-corpus sweep vs a pure-Python reference: duplicate
     n-gram fractions and the tie-broken top-2-gram char mass must match
