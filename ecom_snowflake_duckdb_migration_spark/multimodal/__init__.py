@@ -1,6 +1,8 @@
 """Multimodal binary-column operators: typed media metadata, Arrow-batched
-decode/resize/feature-extraction/frame-sampling over mapInPandas. BMP and
-PCM16 WAV decode natively (numpy); compressed formats are stubbed behind
+decode/resize/feature-extraction/frame-sampling over mapInPandas. BMP,
+PNG, GIF, JPEG (baseline + progressive) and WAV (PCM/float plus G.711
+mu-law/A-law and IMA ADPCM compressed audio) decode natively (numpy);
+remaining formats (MP3, H.264, ...) are stubbed behind
 NotImplementedError (PIL/librosa/ffmpeg absent here)."""
 
 from .audiohash import AUDIO_HASH_SCHEMA, audio_hashes, audio_near_pairs

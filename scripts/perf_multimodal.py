@@ -89,8 +89,39 @@ def main() -> int:
     if bad:
         raise SystemExit(f"{bad}/{n_prog} progressive payloads failed to decode")
 
+    # compressed audio: transcode the PCM WAVs to IMA ADPCM (4-bit) and
+    # time the fingerprint op over the compressed payloads — the decode
+    # now includes the vectorized quantizer feedback loop
+    def _to_adpcm(batches):
+        import pandas as pd
+
+        from ecom_snowflake_duckdb_migration_spark.multimodal.columns import (
+            _decode_payload,
+            encode_wav_ima,
+        )
+
+        for pdf in batches:
+            payloads = [
+                encode_wav_ima(
+                    (d := _decode_payload(p)[1])["samples"], d["sample_rate"]
+                )
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    adpcm = audio.select("media_id", "payload").mapInPandas(
+        _to_adpcm, "media_id STRING, payload BINARY"
+    ).localCheckpoint(eager=True)
+    bad_a = mm.audio_hashes(adpcm).filter("ok <> 'ok'").count()
+    if bad_a:
+        raise SystemExit(f"{bad_a}/{n_items} ADPCM payloads failed to decode")
+
     results = {}
-    sized = dict(ops, decode_progressive_jpeg=lambda: mm.decode_images(prog_df))
+    sized = dict(
+        ops,
+        decode_progressive_jpeg=lambda: mm.decode_images(prog_df),
+        audio_hashes_adpcm=lambda: mm.audio_hashes(adpcm),
+    )
     for name, fn in sized.items():
         count = n_prog if name == "decode_progressive_jpeg" else n_items
         fn().count()  # warm
@@ -114,7 +145,12 @@ def main() -> int:
                 "parallelism": par,
                 "note": "generated BMP (16-32px) / WAV (256-320 samples) media; "
                 "items_per_sec = n_items / best_sec (pair ops: rows = pairs "
-                "found among generated non-duplicate media, expected ~0)",
+                "found among generated non-duplicate media, expected ~0); "
+                "audio_hashes_adpcm = same fingerprints over IMA-ADPCM "
+                "transcodes of the PCM WAVs (4-bit compressed decode path); "
+                "decode_progressive_jpeg: REAL SOF2 multi-scan streams "
+                "(JVM-transcoded from baseline encodes, libjpeg standard "
+                "progression), every payload verified ok before timing",
                 "entries": results,
             },
             f,
