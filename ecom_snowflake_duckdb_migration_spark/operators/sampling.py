@@ -525,6 +525,214 @@ def exact_ntile_bucketed_multi(
     return out.drop(*[f"_bkt_{oc}" for _, oc, _ in specs])
 
 
+def _prebucket_sql(value_col: str, core: int, tail_res: int, descending: bool) -> str:
+    """Monotone DATA-INDEPENDENT fine-histogram bucket of an integral
+    column: identity inside ``[-core, core]``, log2 tail at ``tail_res``
+    buckets per octave outside — order-preserving (int->double casts and
+    log2 are monotone non-strict; equal values always share a prebucket),
+    so exact ntile semantics survive any coarsening of it. ``descending``
+    negates the id so prebucket ascending == requested order."""
+    v = f"`{value_col}`"
+    p = (
+        f"CASE WHEN {v} > {core} THEN {core} + CAST(floor(log2(CAST({v} AS DOUBLE) / {core}.0D) * {tail_res}) AS INT) "
+        f"WHEN {v} < -{core} THEN -{core} - CAST(floor(log2(CAST(-{v} AS DOUBLE) / {core}.0D) * {tail_res}) AS INT) "
+        f"ELSE CAST({v} AS INT) END"
+    )
+    return f"-({p})" if descending else p
+
+
+def exact_ntile_hist_multi(
+    df: DataFrame,
+    n_tiles: int,
+    specs: list[tuple[str, str, bool]],
+    tiebreak_col: str,
+    core: int = 4096,
+    tail_res: int = 256,
+) -> DataFrame:
+    """:func:`exact_ntile_bucketed_multi` in TWO jobs instead of three,
+    with ZERO shuffles of the main frame (the x98 sf16 constant,
+    round-9 ask #1).
+
+    The three-job form needs an approxQuantile pass BEFORE it can count
+    rows per bucket, because its cuts are data-dependent. This form cuts
+    on a DATA-INDEPENDENT monotone fine histogram instead
+    (:func:`_prebucket_sql`: identity for |v| <= ``core``, log2 tail at
+    ``tail_res``/octave above), so ONE pass both materializes the
+    barrier AND collects exact ``(metric, prebucket)`` counts; the
+    driver then locates each NTILE boundary rank inside the cumsums —
+    no second scan before the output pass. Tiles are bit-identical to
+    the window form:
+
+    - prebucket -> tile is monotone, so a prebucket whose rank range
+      lies inside one tile maps to it with a <= ``n_tiles - 1``-literal
+      cut fold — no exchange, no window, no join;
+    - only the <= ``n_tiles - 1`` prebuckets per metric that STRADDLE a
+      boundary need within-group order: a tiny side subtree ranks JUST
+      those rows by ``(value, tiebreak)`` and keeps the <= ``n_tiles-1``
+      boundary THRESHOLD keys (the last ``(value, tiebreak)`` of each
+      tile inside the group) as one array row per prebucket; the main
+      frame left-broadcast-joins those <= ``n_tiles - 1`` rows per
+      metric and resolves ``tile = first_tile + #{thresholds < key}``.
+      The broadcast is always tiny regardless of how many rows tie —
+      no fat override frame, no fallback gate.
+
+    Driver state: occupied prebuckets per metric, bounded by
+    ``2*core + 2*tail_res*64`` (~37k) scalars — the
+    ``token_budget_select`` contract. Tie resolution bound: a prebucket
+    is one exact integer value (unsplittable ties — the same bound every
+    exact NTILE has) or a 1/``tail_res``-octave (~0.27% relative) value
+    band in the log tail; a straddling group sorts within one task, so a
+    boundary landing inside a billions-row tie group is the (inherent)
+    worst case. Values must be integral (the RFM contract: days /
+    counts / bp fixed-point).
+
+    """
+    if n_tiles <= 0:
+        raise ValueError("n_tiles must be positive")
+    from pyspark.sql import Window
+
+    b = df
+    for vc, oc, desc in specs:
+        b = b.withColumn(f"_pb_{oc}", F.expr(_prebucket_sql(vc, core, tail_res, desc)))
+    # Barrier AFTER the prebucket projection: the checkpointed frame
+    # carries the tiny _pb ints, so neither the output pass nor the
+    # threshold subtrees re-evaluate the CASE/log2 mapping. localCheckpoint
+    # (not persist): its blocks are ContextCleaner-collected when the frame
+    # goes out of reference, while DataFrame.persist pins an entry in the
+    # cache manager FOREVER unless the caller unpersists — repeated calls
+    # (a bench loop, a scheduler tick) would leak the whole frame each time
+    # (measured: x98 wall doubled by call 3). It is also the loud barrier:
+    # a nondeterministic input fails on executor loss instead of silently
+    # recomputing counts that disagree with the output pass.
+    b = b.localCheckpoint(eager=False)
+    stats = (
+        b.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(i).alias("m"),
+                        F.col(f"_pb_{oc}").alias("pb"),
+                    )
+                    for i, (_, oc, _) in enumerate(specs)
+                ])
+            ).alias("s")
+        )
+        .groupBy("s.m", "s.pb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    bad = sorted({specs[r["m"]][0] for r in stats if r["pb"] is None})
+    if bad:
+        raise ValueError(f"{bad} contain NULLs; ntile order undefined")
+
+    mplans = []  # (vc, oc, desc, n, cuts, splits, first_tile)
+    for i, (vc, oc, desc) in enumerate(specs):
+        # NTILE boundary ranks -> which prebucket holds each boundary.
+        # A prebucket whose range ENDS at a boundary is clean; one with
+        # a boundary strictly inside must resolve thresholds (straddle).
+        hist = sorted((r["pb"], r["c"]) for r in stats if r["m"] == i)
+        n = sum(c for _, c in hist)
+        q, m = divmod(n, n_tiles)
+        ends = [
+            (min(t, m) * (q + 1) + max(0, t - m) * q) if q else min(t, m)
+            for t in range(1, n_tiles)
+        ]
+        cuts: list[int] = []
+        splits: dict[int, list[int]] = {}  # pb -> in-group threshold ranks
+        first_tile: dict[int, int] = {}  # pb -> tile of its first row
+        lo, j = 0, 0
+        for pb, c in hist:
+            hi = lo + c
+            while j < len(ends) and ends[j] <= hi:
+                if ends[j] > lo:
+                    cuts.append(pb)
+                    if ends[j] < hi:
+                        splits.setdefault(pb, []).append(ends[j] - lo)
+                        first_tile.setdefault(pb, j + 1)
+                elif cuts:  # duplicate boundary (empty tiles, n < k)
+                    cuts.append(cuts[-1])
+                j += 1
+            lo = hi
+        mplans.append((vc, oc, desc, n, cuts, splits, first_tile))
+
+    def _key(vc, desc):
+        v_ord = (-F.col(vc)).cast("long") if desc else F.col(vc).cast("long")
+        return F.struct(v_ord.alias("v"), F.col(tiebreak_col).alias("tb"))
+
+    # ONE union of the per-metric threshold subtrees: every join below
+    # broadcasts the SAME frame, so the exchange canonicalizes to a
+    # single computation (ReusedExchange) instead of one pass per metric
+    sides = []
+    for i, (vc, oc, desc, n, cuts, splits, first_tile) in enumerate(mplans):
+        if not splits:
+            continue
+        split_map = ",".join(
+            f"{int(pb)},array({','.join(str(int(r)) for r in rks)})"
+            for pb, rks in splits.items()
+        )
+        sides.append(
+            b.where(F.col(f"_pb_{oc}").isin(*splits.keys()))
+            .select(
+                F.lit(i).alias("_m"),
+                F.col(f"_pb_{oc}").alias("_jpb"),
+                _key(vc, desc).alias("_key"),
+                F.row_number().over(
+                    Window.partitionBy(f"_pb_{oc}").orderBy(
+                        F.col(vc).desc() if desc else F.col(vc).asc(),
+                        F.col(tiebreak_col).asc(),
+                    )
+                ).alias("_rk"),
+            )
+            .where(F.expr(
+                f"array_contains(element_at(map({split_map}), `_jpb`), _rk)"
+            ))
+            .groupBy("_m", "_jpb")
+            .agg(F.sort_array(F.collect_list("_key")).alias("_thrs"))
+        )
+    thr_all = None
+    for s in sides:
+        thr_all = s if thr_all is None else thr_all.unionByName(s)
+
+    out = b
+    for i, (vc, oc, desc, n, cuts, splits, first_tile) in enumerate(mplans):
+        arr = ",".join(str(int(c)) for c in cuts)
+        clean = (
+            F.expr(
+                f"1 + aggregate(array({arr}), 0, (acc, x) -> acc + IF(`_pb_{oc}` > x, 1, 0))"
+            )
+            if cuts
+            else F.lit(1)
+        )
+        if not splits:
+            out = out.withColumn(oc, clean.cast("int"))
+            continue
+        a = thr_all.alias(f"_thr_{oc}")
+        out = out.join(
+            F.broadcast(a),
+            (out[f"_pb_{oc}"] == F.col(f"_thr_{oc}._jpb"))
+            & (F.col(f"_thr_{oc}._m") == F.lit(i)),
+            "left",
+        )
+        ft = _offset_map_expr(first_tile, f"_pb_{oc}")
+        straddled = ft + F.size(
+            F.filter(F.col(f"_thr_{oc}._thrs"), lambda t: t < _key(vc, desc))
+        )
+        out = out.withColumn(
+            oc,
+            F.when(F.col(f"_thr_{oc}._thrs").isNotNull(), straddled)
+            .otherwise(clean).cast("int"),
+        )
+        out = out.drop("_m").drop("_jpb").drop("_thrs")
+    return out.drop(*[f"_pb_{oc}" for _, oc, _ in specs])
+
+
+def _offset_map_expr(offsets: dict, key_col: str) -> Column:
+    """``map(pb -> rows_before)`` literal lookup (py4j-batched like
+    :func:`_offset_expr`; BIGINT values for exact ranks past 2^31)."""
+    entries = ",".join(f"{int(k)},{int(v)}L" for k, v in offsets.items())
+    return F.expr(f"coalesce(element_at(map({entries}), `{key_col}`), 0L)")
+
+
 def gumbel_topk_sample(
     df: DataFrame,
     logweight_e6_col: str,

@@ -2491,9 +2491,11 @@ def x97_cohort_retention(spark, sf_dir):
     "convention) and bp fixed-point monetary keeps the quartile order "
     "engine-exact. Size-gated like q22/x107: below the gate the literal "
     "three global ntile windows (the oracle surface), above it "
-    "operators.sampling.exact_ntile_bucketed — range-bucketed rank + "
-    "driver prefix offsets over n_buckets scalars, BIT-IDENTICAL tiles "
-    "without any single-reducer sort (parity pinned both ways in "
+    "operators.sampling.exact_ntile_hist_multi — one exact monotone "
+    "fine-histogram pass, then a tile-map output with ZERO shuffles of "
+    "the main frame (boundary-straddling value groups resolve via "
+    "threshold-key broadcasts), BIT-IDENTICAL tiles without any "
+    "single-reducer sort (parity pinned both ways in "
     "tests/test_operators.py).",
     tags=("analytics", "W1", "A3"),
 )
@@ -2509,15 +2511,22 @@ def x98_rfm_segments(spark, sf_dir):
 def _rfm_base(spark, sf_dir):
     e = load(spark, sf_dir, "events")
     is_p = F.col("event_type") == "purchase"
+    # max BEFORE the date truncation (monotone, so max(to_date(ts)) ==
+    # to_date(max(ts))): the cast runs once per user instead of per event
     return e.groupBy("user_id").agg(
-        F.datediff(F.lit("2024-02-01").cast("date"), F.max(F.to_date("ts"))).alias(
-            "recency_days"
-        ),
+        F.max("ts").alias("_max_ts"),
         F.count(F.when(is_p, 1)).alias("frequency"),
         F.sum(
             F.when(is_p, F.expr("CAST(floor(value * 10000 + 0.5D) AS BIGINT)"))
             .otherwise(F.lit(0))
         ).cast("long").alias("monetary_bp"),
+    ).select(
+        "user_id",
+        F.datediff(
+            F.lit("2024-02-01").cast("date"), F.to_date("_max_ts")
+        ).alias("recency_days"),
+        "frequency",
+        "monetary_bp",
     )
 
 
@@ -2538,16 +2547,18 @@ def _rfm_ntile_bucketed(base):
     """Scale shape: three exact bucketed ntiles (each one range-bucketed
     exchange), identical output — no global sort anywhere.
 
-    The r/f/m tiles are independent of each other, so the fused
-    multi-metric form computes all three off the checkpointed ``base`` in
-    a FIXED four jobs (checkpoint, one 3-column approxQuantile, one
-    (metric, bucket) stats collect, one output pass chaining the three
-    bucket-partitioned window ranks) — tile 3's plan no longer contains
-    tiles 1-2's windows (the round-8 sf16 sore spot: ~6x upstream
-    recompute, 3.1 s; the fused form reads ~1 s)."""
-    from ..operators.sampling import exact_ntile_bucketed_multi
+    The r/f/m tiles are independent of each other, and all three metrics
+    are integral (days / counts / bp fixed-point), so the histogram form
+    computes all three off the checkpointed ``base`` in a FIXED two jobs
+    (one pass materializes the checkpoint AND collects the exact
+    monotone fine-histogram counts — replacing round-8's separate
+    approxQuantile + stats jobs — then one output pass chains the three
+    bucket-partitioned window ranks). Parity with the window branch is
+    pinned in test_rfm_bucketed_branch_matches_window; the operator's
+    own parity/NULL tests live in test_operators.py."""
+    from ..operators.sampling import exact_ntile_hist_multi
 
-    return exact_ntile_bucketed_multi(
+    return exact_ntile_hist_multi(
         base, 4,
         [
             ("recency_days", "r_score", True),

@@ -1858,6 +1858,81 @@ def test_exact_ntile_bucketed_multi_matches_chained_singles(spark):
         )
 
 
+def test_exact_ntile_hist_multi_matches_window_ntile(spark):
+    """The two-job histogram form (x98's round-9 scale shape: one
+    count pass + a zero-main-shuffle tile-map output with
+    threshold-array broadcasts) is bit-identical to chained window
+    ntiles — across mixed directions, heavy ties, log-tail magnitudes,
+    every k, n < k, all-ties inputs, and a tail resolution coarse
+    enough that straddling prebuckets span many distinct values."""
+    import random
+
+    import pytest as _pytest
+
+    from pyspark.sql import Window
+    from ecom_snowflake_duckdb_migration_spark.operators.sampling import (
+        exact_ntile_bucketed,
+        exact_ntile_hist_multi,
+    )
+
+    rng = random.Random(13)
+    rows = [
+        (i, rng.choice([-5, 0, 0, 3, 3, 3, 7, 100]), rng.randint(0, 4),
+         rng.choice([-100, 0, 250, 10**7, 5 * 10**9, -7 * 10**12]))
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "id INT, a INT, b INT, c LONG")
+    specs = [("a", "ta", False), ("b", "tb", True), ("c", "tc", False)]
+    chained = df
+    for vc, oc, desc in specs:
+        chained = exact_ntile_bucketed(
+            chained, 4, vc, "id", oc, descending=desc, n_buckets=5
+        )
+    want = {r.id: (r.ta, r.tb, r.tc) for r in chained.collect()}
+    for kw in ({}, {"core": 8, "tail_res": 4}):
+        got = {
+            r.id: (r.ta, r.tb, r.tc)
+            for r in exact_ntile_hist_multi(df, 4, specs, "id", **kw).collect()
+        }
+        assert got == want, kw
+    for k in (1, 2, 3, 7, 11):
+        for desc in (False, True):
+            order = [F.desc("a") if desc else F.asc("a"), F.asc("id")]
+            w = {
+                r.id: r.t
+                for r in df.select(
+                    "id", F.ntile(k).over(Window.orderBy(*order)).alias("t")
+                ).collect()
+            }
+            g = {
+                r.id: r.t
+                for r in exact_ntile_hist_multi(df, k, [("a", "t", desc)], "id").collect()
+            }
+            assert g == w, (k, desc)
+    tiny = spark.createDataFrame([(1, 10), (2, 20)], "id INT, v INT")
+    g = {r.id: r.t
+         for r in exact_ntile_hist_multi(tiny, 4, [("v", "t", False)], "id").collect()}
+    assert g == {1: 1, 2: 2}
+    # one giant tie group straddling every boundary (the x98-at-sf16 case)
+    ties = spark.createDataFrame([(i, 7) for i in range(10)], "id INT, v INT")
+    w = {
+        r.id: r.t
+        for r in ties.select(
+            "id",
+            F.ntile(4).over(Window.orderBy(F.asc("v"), F.asc("id"))).alias("t"),
+        ).collect()
+    }
+    g = {r.id: r.t
+         for r in exact_ntile_hist_multi(ties, 4, [("v", "t", False)], "id").collect()}
+    assert g == w
+    # output schema carries no helper columns
+    out = exact_ntile_hist_multi(df, 4, specs, "id")
+    assert out.columns == ["id", "a", "b", "c", "ta", "tb", "tc"]
+    withnull = spark.createDataFrame([(1, None), (2, 5)], "id INT, v INT")
+    with _pytest.raises(ValueError, match="NULL"):
+        exact_ntile_hist_multi(withnull, 4, [("v", "t", False)], "id")
+
+
 def test_rfm_bucketed_branch_matches_window(spark, sf_dir):
     """x98's two size-gate branches are bit-identical on committed data —
     the claim that lets the GLOBAL_WINDOW allowance narrow to the

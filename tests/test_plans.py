@@ -399,9 +399,10 @@ LINT_ALLOW: dict[str, dict[str, str]] = {
     "x98_rfm_segments": {
         "GLOBAL_WINDOW": "BELOW-GATE branch only (sf0.01 here): literal "
         "ntile windows over |users|. Above the 64 MB gate the entry "
-        "switches to sampling.exact_ntile_bucketed — range-bucketed rank "
-        "+ driver prefix offsets, bit-identical tiles, no global sort "
-        "(parity pinned in test_rfm_bucketed_branch_matches_window)"
+        "switches to sampling.exact_ntile_hist_multi — one histogram "
+        "pass + a zero-main-shuffle tile-map output, bit-identical tiles, "
+        "no global sort (parity pinned in "
+        "test_rfm_bucketed_branch_matches_window)"
     },
     # predicates on derived/array values cannot reach the parquet reader
     "q56_dedup_canonical_embeddings": {
