@@ -1426,6 +1426,7 @@ def curate(
     jaccard_threshold_e6: int = 800_000,
     contamination_n: int = 8,
     near_dup: str = "exact",
+    quality: str = "basic",
 ) -> DataFrame:
     """End-to-end training-corpus curation — the standard cleaning cascade
     (C4/RefinedWeb-style) composed from this module's operators, cheapest
@@ -1433,6 +1434,10 @@ def curate(
 
     1. **quality gate** — ``quality_metrics().quality_ok`` (length, token
        count, alpha ratio); pure scan-side expressions, no shuffle;
+       ``quality="gopher"`` additionally requires the full Gopher A1.1
+       verdict (``gopher_quality_stats().passes_gopher`` — word count,
+       mean word length, symbol/bullet/ellipsis ratios, alpha-word
+       fraction, required stopwords; x114) via one id semi-join;
     2. **language gate** — ``predict_language() == 'en'``; scan-side;
     3. **exact dedup** — keep the min-id canonical per ``md5(text)``;
     4. **near-dedup** — ``ngram_jaccard_pairs`` at ``jaccard_threshold_e6``;
@@ -1452,10 +1457,19 @@ def curate(
     semantics; the default exact path is what the x79 oracle pins) and
     hash the grams before the stage-5 shuffle.
     """
+    if quality not in ("basic", "gopher"):
+        raise ValueError(f"quality must be 'basic' or 'gopher', got {quality!r}")
     scored = predict_language(quality_metrics(corpus, text_col), text_col)
     keep1 = scored.filter(
         F.col("quality_ok") & (F.col("predicted_lang") == "en")
     ).select(id_col, "source", text_col, "n_tokens")
+    if quality == "gopher":
+        gq = (
+            gopher_quality_stats(corpus, text_col, id_col)
+            .filter(F.col("passes_gopher"))
+            .select(id_col)
+        )
+        keep1 = keep1.join(gq, id_col, "left_semi")
     canon = exact_dedup_groups(keep1, text_col, id_col).select(
         F.col("canonical_doc_id").alias(id_col)
     )

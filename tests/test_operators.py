@@ -711,6 +711,55 @@ def test_curate_cascade_invariants(spark, sf_dir):
     assert not (kept_ids & contaminated)
 
 
+def test_curate_gopher_quality_gate(spark, sf_dir):
+    """quality='gopher' prunes exactly the survivors failing the A1.1
+    verdict: the gated run equals the basic run semi-joined on
+    passes_gopher, it is a subset of the basic run, and a doc built to
+    pass the basic gate but fail Gopher (no required stopwords) is
+    dropped only by the gated variant."""
+    d = _docs(spark, sf_dir)
+    corpus = d.filter(F.col("source") != "src0")
+    bench = d.filter(F.col("source") == "src0")
+    basic = {r.doc_id for r in tx.curate(corpus, bench).collect()}
+    gated = {r.doc_id for r in tx.curate(corpus, bench, quality="gopher").collect()}
+    passes = {
+        r.doc_id
+        for r in tx.gopher_quality_stats(corpus).filter("passes_gopher").collect()
+    }
+    assert gated == basic & passes
+    assert gated <= basic
+
+    # the synthetic corpus has no Gopher stopwords, so the fixture check
+    # above can be vacuous — prove the gate DISCRIMINATES on a corpus
+    # where both verdicts occur: natural-English docs survive, a
+    # stopword-free word-salad doc (which passes the basic gate) drops
+    good = (
+        "the river keeps moving to the east and every morning we walk "
+        "with the dogs that have found the quiet path of the valley "
+        "where the light settles over the field and the water turns "
+        "slowly around the old stones that have been there for years "
+        "and the children like to count them on the way home %d"
+    )
+    # English enough to pass the basic gate and language ID, but every
+    # line starts with a bullet -> bullet_line_frac 1.0 >> 0.1
+    bullets = "\n".join(
+        f"- the item {i} sits with the others and we count that one too"
+        for i in range(8)
+    )
+    rows = [(i, "srcA", good % i) for i in range(4)] + [(99, "srcA", bullets)]
+    mixed = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    empty_bench = spark.createDataFrame([], "doc_id LONG, source STRING, text STRING")
+    basic2 = {r.doc_id for r in tx.curate(mixed, empty_bench).collect()}
+    gated2 = {r.doc_id for r in tx.curate(mixed, empty_bench, quality="gopher").collect()}
+    assert 99 in basic2 and gated2 and 99 not in gated2
+    assert gated2 <= basic2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="quality"):
+        tx.curate(corpus, bench, quality="strictest")
+
+
 def test_lm_score_discriminates_reference_like_text(spark):
     """Text drawn from the reference distribution scores lower nll than
     character noise; unknown grams fall back to the add-one floor 1/V."""
