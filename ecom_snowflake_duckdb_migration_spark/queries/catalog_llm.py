@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..operators import similarity as sim
 from ..operators import text as tx
-from . import load, register, run_sql
+from . import REGISTRY, load, register, run_sql
 
 _EN = tx.LANG_STOPWORDS["en"]
 _FR = tx.LANG_STOPWORDS["fr"]
@@ -3076,3 +3076,75 @@ def x114_gopher_quality_signals(spark, sf_dir):
 def x116_c4_line_filters(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return tx.c4_line_filters(d)
+
+
+# x117's oracle COMPOSES the two already-registered twins instead of
+# restating them: x79's end-to-end curation WITH-chain gains a gopher
+# gate CTE built from x114's full signal query (rebased onto the corpus
+# slice), and keep1 requires membership. Deriving the SQL from REGISTRY
+# keeps the three entries' semantics locked together — a fix to either
+# fragment propagates into this one. The synthetic vocabulary carries
+# only ONE Gopher stopword ('the'), so the raw corpus can never satisfy
+# the >=2-distinct-stopwords rule — like x113's planted PII, every third
+# document gets a deterministic stopword-rich prefix (all 8 required
+# words) with the identical expression in both engines, so the verdict
+# genuinely fires AND genuinely rejects within one run.
+_X117_PREFIX = "the words that we have to keep and be sure of with "
+_X117_ORACLE = (
+    REGISTRY["x79_corpus_curation"].oracle.replace(
+        "WITH corpus AS (SELECT * FROM documents WHERE source <> 'src0'),",
+        "WITH corpus AS (\n"
+        "        SELECT doc_id, source,\n"
+        "               CASE WHEN doc_id % 3 = 0\n"
+        f"                    THEN '{_X117_PREFIX}' || coalesce(text, '')\n"
+        "                    ELSE text END AS text\n"
+        "        FROM documents WHERE source <> 'src0'\n"
+        "    ),",
+        1,
+    ).replace(
+        "q AS (",
+        "gq AS (SELECT doc_id FROM ("
+        + REGISTRY["x114_gopher_quality_signals"].oracle.replace(
+            "FROM documents", "FROM corpus"
+        )
+        + ") WHERE passes_gopher),\n    q AS (",
+        1,
+    ).replace(
+        "WHERE q.quality_ok AND l.predicted_lang = 'en'",
+        "WHERE q.quality_ok AND l.predicted_lang = 'en'\n"
+        "          AND c.doc_id IN (SELECT doc_id FROM gq)",
+    )
+)
+
+
+@register(
+    "x117_curate_gopher",
+    oracle=_X117_ORACLE,
+    doc="x79's curation cascade with quality='gopher': stage 1 "
+    "additionally requires the full Gopher A1.1 verdict (x114's "
+    "passes_gopher — word-count bounds, mean word length, symbol/"
+    "bullet/ellipsis ratios, 80%-alpha rule, required stopwords) via "
+    "one id semi-join ahead of dedup — the MassiveText-filtered "
+    "variant of the standard cleaning pipeline "
+    "(operators.text.curate(quality='gopher')). Oracle composed from "
+    "the registered x79 + x114 twins, so the three entries cannot "
+    "drift apart.",
+    tags=("LLM", "pipeline", "quality"),
+)
+def x117_curate_gopher(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("source") != "src0").select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(_X117_PREFIX), F.coalesce(F.col("text"), F.lit(""))),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return tx.curate(
+        corpus,
+        d.filter(F.col("source") == "src0"),
+        jaccard_threshold_e6=800_000,
+        contamination_n=8,
+        quality="gopher",
+    )

@@ -205,6 +205,11 @@ NEW_CATALYST_ONLY = [
     "x108_corr_discount_qty",
     "x109_entity_match_pairs",
     "x111_canonical_dedup",
+    "x112_gopher_repetition",
+    "x113_pii_redaction_planted",
+    "x114_gopher_quality_signals",
+    "x116_c4_line_filters",
+    "x117_curate_gopher",
 ]
 
 
