@@ -1,16 +1,21 @@
 """PNG codec in pure numpy + stdlib zlib — no PIL needed.
 
-Decode scope: 8-bit-per-sample, non-interlaced PNG in every standard color
-type — grayscale (0), RGB (2), palette (3), gray+alpha (4), RGBA (6) —
-with all five row filters (None/Sub/Up/Average/Paeth). 16-bit, sub-byte
-depths and Adam7 interlace raise ``NotImplementedError`` (the multimodal
-operators capture that per row — see ``multimodal/columns.py``).
+Decode scope: 8-bit-per-sample PNG in every standard color type —
+grayscale (0), RGB (2), palette (3), gray+alpha (4), RGBA (6) — with all
+five row filters (None/Sub/Up/Average/Paeth), non-interlaced AND
+Adam7-interlaced (each of the seven passes is an independently-filtered
+sub-image scattered back on its (x0, y0, xstep, ystep) grid). 16-bit and
+sub-byte depths raise ``NotImplementedError`` (the multimodal operators
+capture that per row — see ``multimodal/columns.py``).
 
 Encode scope: grayscale (h, w) or RGB (h, w, 3) uint8, filter 0 rows +
-zlib. PNG is lossless, so decode(encode(x)) == x EXACTLY — tests assert
-array equality, no tolerance. Cross-validation uses the JVM's ImageIO in
-both directions (it writes adaptively-filtered PNGs, which exercises the
-Sub/Up/Average/Paeth reconstruction paths on genuinely foreign files).
+zlib, optionally Adam7-interlaced. PNG is lossless, so
+decode(encode(x)) == x EXACTLY — tests assert array equality, no
+tolerance. Cross-validation uses the JVM's ImageIO in both directions
+(it writes adaptively-filtered PNGs, which exercises the
+Sub/Up/Average/Paeth reconstruction paths on genuinely foreign files,
+and it DECODES our Adam7 streams, which pins the interlaced layout to
+the spec rather than to this module's own reading of it).
 
 Scale posture: per-row pure functions over ~KB payloads inside
 ``mapInPandas`` — embarrassingly parallel, zero shuffle.
@@ -38,18 +43,45 @@ def _chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(pixels: np.ndarray) -> bytes:
-    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 losslessly."""
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass (PNG spec
+# §8.2 — passes 2/4/6 interleave columns at the same rows as 1/3/5)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def encode_png(pixels: np.ndarray, interlace: bool = False) -> bytes:
+    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 losslessly; with
+    ``interlace`` the IDAT carries the seven Adam7 passes (empty passes
+    for small images contribute zero bytes, per spec)."""
     pixels = np.asarray(pixels, dtype=np.uint8)
     h, w = pixels.shape[:2]
     color_type = 2 if pixels.ndim == 3 else 0
     nch = 3 if color_type == 2 else 1
-    raw = pixels.reshape(h, w * nch)
-    # filter byte 0 (None) before every row
-    scanlines = np.concatenate([np.zeros((h, 1), np.uint8), raw], axis=1)
+    px3 = pixels.reshape(h, w, nch)
+    if interlace:
+        parts = []
+        for x0, y0, xs, ys in _ADAM7:
+            sub = px3[y0::ys, x0::xs]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            rows = sub.reshape(ph, pw * nch)
+            parts.append(
+                np.concatenate([np.zeros((ph, 1), np.uint8), rows], axis=1).tobytes()
+            )
+        body = b"".join(parts)
+    else:
+        raw = px3.reshape(h, w * nch)
+        # filter byte 0 (None) before every row
+        body = np.concatenate([np.zeros((h, 1), np.uint8), raw], axis=1).tobytes()
     out = _PNG_MAGIC
-    out += _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
-    out += _chunk(b"IDAT", zlib.compress(scanlines.tobytes(), 6))
+    out += _chunk(
+        b"IHDR",
+        struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0),
+    )
+    out += _chunk(b"IDAT", zlib.compress(body, 6))
     out += _chunk(b"IEND", b"")
     return out
 
@@ -91,6 +123,30 @@ def _unfilter(data: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+def _deinterlace_adam7(raw: np.ndarray, w: int, h: int, nch: int) -> np.ndarray:
+    """Reassemble the seven Adam7 passes: each non-empty pass is its own
+    filtered sub-image (filters reference neighbors WITHIN the pass, per
+    spec), unfiltered independently and scattered onto its grid."""
+    out = np.zeros((h, w, nch), np.uint8)
+    pos = 0
+    for x0, y0, xs, ys in _ADAM7:
+        pw = (w - x0 + xs - 1) // xs
+        ph = (h - y0 + ys - 1) // ys
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = pw * nch
+        need = ph * (stride + 1)
+        chunk = raw[pos : pos + need]
+        if chunk.size != need:
+            raise ValueError("Adam7 pass payload truncated")
+        pos += need
+        sub = _unfilter(chunk.reshape(ph, stride + 1), ph, stride, nch)
+        out[y0::ys, x0::xs] = sub.reshape(ph, pw, nch)
+    if pos != raw.size:
+        raise ValueError("Adam7 payload has trailing bytes")
+    return out
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """Decode to (h, w) uint8 for grayscale sources or (h, w, 3) uint8 RGB
     otherwise (palette is expanded; alpha is dropped after compositing on
@@ -119,16 +175,19 @@ def decode_png(payload: bytes) -> np.ndarray:
     w, h, depth, color_type, compression, filter_method, interlace = ihdr
     if depth != 8:
         raise NotImplementedError(f"{depth}-bit PNG unsupported (8-bit only)")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG unsupported")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
     if color_type not in _CHANNELS:
         raise ValueError(f"invalid PNG color type {color_type}")
     nch = _CHANNELS[color_type]
     stride = w * nch
     raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
-    if raw.size != h * (stride + 1):
-        raise ValueError("PNG scanline payload has wrong size")
-    px = _unfilter(raw.reshape(h, stride + 1), h, stride, nch).reshape(h, w, nch)
+    if interlace == 1:
+        px = _deinterlace_adam7(raw, w, h, nch)
+    else:
+        if raw.size != h * (stride + 1):
+            raise ValueError("PNG scanline payload has wrong size")
+        px = _unfilter(raw.reshape(h, stride + 1), h, stride, nch).reshape(h, w, nch)
     if color_type == 0:
         return px[:, :, 0]
     if color_type == 3:

@@ -686,6 +686,54 @@ def test_png_cross_validated_with_jvm_both_directions(spark, tmp_path):
         assert np.array_equal(png.decode_png(f.read()), img)
 
 
+def test_png_adam7_interlace_roundtrip_and_jvm_cross_validation(spark, tmp_path):
+    """Adam7: exact round-trips across shapes that exercise empty and
+    partial passes (1x1 has six empty passes; 9x7 has ragged pass
+    dimensions), the pass grid provably partitions every pixel exactly
+    once, and the JVM's ImageIO decodes our interlaced streams to the
+    source pixels — pinning the layout to the spec, not to this module's
+    own reading of it."""
+    import numpy as np
+
+    from ecom_snowflake_duckdb_migration_spark.multimodal import png
+
+    rng = np.random.default_rng(6)
+    for shape in [(16, 16), (9, 7), (1, 1), (3, 19), (33, 17), (7, 5, 3), (16, 24, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert np.array_equal(png.decode_png(png.encode_png(img, interlace=True)), img)
+
+    for h, w in [(16, 16), (9, 7), (1, 1), (5, 3)]:
+        cov = np.zeros((h, w), int)
+        for x0, y0, xs, ys in png._ADAM7:
+            cov[y0::ys, x0::xs] += 1
+        assert (cov == 1).all()
+
+    h, w = 19, 13
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    ours_path = str(tmp_path / "adam7.png")
+    with open(ours_path, "wb") as f:
+        f.write(png.encode_png(img, interlace=True))
+    jvm = spark._jvm
+    bimg = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(ours_path))
+    java = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            argb = bimg.getRGB(x, y)
+            java[y, x] = [(argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF]
+    assert np.array_equal(java, img)
+
+    # interlace byte claiming Adam7 over a non-interlaced body fails loudly
+    import struct
+    import zlib
+
+    bad = bytearray(png.encode_png(img))
+    bad[8 + 8 + 12] = 1
+    crc = zlib.crc32(b"IHDR" + bytes(bad[16 : 16 + 13])) & 0xFFFFFFFF
+    bad[16 + 13 : 16 + 17] = struct.pack(">I", crc)
+    with pytest.raises(ValueError):
+        png.decode_png(bytes(bad))
+
+
 def test_png_through_spark_decode_and_resize(spark):
     imgs = mm.generate_media(spark, 10, "image", seed=4, media_format="png")
     rows = mm.decode_images(imgs).collect()
