@@ -19,8 +19,9 @@ multi-scan spectral selection + successive approximation —
 full encoder + decoder in ``jpeg.py``, cross-validated against the JVM's
 javax.imageio, including decoding 4:2:0 and progressive streams the JVM
 itself encoded),
-**PNG** (all 8-bit color types and all five row filters in ``png.py``;
-lossless, so round-trips are exact), and **GIF** (87a/89a incl. animation,
+**PNG** (all color types at 8- AND 16-bit depth, all five row filters,
+Adam7 interlace in ``png.py``; lossless, so round-trips are exact), and
+**GIF** (87a/89a incl. animation,
 LZW, interlace, transparency and disposal in ``gif.py`` — animated GIFs
 feed ``sample_video_frames`` with real decoded frames, upgrading the
 video modality beyond the toy codec). Remaining formats (arithmetic/

@@ -4,9 +4,11 @@ Decode scope: 8-bit-per-sample PNG in every standard color type —
 grayscale (0), RGB (2), palette (3), gray+alpha (4), RGBA (6) — with all
 five row filters (None/Sub/Up/Average/Paeth), non-interlaced AND
 Adam7-interlaced (each of the seven passes is an independently-filtered
-sub-image scattered back on its (x0, y0, xstep, ystep) grid). 16-bit and
-sub-byte depths raise ``NotImplementedError`` (the multimodal operators
-capture that per row — see ``multimodal/columns.py``).
+sub-image scattered back on its (x0, y0, xstep, ystep) grid) — plus
+16-bit depths (filters run at the byte level per spec 9.2; samples
+downscale to the module's 8-bit contract via the top byte). Sub-byte
+depths raise ``NotImplementedError`` (the multimodal operators capture
+that per row — see ``multimodal/columns.py``).
 
 Encode scope: grayscale (h, w) or RGB (h, w, 3) uint8, filter 0 rows +
 zlib, optionally Adam7-interlaced. PNG is lossless, so
@@ -173,21 +175,30 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color_type, compression, filter_method, interlace = ihdr
-    if depth != 8:
-        raise NotImplementedError(f"{depth}-bit PNG unsupported (8-bit only)")
+    if depth not in (8, 16):
+        raise NotImplementedError(
+            f"{depth}-bit PNG unsupported (8- and 16-bit decode natively)"
+        )
+    if depth == 16 and color_type == 3:
+        raise ValueError("palette PNG cannot be 16-bit")  # spec 11.2.2
     if interlace not in (0, 1):
         raise ValueError(f"invalid PNG interlace method {interlace}")
     if color_type not in _CHANNELS:
         raise ValueError(f"invalid PNG color type {color_type}")
     nch = _CHANNELS[color_type]
-    stride = w * nch
+    bpp = nch * (depth // 8)  # filter distance is in BYTES (spec 9.2)
+    stride = w * bpp
     raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
     if interlace == 1:
-        px = _deinterlace_adam7(raw, w, h, nch)
+        px = _deinterlace_adam7(raw, w, h, bpp)
     else:
         if raw.size != h * (stride + 1):
             raise ValueError("PNG scanline payload has wrong size")
-        px = _unfilter(raw.reshape(h, stride + 1), h, stride, nch).reshape(h, w, nch)
+        px = _unfilter(raw.reshape(h, stride + 1), h, stride, bpp).reshape(h, w, bpp)
+    if depth == 16:
+        # big-endian u16 samples -> top byte (the 8-bit contract every
+        # other decode path returns; >>8 is the standard downscale)
+        px = px.reshape(h, w, nch, 2)[:, :, :, 0]
     if color_type == 0:
         return px[:, :, 0]
     if color_type == 3:

@@ -734,6 +734,56 @@ def test_png_adam7_interlace_roundtrip_and_jvm_cross_validation(spark, tmp_path)
         png.decode_png(bytes(bad))
 
 
+def test_png_16bit_decode_and_jvm_cross_validation(spark, tmp_path):
+    """16-bit PNG: filters operate at the byte level (spec 9.2) and
+    samples downscale to the 8-bit contract via the top byte — pinned on
+    hand-built filter-0 and Up-filtered streams, and on a genuinely
+    foreign file: the JVM's ImageIO writing a TYPE_USHORT_GRAY image as
+    a 16-bit PNG that our decoder must read back as value >> 8."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from ecom_snowflake_duckdb_migration_spark.multimodal import png
+
+    rng = np.random.default_rng(10)
+    for nch, ct in [(1, 0), (3, 2)]:
+        h, w = 11, 7
+        samples = rng.integers(0, 65536, (h, w, nch), dtype=np.uint16)
+        rows = np.frombuffer(samples.astype(">u2").tobytes(), np.uint8).reshape(
+            h, w * nch * 2
+        )
+        body = np.concatenate([np.zeros((h, 1), np.uint8), rows], axis=1).tobytes()
+        payload = (
+            png._PNG_MAGIC
+            + png._chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, ct, 0, 0, 0))
+            + png._chunk(b"IDAT", zlib.compress(body))
+            + png._chunk(b"IEND", b"")
+        )
+        want = (samples >> 8).astype(np.uint8)
+        got = png.decode_png(payload)
+        assert np.array_equal(got, want[:, :, 0] if ct == 0 else want)
+
+    h, w = 9, 6
+    vals = rng.integers(0, 65536, (h, w), dtype=np.uint16)
+    jvm = spark._jvm
+    bimg = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_USHORT_GRAY
+    )
+    raster = bimg.getRaster()
+    for y in range(h):
+        for x in range(w):
+            raster.setSample(x, y, 0, int(vals[y, x]))
+    path = str(tmp_path / "gray16.png")
+    jvm.javax.imageio.ImageIO.write(bimg, "png", jvm.java.io.File(path))
+    with open(path, "rb") as f:
+        data = f.read()
+    depth = data[8 + 8 + 8]  # IHDR bit-depth byte
+    assert depth == 16  # the JVM really wrote a 16-bit stream
+    assert np.array_equal(png.decode_png(data), (vals >> 8).astype(np.uint8))
+
+
 def test_png_through_spark_decode_and_resize(spark):
     imgs = mm.generate_media(spark, 10, "image", seed=4, media_format="png")
     rows = mm.decode_images(imgs).collect()
