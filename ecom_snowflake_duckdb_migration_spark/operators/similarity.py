@@ -825,6 +825,50 @@ def semantic_dedup(
     return semantic_dedup_celled(celled, threshold, id_col, dim=len(centroids[0]))
 
 
+def density_prune(
+    df: DataFrame,
+    centroids: list[list[float]],
+    drop_frac_e6: int = 250_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """D4-style prototypicality pruning (Tirumala et al. 2023,
+    arXiv:2308.12284): within each semantic cell, DROP the
+    ``drop_frac_e6 / 1e6`` fraction of rows MOST similar to their own
+    centroid — the densest, most redundant region of each cluster — and
+    keep the diverse remainder. The paper's SemDeDup→SSL-prototypes
+    cascade second stage; the first stage is ``semantic_dedup``.
+
+    Deterministic rule: rank rows per cell by similarity-to-centroid
+    DESCENDING (id ascending tiebreak); a cell of ``n`` rows drops ranks
+    ``1 .. n * drop_frac_e6 div 1_000_000`` (integer floor, so a cell
+    smaller than ``1e6 / drop_frac_e6`` rows drops nothing). Returns the
+    KEPT rows as ``(id_col, cell, cell_rank)``.
+
+    Scale: assignment is scan-side (literal codebook — no shuffle); the
+    rank + count windows partition on ``cell``, whose width you bound by
+    sizing ``n_centroids ~ 0.1% of N`` exactly as in ``semantic_dedup``,
+    so no partition sees more than a cluster. One exchange total.
+    """
+    from pyspark.sql import Window
+
+    celled = semantic_cells(df, centroids, vec_col, id_col)
+    w = Window.partitionBy("cell").orderBy(
+        F.col("csim").desc(), F.col(id_col).asc()
+    )
+    wc = Window.partitionBy("cell")
+    ranked = celled.select(
+        F.col(id_col),
+        F.col("cell"),
+        F.row_number().over(w).alias("cell_rank"),
+        F.count(F.lit(1)).over(wc).alias("_n"),
+    )
+    # integer-domain floor (x * frac_e6 div 1e6): bit-stable across engines,
+    # per the catalog's fixed-point ratio convention
+    n_drop = F.expr(f"_n * {drop_frac_e6} div 1000000")
+    return ranked.filter(F.col("cell_rank") > n_drop).drop("_n")
+
+
 def semantic_cells(
     df: DataFrame,
     centroids: list[list[float]],

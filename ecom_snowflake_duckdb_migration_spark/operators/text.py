@@ -1234,6 +1234,128 @@ def span_dedup(
     )
 
 
+def segment_frequency_filter(
+    df: DataFrame,
+    seg_words: int = 8,
+    max_occurrences: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate removal: drop EVERY copy of any
+    ``seg_words``-word segment whose corpus-wide occurrence count exceeds
+    ``max_occurrences``, then reassemble the survivors in document order
+    (Wenzek et al. 2020 §4.1 dedup the corpus at paragraph granularity;
+    Penedo et al. 2023 §G.2 drop over-frequent lines from every page).
+
+    The complement of ``span_dedup`` (C4 keep-first): a navigation menu
+    that appears on ten thousand pages is removed from ALL of them here,
+    whereas keep-first would bless one arbitrary copy. Segments are fixed
+    ``seg_words``-word tiles since this corpus has no newlines.
+
+    Returns ``(id_col, clean_text, n_segments, n_removed)`` for every
+    input document.
+
+    Relational shape: one posexplode, one groupBy count on segment text
+    (the only wide shuffle; keys are content-uniform), one join back, one
+    ordered reassembly groupBy. At 100 TB count on ``xxhash64(segment)``
+    instead of the text and broadcast the over-frequent set — boilerplate
+    is a tiny minority of distinct segments (the entry keeps text-keyed
+    counting for oracle bit-parity at test scale).
+    """
+    words = f"split(trim(coalesce({text_col}, '')), '\\\\s+')"
+    segs = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (size({words}) - 1)"
+                f" div {seg_words}),"
+                f" i -> array_join(slice({words},"
+                f" i * {seg_words} + 1, {seg_words}), ' '))"
+            )
+        ).alias("pos", "seg"),
+    )
+    over = (
+        segs.groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > max_occurrences)
+        .select("seg")
+    )
+    kept = segs.join(over, "seg", "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.expr("transform(array_sort(collect_list(struct(pos, seg))), s -> s.seg)"),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = segs.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_segments"))
+    return totals.join(reassembled, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_segments",
+        (F.col("n_segments") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+    )
+
+
+def unicode_normalize(
+    df: DataFrame,
+    form: str = "NFC",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unicode normalization of a text column — the canonicalization stage
+    every multilingual pretraining pipeline runs before hashing/dedup
+    (decomposed "e" + U+0301 and precomposed "é" must dedup together).
+
+    Returns ``(id_col, text_norm, changed, n_chars_raw, n_chars_norm)``.
+
+    Spark has no built-in normalizer, so this is the documented exception
+    to the no-Python rule: an Arrow-batched ``mapInPandas`` kernel over
+    ``unicodedata.normalize`` (same contract as the multimodal decoders —
+    per-row pure function, zero shuffle, embarrassingly parallel; char
+    counts are code points in Python, Spark, and DuckDB alike).
+    ``form`` is one of NFC/NFD/NFKC/NFKD; the catalog oracles the NFC
+    path against DuckDB's ``nfc_normalize``.
+    """
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    from pyspark.sql.types import BooleanType
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("text_norm", StringType()),
+            StructField("changed", BooleanType()),
+            StructField("n_chars_raw", LongType()),
+            StructField("n_chars_norm", LongType()),
+        ]
+    )
+
+    def run(batches):
+        import unicodedata
+
+        for pdf in batches:
+            raw = pdf[text_col]
+            normed = raw.map(
+                lambda v: unicodedata.normalize(form, v) if v is not None else None
+            )
+            out = pdf[[id_col]].copy()
+            out["text_norm"] = normed
+            out["changed"] = [
+                (a != b) if a is not None else False
+                for a, b in zip(raw, normed)
+            ]
+            out["n_chars_raw"] = raw.map(
+                lambda v: len(v) if v is not None else None
+            ).astype("Int64")
+            out["n_chars_norm"] = normed.map(
+                lambda v: len(v) if v is not None else None
+            ).astype("Int64")
+            yield out
+
+    return df.select(id_col, text_col).mapInPandas(run, out_schema)
+
+
 def exact_substring_dedup(
     df: DataFrame,
     k: int = 15,

@@ -3148,3 +3148,191 @@ def x117_curate_gopher(spark, sf_dir):
         contamination_n=8,
         quality="gopher",
     )
+
+
+_X118_SEG_WORDS = 8
+_X118_MAX_OCC = 1
+
+
+@register(
+    "x118_segment_frequency_filter",
+    # Same word-split + tiling expressions as x81's span oracle; the kept
+    # set differs: segments whose CORPUS count exceeds max_occurrences
+    # vanish from every document (no keep-first survivor).
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               string_split_regex(regexp_replace(regexp_replace(
+                   coalesce(text, ''), '^\\s+', ''), '\\s+$', ''),
+                   '\\s+') AS words
+        FROM documents
+    ),
+    segs AS (
+        SELECT doc_id, CAST(t.g AS INTEGER) AS pos,
+               array_to_string(
+                   words[(t.g * {_X118_SEG_WORDS} + 1):
+                         (t.g * {_X118_SEG_WORDS} + {_X118_SEG_WORDS})],
+                   ' ') AS seg
+        FROM base, unnest(range((len(words) - 1) // {_X118_SEG_WORDS} + 1))
+             AS t(g)
+    ),
+    over_freq AS (
+        SELECT seg FROM segs GROUP BY seg
+        HAVING count(*) > {_X118_MAX_OCC}
+    ),
+    kept AS (
+        SELECT s.* FROM segs s
+        WHERE s.seg NOT IN (SELECT seg FROM over_freq)
+    ),
+    reassembled AS (
+        SELECT doc_id,
+               string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    ),
+    totals AS (
+        SELECT doc_id, count(*) AS n_segments FROM segs GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           t.n_segments,
+           t.n_segments - coalesce(r.n_kept, 0) AS n_removed
+    FROM totals t LEFT JOIN reassembled r USING (doc_id)
+    """,
+    doc="CCNet/RefinedWeb boilerplate removal "
+    "(operators.text.segment_frequency_filter): drop EVERY copy of any "
+    "8-word segment occurring more than once corpus-wide, reassemble "
+    "survivors in document order. The complement of x81's C4 keep-first "
+    "span dedup — over-frequent boilerplate (nav menus, license headers) "
+    "is removed from ALL pages, not blessed once. One explode, one count "
+    "shuffle, one join back, one ordered reassembly; at 100 TB the count "
+    "runs on segment hashes and the over-frequent set broadcasts.",
+    tags=("LLM", "dedup", "quality"),
+)
+def x118_segment_frequency_filter(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return tx.segment_frequency_filter(
+        d, seg_words=_X118_SEG_WORDS, max_occurrences=_X118_MAX_OCC
+    )
+
+
+# Planted denormalized Unicode for x119 — the synthetic corpus is pure
+# ASCII, so (like x113's planted PII and x117's planted stopwords) every
+# third document gets a deterministic prefix containing decomposed
+# sequences that NFC must precompose: e + U+0301 -> é, A + U+030A -> Å,
+# n + U+0303 -> ñ. The identical expression builds the raw text in both
+# engines; Spark normalizes via unicodedata, DuckDB via nfc_normalize.
+_X119_SPARK_PREFIX = "Cafe\u0301 A\u030A n\u0303 "
+_X119_SQL_PREFIX = (
+    "'Caf' || chr(101) || chr(769) || ' ' || chr(65) || chr(778)"
+    " || ' ' || chr(110) || chr(771) || ' '"
+)
+
+
+@register(
+    "x119_unicode_nfc",
+    oracle=f"""
+    WITH planted AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN {_X119_SQL_PREFIX} || coalesce(text, '')
+                    ELSE text END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           nfc_normalize(text) AS text_norm,
+           (text IS DISTINCT FROM nfc_normalize(text)) AS changed,
+           length(text) AS n_chars_raw,
+           length(nfc_normalize(text)) AS n_chars_norm
+    FROM planted
+    """,
+    doc="Unicode NFC canonicalization (operators.text.unicode_normalize): "
+    "decomposed combining sequences precompose so 'é' spelled two ways "
+    "dedups as one — the normalization stage ahead of every hash-keyed "
+    "dedup in a multilingual pipeline. Spark has no built-in normalizer: "
+    "the kernel is the documented Arrow-batched mapInPandas exception "
+    "(per-row pure function, zero shuffle), oracled against DuckDB's "
+    "nfc_normalize over identically-planted denormalized prefixes.",
+    tags=("LLM", "quality", "text"),
+)
+def x119_unicode_nfc(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(_X119_SPARK_PREFIX), F.coalesce(F.col("text"), F.lit(""))),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return tx.unicode_normalize(planted, form="NFC")
+
+
+def _x120_oracle(drop_frac_e6: int, dim: int, n_centroids: int, seed: int = 42) -> str:
+    """DuckDB twin of density_prune: x78's literal-codebook assignment
+    fragment (same cos folds, same first-index argmax), then a per-cell
+    rank by (csim DESC, vec_id ASC) keeping ranks past the integer-floor
+    drop count."""
+    cents = sim.make_centroids(dim, n_centroids, seed)
+
+    def clist(c: list[float]) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in c) + "]"
+
+    def cos_lit(vec: str, c: list[float]) -> str:
+        lst = clist(c)
+        dot = (
+            f"list_sum(list_transform(range(1, len({vec}) + 1),"
+            f" i -> CAST({vec}[i] AS DOUBLE) * ({lst})[i]))"
+        )
+        nv = f"sqrt(list_sum(list_transform({vec}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        nc = f"sqrt(list_sum(list_transform({lst}, x -> x * x)))"
+        return f"({dot} / ({nv} * {nc}))"
+
+    sims_data = ",\n               ".join(
+        f"{cos_lit('embedding', c)} AS s{i}" for i, c in enumerate(cents)
+    )
+    all_s = ", ".join(f"s{i}" for i in range(n_centroids))
+    argmax = "CASE " + " ".join(
+        f"WHEN s{i} = best THEN {i}" for i in range(n_centroids)
+    ) + " END"
+    return f"""
+    WITH scored AS (
+        SELECT vec_id, embedding,
+               {sims_data}
+        FROM embeddings
+    ),
+    assigned AS (
+        SELECT vec_id, {argmax} AS cell, best AS csim
+        FROM (SELECT *, greatest({all_s}) AS best FROM scored)
+    ),
+    ranked AS (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY cell
+                                  ORDER BY csim DESC, vec_id ASC) AS cell_rank,
+               count(*) OVER (PARTITION BY cell) AS n
+        FROM assigned
+    )
+    SELECT vec_id, cell, cell_rank FROM ranked
+    WHERE cell_rank > n * {drop_frac_e6} // 1000000
+    """
+
+
+@register(
+    "x120_density_prune",
+    oracle=_x120_oracle(drop_frac_e6=250_000, dim=64, n_centroids=8),
+    doc="D4 prototypicality pruning (Tirumala et al. 2023, "
+    "arXiv:2308.12284; operators.similarity.density_prune): within each "
+    "semantic cell drop the 25% of rows MOST similar to their own "
+    "centroid — the dense redundant core — and keep the diverse "
+    "remainder; the paper's second stage after SemDeDup (x78). "
+    "Assignment is the scan-side literal codebook; rank/count windows "
+    "partition on cell (width bounded by sizing n_centroids ~0.1% N), "
+    "one exchange total. Integer-floor drop count is bit-stable across "
+    "engines; csim ordering reuses the pinned left-to-right cos folds.",
+    tags=("LLM", "dedup", "semantic", "sampling"),
+)
+def x120_density_prune(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    centroids = sim.make_centroids(dim=64, n_centroids=8, seed=42)
+    return sim.density_prune(e, centroids, drop_frac_e6=250_000)

@@ -2287,3 +2287,125 @@ def test_gopher_repetition_stats_matches_python_reference(spark):
         g = got[i]
         for k, v in want.items():
             assert g[k] == v, (i, t, k, g[k], v)
+
+
+def test_segment_frequency_filter_drops_every_copy(spark):
+    """Over-frequent segments vanish from ALL docs (no keep-first
+    survivor), unlike span_dedup; reassembly preserves word order."""
+    boiler = "m1 m2 m3 m4 m5 m6 m7 m8"
+    uniq1 = "a1 a2 a3 a4 a5 a6 a7 a8"
+    uniq2 = "b1 b2 b3 b4 b5 b6 b7 b8"
+    rows = [
+        (1, f"{boiler} {uniq1}"),
+        (2, f"{uniq2} {boiler}"),
+        (3, boiler),
+        (4, "short tail only"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in tx.segment_frequency_filter(
+            df, seg_words=8, max_occurrences=1
+        ).collect()
+    }
+    # boiler appears 3x > 1 -> dropped everywhere, including doc 3
+    assert out[1].clean_text == uniq1 and out[1].n_removed == 1
+    assert out[2].clean_text == uniq2 and out[2].n_removed == 1
+    assert out[3].clean_text == "" and out[3].n_removed == 1
+    assert out[4].clean_text == "short tail only" and out[4].n_removed == 0
+    assert out[1].n_segments == 2 and out[3].n_segments == 1
+
+
+def test_segment_frequency_filter_threshold_and_nulls(spark):
+    """max_occurrences=2 tolerates a twice-repeated segment; NULL/''
+    docs keep their output rows (their shared empty segment counts as
+    over-frequent when it repeats)."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", IntegerType()), StructField("text", StringType())]
+    )
+    twice = "t1 t2 t3 t4 t5 t6 t7 t8"
+    df = spark.createDataFrame(
+        [(1, twice), (2, twice), (3, None), (4, "")], schema
+    )
+    out = {
+        r.doc_id: r
+        for r in tx.segment_frequency_filter(
+            df, seg_words=8, max_occurrences=2
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1].clean_text == twice and out[2].clean_text == twice
+    # NULL and '' both tile to the single empty segment; 2 copies <= 2 kept
+    assert out[3].clean_text == "" and out[3].n_removed == 0
+    # with max_occurrences=1 the empty segment (2 copies) is dropped too
+    strict = {
+        r.doc_id: r
+        for r in tx.segment_frequency_filter(
+            df, seg_words=8, max_occurrences=1
+        ).collect()
+    }
+    assert strict[3].n_removed == 1 and strict[4].n_removed == 1
+    assert strict[1].n_removed == 1  # twice > 1
+
+
+def test_unicode_normalize_forms_and_nulls(spark):
+    """NFC precomposes combining sequences; NFKC additionally folds
+    compatibility forms (ligatures); NULL text yields NULL outputs with
+    changed=False; invalid form raises."""
+    import pytest as _pytest
+
+    rows = [
+        (1, "Cafe\u0301"),  # e + combining acute -> e-acute under NFC
+        (2, "\ufb01le"),  # fi ligature: NFC keeps, NFKC -> "fi"
+        (3, "plain ascii"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    nfc = {r.doc_id: r for r in tx.unicode_normalize(df, form="NFC").collect()}
+    assert nfc[1].text_norm == "Caf\u00e9" and nfc[1].changed
+    assert nfc[1].n_chars_raw == 5 and nfc[1].n_chars_norm == 4
+    assert nfc[2].text_norm == "\ufb01le" and not nfc[2].changed
+    assert nfc[3].text_norm == "plain ascii" and not nfc[3].changed
+    assert nfc[4].text_norm is None and not nfc[4].changed
+    assert nfc[4].n_chars_raw is None and nfc[4].n_chars_norm is None
+    nfkc = {r.doc_id: r for r in tx.unicode_normalize(df, form="NFKC").collect()}
+    assert nfkc[2].text_norm == "file" and nfkc[2].changed
+    with _pytest.raises(ValueError, match="normalization form"):
+        tx.unicode_normalize(df, form="NFX")
+
+
+def test_density_prune_floor_and_order(spark):
+    """Cells smaller than 1e6/drop_frac_e6 rows drop nothing; larger
+    cells drop exactly floor(n * frac) rows, the MOST centroid-similar
+    first (id tiebreak)."""
+    # second centroid points away from every vector -> single live cell
+    cents = [[1.0, 0.0], [-1.0, -1.0]]
+    rows = [
+        (1, [1.0, 0.0]),    # csim 1.0 -> most prototypical
+        (2, [1.0, 0.1]),
+        (3, [1.0, 0.5]),
+        (4, [0.5, 1.0]),
+        (5, [0.0, 1.0]),    # csim 0.0 -> most diverse
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    # 25% of 5 -> floor(1.25) = 1 dropped: vec 1
+    kept = sorted(
+        r.vec_id
+        for r in sim.density_prune(df, cents, drop_frac_e6=250_000).collect()
+    )
+    assert kept == [2, 3, 4, 5]
+    # 3 rows at 25% -> floor(0.75) = 0 dropped
+    small = df.filter("vec_id <= 3")
+    kept_small = sorted(
+        r.vec_id
+        for r in sim.density_prune(small, cents, drop_frac_e6=250_000).collect()
+    )
+    assert kept_small == [1, 2, 3]
+    # ranks are contiguous from the drop boundary
+    ranks = {
+        r.vec_id: r.cell_rank
+        for r in sim.density_prune(df, cents, drop_frac_e6=250_000).collect()
+    }
+    assert ranks == {2: 2, 3: 3, 4: 4, 5: 5}
