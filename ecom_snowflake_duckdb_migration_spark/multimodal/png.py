@@ -6,9 +6,11 @@ five row filters (None/Sub/Up/Average/Paeth), non-interlaced AND
 Adam7-interlaced (each of the seven passes is an independently-filtered
 sub-image scattered back on its (x0, y0, xstep, ystep) grid) — plus
 16-bit depths (filters run at the byte level per spec 9.2; samples
-downscale to the module's 8-bit contract via the top byte). Sub-byte
-depths raise ``NotImplementedError`` (the multimodal operators capture
-that per row — see ``multimodal/columns.py``).
+downscale to the module's 8-bit contract via the top byte) and sub-byte
+depths 1/2/4 for grayscale and palette (bit-packed rows unpack MSB-first
+per spec 7.2; grayscale samples scale to 8-bit by the max-value ratio,
+palette indices look up PLTE unscaled). Every standard IHDR
+depth × color-type combination now decodes natively.
 
 Encode scope: grayscale (h, w) or RGB (h, w, 3) uint8, filter 0 rows +
 zlib, optionally Adam7-interlaced. PNG is lossless, so
@@ -125,10 +127,23 @@ def _unfilter(data: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
-def _deinterlace_adam7(raw: np.ndarray, w: int, h: int, nch: int) -> np.ndarray:
+def _unpack_subbyte(rows: np.ndarray, w: int, depth: int) -> np.ndarray:
+    """Unpack (h, stride) bytes of ``depth``-bit samples (MSB-first within
+    each byte, trailing pad bits in the last byte ignored — spec 7.2) to
+    (h, w) uint8 raw sample values."""
+    bits = np.unpackbits(rows, axis=1)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return bits[:, : w * depth].reshape(rows.shape[0], w, depth) @ weights
+
+
+def _deinterlace_adam7(
+    raw: np.ndarray, w: int, h: int, nch: int, depth: int = 8
+) -> np.ndarray:
     """Reassemble the seven Adam7 passes: each non-empty pass is its own
     filtered sub-image (filters reference neighbors WITHIN the pass, per
-    spec), unfiltered independently and scattered onto its grid."""
+    spec), unfiltered independently and scattered onto its grid. ``nch``
+    is bytes per pixel for depth >= 8, and 1 (raw sample values) for
+    sub-byte depths, whose pass rows are bit-packed at the pass width."""
     out = np.zeros((h, w, nch), np.uint8)
     pos = 0
     for x0, y0, xs, ys in _ADAM7:
@@ -136,13 +151,17 @@ def _deinterlace_adam7(raw: np.ndarray, w: int, h: int, nch: int) -> np.ndarray:
         ph = (h - y0 + ys - 1) // ys
         if pw <= 0 or ph <= 0:
             continue
-        stride = pw * nch
+        stride = pw * nch if depth >= 8 else (pw * depth + 7) // 8
         need = ph * (stride + 1)
         chunk = raw[pos : pos + need]
         if chunk.size != need:
             raise ValueError("Adam7 pass payload truncated")
         pos += need
-        sub = _unfilter(chunk.reshape(ph, stride + 1), ph, stride, nch)
+        sub = _unfilter(
+            chunk.reshape(ph, stride + 1), ph, stride, nch if depth >= 8 else 1
+        )
+        if depth < 8:
+            sub = _unpack_subbyte(sub, pw, depth)
         out[y0::ys, x0::xs] = sub.reshape(ph, pw, nch)
     if pos != raw.size:
         raise ValueError("Adam7 payload has trailing bytes")
@@ -175,26 +194,46 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color_type, compression, filter_method, interlace = ihdr
-    if depth not in (8, 16):
-        raise NotImplementedError(
-            f"{depth}-bit PNG unsupported (8- and 16-bit decode natively)"
-        )
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"invalid PNG bit depth {depth}")
     if depth == 16 and color_type == 3:
         raise ValueError("palette PNG cannot be 16-bit")  # spec 11.2.2
+    if depth < 8 and color_type not in (0, 3):
+        raise ValueError(  # spec 11.2.2: sub-byte only for gray/palette
+            f"color type {color_type} cannot be {depth}-bit"
+        )
     if interlace not in (0, 1):
         raise ValueError(f"invalid PNG interlace method {interlace}")
     if color_type not in _CHANNELS:
         raise ValueError(f"invalid PNG color type {color_type}")
     nch = _CHANNELS[color_type]
-    bpp = nch * (depth // 8)  # filter distance is in BYTES (spec 9.2)
-    stride = w * bpp
     raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
-    if interlace == 1:
-        px = _deinterlace_adam7(raw, w, h, bpp)
+    if depth < 8:
+        # bit-packed rows, filter distance 1 byte (spec 9.2); unpack to
+        # raw sample values, then scale grayscale to the 8-bit contract
+        # by max-value ratio (0b1->255, 0b11->85x, 0b1111->17x); palette
+        # indices index PLTE unscaled
+        stride = (w * depth + 7) // 8
+        if interlace == 1:
+            px = _deinterlace_adam7(raw, w, h, 1, depth)
+        else:
+            if raw.size != h * (stride + 1):
+                raise ValueError("PNG scanline payload has wrong size")
+            filt = _unfilter(raw.reshape(h, stride + 1), h, stride, 1)
+            px = _unpack_subbyte(filt, w, depth).reshape(h, w, 1)
+        if color_type == 0:
+            px = px * np.uint8(255 // ((1 << depth) - 1))
     else:
-        if raw.size != h * (stride + 1):
-            raise ValueError("PNG scanline payload has wrong size")
-        px = _unfilter(raw.reshape(h, stride + 1), h, stride, bpp).reshape(h, w, bpp)
+        bpp = nch * (depth // 8)  # filter distance is in BYTES (spec 9.2)
+        stride = w * bpp
+        if interlace == 1:
+            px = _deinterlace_adam7(raw, w, h, bpp)
+        else:
+            if raw.size != h * (stride + 1):
+                raise ValueError("PNG scanline payload has wrong size")
+            px = _unfilter(raw.reshape(h, stride + 1), h, stride, bpp).reshape(
+                h, w, bpp
+            )
     if depth == 16:
         # big-endian u16 samples -> top byte (the 8-bit contract every
         # other decode path returns; >>8 is the standard downscale)

@@ -1201,3 +1201,181 @@ def test_image_hashes_custom_id_col(spark):
     assert out[0].doc_id == 7 and out[0].ok == "ok"
     pairs = mm.image_near_pairs(df, id_col="doc_id")
     assert pairs.count() == 0  # single image, no pairs — but the plan resolves
+
+
+def _pack_subbyte_rows(samples, depth, filt=0):
+    """Bit-pack (h, w) raw sample values MSB-first at ``depth`` bits with a
+    leading filter byte per row — the inverse of png._unpack_subbyte."""
+    import numpy as np
+
+    h, w = samples.shape
+    stride = (w * depth + 7) // 8
+    bits = np.zeros((h, stride * 8), np.uint8)
+    for j in range(depth):
+        bits[:, j : w * depth : depth] = (samples >> (depth - 1 - j)) & 1
+    rows = np.packbits(bits, axis=1)
+    return np.concatenate(
+        [np.full((h, 1), filt, np.uint8), rows], axis=1
+    ).tobytes()
+
+
+def test_png_subbyte_gray_and_palette_decode():
+    """1/2/4-bit PNG: bit-packed rows unpack MSB-first with pad bits
+    ignored (width chosen to not align to a byte); grayscale scales by
+    the max-value ratio, palette indices look up PLTE unscaled; the
+    filter distance stays 1 byte (an Up-filtered stream reconstructs)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from ecom_snowflake_duckdb_migration_spark.multimodal import png
+
+    rng = np.random.default_rng(11)
+    for depth in (1, 2, 4):
+        h, w = 7, 13  # 13 samples never fill the last byte at any depth
+        maxv = (1 << depth) - 1
+        samples = rng.integers(0, maxv + 1, (h, w), dtype=np.uint8)
+        body = _pack_subbyte_rows(samples, depth)
+        payload = (
+            png._PNG_MAGIC
+            + png._chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0))
+            + png._chunk(b"IDAT", zlib.compress(body))
+            + png._chunk(b"IEND", b"")
+        )
+        got = png.decode_png(payload)
+        assert np.array_equal(got, samples * (255 // maxv)), depth
+
+        # palette: indices are raw, colors come from PLTE
+        plte = rng.integers(0, 256, (maxv + 1, 3), dtype=np.uint8)
+        payload_p = (
+            png._PNG_MAGIC
+            + png._chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0))
+            + png._chunk(b"PLTE", plte.tobytes())
+            + png._chunk(b"IDAT", zlib.compress(body))
+            + png._chunk(b"IEND", b"")
+        )
+        assert np.array_equal(png.decode_png(payload_p), plte[samples]), depth
+
+    # Up filter at depth 4: filtering applies to the PACKED bytes
+    h, w = 4, 6
+    samples = rng.integers(0, 16, (h, w), dtype=np.uint8)
+    packed = np.frombuffer(_pack_subbyte_rows(samples, 4), np.uint8).reshape(h, -1)
+    rows = packed[:, 1:]
+    up = rows.copy().astype(np.int32)
+    up[1:] = (rows[1:].astype(np.int32) - rows[:-1].astype(np.int32)) & 0xFF
+    body = np.concatenate(
+        [np.concatenate([[0 if y == 0 else 2], up[y]]).astype(np.uint8)
+         for y in range(h)]
+    ).tobytes()
+    payload = (
+        png._PNG_MAGIC
+        + png._chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 4, 0, 0, 0, 0))
+        + png._chunk(b"IDAT", zlib.compress(body))
+        + png._chunk(b"IEND", b"")
+    )
+    assert np.array_equal(png.decode_png(payload), samples * 17)
+
+    # sub-byte RGB is illegal per spec 11.2.2 and must fail loudly
+    import pytest as _pytest
+
+    bad = (
+        png._PNG_MAGIC
+        + png._chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 4, 2, 0, 0, 0))
+        + png._chunk(b"IDAT", zlib.compress(b"\x00" * 4))
+        + png._chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="cannot be 4-bit"):
+        png.decode_png(bad)
+
+
+def test_png_subbyte_adam7_interlaced_decode():
+    """Sub-byte Adam7: each pass bit-packs rows at the PASS width (pad
+    bits per pass row, not per image row) — decode scatters the seven
+    passes back onto the spec grid."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from ecom_snowflake_duckdb_migration_spark.multimodal import png
+
+    rng = np.random.default_rng(12)
+    for depth in (1, 2, 4):
+        maxv = (1 << depth) - 1
+        h, w = 10, 11
+        samples = rng.integers(0, maxv + 1, (h, w), dtype=np.uint8)
+        parts = []
+        for x0, y0, xs, ys in png._ADAM7:
+            sub = samples[y0::ys, x0::xs]
+            if sub.size == 0:
+                continue
+            parts.append(_pack_subbyte_rows(sub, depth))
+        payload = (
+            png._PNG_MAGIC
+            + png._chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 1))
+            + png._chunk(b"IDAT", zlib.compress(b"".join(parts)))
+            + png._chunk(b"IEND", b"")
+        )
+        got = png.decode_png(payload)
+        assert np.array_equal(got, samples * (255 // maxv)), depth
+
+
+def test_png_subbyte_cross_validated_against_jvm(spark, tmp_path):
+    """Foreign sub-byte files: the JVM's ImageIO writes TYPE_BYTE_BINARY
+    images as 1-bit PNG and IndexColorModel images as 2/4-bit palette
+    PNG — our decoder must agree with the colors ImageIO itself reads
+    back."""
+    import numpy as np
+
+    from ecom_snowflake_duckdb_migration_spark.multimodal import png
+
+    jvm = spark._jvm
+    rng = np.random.default_rng(13)
+
+    # 1-bit: TYPE_BYTE_BINARY (black/white)
+    h, w = 9, 14
+    bw = rng.integers(0, 2, (h, w), dtype=np.uint8)
+    bimg = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_BYTE_BINARY
+    )
+    raster = bimg.getRaster()
+    for y in range(h):
+        for x in range(w):
+            raster.setSample(x, y, 0, int(bw[y, x]))
+    path = str(tmp_path / "bw1.png")
+    jvm.javax.imageio.ImageIO.write(bimg, "png", jvm.java.io.File(path))
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[8 + 8 + 8] == 1  # IHDR depth byte: genuinely 1-bit
+    got = png.decode_png(data)
+    want = bw * 255
+    if got.ndim == 3:  # ImageIO may emit a palette variant
+        want = np.repeat(want[:, :, None], 3, axis=2)
+    assert np.array_equal(got, want)
+
+    # 2- and 4-bit: IndexColorModel over a bit-PACKED raster
+    # (TYPE_BYTE_INDEXED stores 8-bit samples and ImageIO writes the
+    # sample depth — MultiPixelPackedSampleModel is what makes the PNG
+    # writer emit genuine 2/4-bit streams)
+    for depth, ncolors in [(2, 4), (4, 16)]:
+        pal = rng.integers(0, 256, (ncolors, 3), dtype=np.uint8)
+        rj = bytes(int(v) for v in pal[:, 0])
+        gj = bytes(int(v) for v in pal[:, 1])
+        bj = bytes(int(v) for v in pal[:, 2])
+        icm = jvm.java.awt.image.IndexColorModel(depth, ncolors, rj, gj, bj)
+        packed = jvm.java.awt.image.Raster.createPackedRaster(
+            jvm.java.awt.image.DataBuffer.TYPE_BYTE, w, h, 1, depth, None
+        )
+        bimg = jvm.java.awt.image.BufferedImage(icm, packed, False, None)
+        idx = rng.integers(0, ncolors, (h, w), dtype=np.uint8)
+        raster = bimg.getRaster()
+        for y in range(h):
+            for x in range(w):
+                raster.setSample(x, y, 0, int(idx[y, x]))
+        path = str(tmp_path / f"pal{depth}.png")
+        jvm.javax.imageio.ImageIO.write(bimg, "png", jvm.java.io.File(path))
+        with open(path, "rb") as f:
+            data = f.read()
+        assert data[8 + 8 + 8] == depth  # ImageIO honored the ICM depth
+        assert np.array_equal(png.decode_png(data), pal[idx]), depth
