@@ -1071,3 +1071,245 @@ def ann_topk_quantized(
         )
     scored = base.join(F.broadcast(qv)).select(id_col, dot_q.alias("dot_q"))
     return scored.orderBy(F.desc("dot_q"), F.asc(id_col)).limit(k)
+
+
+def make_pq_codebooks(
+    dim: int, m: int, k: int, seed: int = 42
+) -> list[list[list[float]]]:
+    """Seeded data-independent PQ codebooks: ``m`` subspaces of
+    ``dim // m`` dims, each with ``k`` centroids — the oracle-checkable
+    quantizer, exactly like :func:`make_centroids` for IVF. The
+    data-adaptive trainer is :func:`train_pq_codebooks`."""
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((m, k, dim // m)).tolist()
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    m: int,
+    k: int,
+    vec_col: str = "embedding",
+    sample_n: int = 100_000,
+    seed: int = 42,
+    iters: int = 15,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    quantization for nearest neighbor search"): Lloyd's k-means run
+    independently per subspace, driver-side over a BOUNDED sample.
+
+    Bounded driver state: the collect is capped at ``sample_n`` vectors
+    (PQ codebooks converge on samples orders of magnitude below corpus
+    size — the paper trains on 100k points for billion-scale indexes);
+    the returned codebooks are m*k*(dim/m) floats, kilobytes, and ship
+    to encode/search as literals or task-closure constants.
+    """
+    import numpy as np
+
+    rows = (
+        df.select(vec_col).filter(F.col(vec_col).isNotNull()).limit(sample_n).collect()
+    )
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books = []
+    for s in range(m):
+        Xs = X[:, s * dsub : (s + 1) * dsub]
+        C = Xs[rng.choice(len(Xs), size=k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(k):
+                mask = assign == j
+                if mask.any():
+                    C[j] = Xs[mask].mean(axis=0)
+                else:  # dead centroid: respawn on the farthest point
+                    C[j] = Xs[d2.min(axis=1).argmax()]
+        books.append(C.tolist())
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    method: str = "auto",
+) -> DataFrame:
+    """Encode vectors to PQ codes: per subspace, the index of the
+    L2-nearest centroid. Returns ``(id_col, codes array<int>)``.
+
+    argmin-by-L2 is computed as argmax of ``dot(v_s, c) - ||c||^2 / 2``
+    (the row-constant ``||v_s||^2`` cancels), with ties to the LOWEST
+    code via the same (score, -code) ``array_max`` device as
+    :func:`assign_cell`. NULL vectors get NULL codes; zero vectors
+    encode normally (L2 distance is defined — the cosine family's
+    zero-norm NULL contract does not apply to PQ).
+
+    ``method``: 'expr' inlines the codebooks as literals (scan-side,
+    whole-stage codegen, DuckDB-twinnable); 'pandas' is the Arrow/numpy
+    kernel for production codebooks; 'auto' dispatches on m*k > 32,
+    mirroring the IVF assigner's measured crossover.
+    """
+    m, k = len(codebooks), len(codebooks[0])
+    if method == "auto":
+        method = "pandas" if m * k > 32 else "expr"
+    if method == "pandas":
+        return _pq_encode_pandas(df, codebooks, vec_col, id_col)
+    dsub = len(codebooks[0][0])
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    codes = []
+    for s, book in enumerate(codebooks):
+        sub = F.slice(v, s * dsub + 1, dsub)
+        scored = F.array(
+            *[
+                F.struct(
+                    (dot_lit(sub, c) - F.lit(sq_norm_lit(c) / 2.0)).alias("score"),
+                    F.lit(-j).alias("negcode"),
+                )
+                for j, c in enumerate(book)
+            ]
+        )
+        codes.append(F.lit(0) - F.array_max(scored)["negcode"])
+    return df.select(
+        F.col(id_col),
+        F.when(v.isNotNull(), F.array(*codes)).alias("codes"),
+    )
+
+
+def _pq_encode_pandas(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Vectorized twin of the expr encoder: one (rows x k) squared-L2
+    matrix per subspace via numpy broadcasting; first-index argmin
+    matches the (score, -code) tie-break. NULL vectors -> NULL codes."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    C = np.asarray(codebooks, dtype=np.float64)  # (m, k, dsub)
+    m, _, dsub = C.shape
+    id_field = [f for f in df.schema.fields if f.name == id_col][0]
+    schema = StructType(
+        [id_field, StructField("codes", ArrayType(IntegerType()))]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = pdf[[id_col]].copy()
+            if len(pdf) == 0:
+                out["codes"] = []
+                yield out
+                continue
+            valid = pdf[vec_col].notna().to_numpy()
+            codes_col = [None] * len(pdf)
+            if valid.any():
+                M = np.array(pdf[vec_col][valid].tolist(), dtype=np.float64)
+                codes = np.empty((len(M), m), dtype=np.int32)
+                for s in range(m):
+                    Xs = M[:, s * dsub : (s + 1) * dsub]
+                    # argmin ||x - c||^2 == argmax dot - ||c||^2/2, computed
+                    # the same way as the expr path so ties agree exactly
+                    score = Xs @ C[s].T - (C[s] ** 2).sum(axis=1) / 2.0
+                    codes[:, s] = score.argmax(axis=1)
+                it = iter(codes.tolist())
+                codes_col = [next(it) if ok else None for ok in valid]
+            out["codes"] = codes_col
+            yield out
+
+    return df.select(id_col, vec_col).mapInPandas(run, schema)
+
+
+def sq_norm_lit(values: list[float]) -> float:
+    """Driver-side squared norm: left-to-right fold of squares, no sqrt —
+    the IEEE-double twin of the ``list_sum(list_transform(x, x*x))``
+    fragment, used wherever a ``||c||^2`` literal must match an oracle."""
+    acc = 0.0
+    for v in values:
+        fv = float(v)
+        acc = acc + fv * fv
+    return acc
+
+
+def pq_adc_tables(
+    codebooks: list[list[list[float]]], query_vec: list[float]
+) -> tuple[list[list[float]], list[list[float]], float]:
+    """ADC lookup tables for :func:`ann_topk_pq`: ``dotT[s][j]`` = dot of
+    the query's subspace-s slice with centroid j (left-to-right IEEE
+    fold), ``nrm2T[s][j]`` = that centroid's squared norm, plus the full
+    query norm. Exposed so oracle generators inline the IDENTICAL doubles
+    the operator uses — the whole ADC search is then bit-checkable."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    if len(query_vec) != m * dsub:
+        raise ValueError(f"query dim {len(query_vec)} != {m * dsub}")
+    dotT: list[list[float]] = []
+    nrm2T: list[list[float]] = []
+    for s, book in enumerate(codebooks):
+        q_s = [float(x) for x in query_vec[s * dsub : (s + 1) * dsub]]
+        drow, nrow = [], []
+        for c in book:
+            acc = 0.0
+            for a, b in zip(q_s, c):
+                acc = acc + a * float(b)
+            drow.append(acc)
+            nrow.append(sq_norm_lit(c))
+        dotT.append(drow)
+        nrm2T.append(nrow)
+    return dotT, nrm2T, norm_lit([float(x) for x in query_vec])
+
+
+def ann_topk_pq(
+    codes_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Top-k by asymmetric distance computation (ADC) over PQ codes —
+    the memory-bound 100 TB ANN shape: the index stores m small ints per
+    vector (32x smaller than float32 at m=8), and scoring is m literal
+    table lookups per row, no float vector ever read.
+
+    The score is the cosine between the query and the PQ RECONSTRUCTION:
+    ``sum_s dotT[s][code_s] / (|q| * sqrt(sum_s nrm2T[s][code_s]))``,
+    where both tables are driver-side pure functions of (query,
+    codebooks) — IEEE-double left-to-right folds identical in Python,
+    Catalyst, and DuckDB, so the inlined literals make the whole search
+    oracle-checkable. ``query_vec`` is a plain list for that reason (the
+    tables must exist at plan-build time, like the codebook literals).
+
+    Scale: scan + per-row constant-time lookups + TakeOrdered top-k
+    (map-side partial top-k, no global sort). Ties break to the lowest
+    id. Recall follows codebook quality — see PERF_ANN_RECALL.json's pq
+    rows; exact re-rank of the ADC top-N is the standard refinement.
+    """
+    dotT, nrm2T, qn = pq_adc_tables(codebooks, query_vec)
+    m = len(codebooks)
+    codes = F.col(codes_col)
+    dot_acc = F.lit(0.0)
+    nrm_acc = F.lit(0.0)
+    for s in range(m):
+        code1 = F.element_at(codes, s + 1) + F.lit(1)
+        dot_acc = dot_acc + F.element_at(
+            F.array(*[F.lit(x) for x in dotT[s]]), code1
+        )
+        nrm_acc = nrm_acc + F.element_at(
+            F.array(*[F.lit(x) for x in nrm2T[s]]), code1
+        )
+    score = dot_acc / (F.lit(qn) * F.sqrt(nrm_acc))
+    return (
+        codes_df.filter(codes.isNotNull())
+        .select(F.col(id_col), score.alias("adc_cos"))
+        .orderBy(F.desc("adc_cos"), F.asc(id_col))
+        .limit(k)
+    )

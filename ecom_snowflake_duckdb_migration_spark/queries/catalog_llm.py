@@ -3336,3 +3336,150 @@ def x120_density_prune(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     centroids = sim.make_centroids(dim=64, n_centroids=8, seed=42)
     return sim.density_prune(e, centroids, drop_frac_e6=250_000)
+
+
+_PQ_M, _PQ_K, _PQ_DIM = 4, 4, 64
+
+
+def _pq_dot_sql(vec: str, offset: int, c: list[float]) -> str:
+    """Subspace dot against a literal centroid — the exact cos_lit dot
+    fragment rebased onto a slice: left-to-right list_sum fold."""
+    dsub = len(c)
+    lst = "[" + ", ".join(repr(float(x)) for x in c) + "]"
+    return (
+        f"list_sum(list_transform(range(1, {dsub} + 1),"
+        f" i -> CAST({vec}[{offset} + i] AS DOUBLE) * ({lst})[i]))"
+    )
+
+
+def _pq_encode_fragment(books: list[list[list[float]]]) -> tuple[str, str]:
+    """(scored SELECT-list, per-subspace code exprs) shared by the x121
+    and x122 oracles: score_sj = dot(v_s, c_sj) - ||c_sj||^2/2 with the
+    squared norm inlined as the operator's own driver-side double, then
+    first-index argmax per subspace (= lowest code on ties, matching the
+    (score, -code) array_max)."""
+    dsub = len(books[0][0])
+    score_defs, code_exprs = [], []
+    for s, book in enumerate(books):
+        names = []
+        for j, c in enumerate(book):
+            half = repr(sim.sq_norm_lit(c) / 2.0)
+            score_defs.append(
+                f"{_pq_dot_sql('embedding', s * dsub, c)} - {half} AS s{s}_{j}"
+            )
+            names.append(f"s{s}_{j}")
+        best = f"greatest({', '.join(names)})"
+        case = "CASE " + " ".join(
+            f"WHEN {n} = {best} THEN {j}" for j, n in enumerate(names)
+        ) + " END"
+        code_exprs.append(case)
+    return ",\n               ".join(score_defs), code_exprs
+
+
+def _x121_oracle() -> str:
+    books = sim.make_pq_codebooks(_PQ_DIM, _PQ_M, _PQ_K, seed=42)
+    scores, codes = _pq_encode_fragment(books)
+    codes_str = " || '-' || ".join(f"CAST(c{s} AS VARCHAR)" for s in range(_PQ_M))
+    code_cols = ",\n               ".join(f"{e} AS c{s}" for s, e in enumerate(codes))
+    return f"""
+    WITH scored AS (
+        SELECT vec_id,
+               {scores}
+        FROM embeddings
+    ),
+    coded AS (
+        SELECT vec_id,
+               {code_cols}
+        FROM scored
+    )
+    SELECT vec_id, {codes_str} AS codes_str FROM coded
+    """
+
+
+@register(
+    "x121_pq_encode",
+    oracle=_x121_oracle(),
+    doc="Product-quantization encoding (Jégou et al. 2011; "
+    "operators.similarity.pq_encode): each vector compresses to m=4 "
+    "subspace codes — argmin-by-L2 against the seeded per-subspace "
+    "codebooks, computed as argmax of dot - ||c||^2/2 with first-index "
+    "ties, entirely scan-side literals (no shuffle, no Python at oracle "
+    "geometry; the numpy kernel auto-dispatches at m*k > 32 like the IVF "
+    "assigner). Codes emit as a joined string for the driver "
+    "canonicalizer. At m=8 production geometry the code column is 32x "
+    "smaller than the float32 vectors it replaces.",
+    tags=("LLM", "similarity", "ann"),
+)
+def x121_pq_encode(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    books = sim.make_pq_codebooks(_PQ_DIM, _PQ_M, _PQ_K, seed=42)
+    coded = sim.pq_encode(e, books, method="expr")
+    return coded.select(
+        "vec_id",
+        F.array_join(F.transform("codes", lambda c: c.cast("string")), "-").alias(
+            "codes_str"
+        ),
+    )
+
+
+def _x122_oracle(k: int, query_seed: int) -> str:
+    import numpy as np
+
+    books = sim.make_pq_codebooks(_PQ_DIM, _PQ_M, _PQ_K, seed=42)
+    q = np.random.RandomState(query_seed).standard_normal(_PQ_DIM).tolist()
+    dotT, nrm2T, qn = sim.pq_adc_tables(books, q)
+    scores, codes = _pq_encode_fragment(books)
+    code_cols = ",\n               ".join(f"{e} AS c{s}" for s, e in enumerate(codes))
+
+    def tbl(rows: list[float]) -> str:
+        return "[" + ", ".join(repr(v) for v in rows) + "]"
+
+    # CASTs keep every term DOUBLE: DuckDB parses bare decimal literals
+    # as DECIMAL, and decimal chain arithmetic drifts a ulp from the
+    # operator's double fold
+    dot_chain = "CAST(0.0 AS DOUBLE)"
+    nrm_chain = "CAST(0.0 AS DOUBLE)"
+    for s in range(_PQ_M):
+        dot_chain = f"({dot_chain} + CAST(({tbl(dotT[s])})[c{s} + 1] AS DOUBLE))"
+        nrm_chain = f"({nrm_chain} + CAST(({tbl(nrm2T[s])})[c{s} + 1] AS DOUBLE))"
+    return f"""
+    WITH scored AS (
+        SELECT vec_id,
+               {scores}
+        FROM embeddings
+    ),
+    coded AS (
+        SELECT vec_id,
+               {code_cols}
+        FROM scored
+    )
+    SELECT vec_id,
+           {dot_chain} / (CAST({qn!r} AS DOUBLE) * sqrt({nrm_chain})) AS adc_cos
+    FROM coded
+    ORDER BY adc_cos DESC, vec_id ASC
+    LIMIT {k}
+    """
+
+
+@register(
+    "x122_pq_topk",
+    oracle=_x122_oracle(k=10, query_seed=7),
+    doc="ADC top-k over PQ codes (operators.similarity.ann_topk_pq): "
+    "score = cosine(query, PQ reconstruction) via m literal table "
+    "lookups per row — the driver-side dot/norm tables are IEEE folds "
+    "shared with the oracle through pq_adc_tables, so every double is "
+    "bit-checked end to end. The memory-bound 100 TB ANN shape: the "
+    "scan reads only the m-int code column (never the float vectors), "
+    "and the top-k is a TakeOrdered map-side partial. Exact re-rank of "
+    "the ADC top-N is the standard refinement (compose with "
+    "ann_topk_bruteforce over the survivors).",
+    tags=("LLM", "similarity", "ann"),
+)
+def x122_pq_topk(spark, sf_dir):
+    import numpy as np
+
+    e = load(spark, sf_dir, "embeddings")
+    books = sim.make_pq_codebooks(_PQ_DIM, _PQ_M, _PQ_K, seed=42)
+    q = np.random.RandomState(7).standard_normal(_PQ_DIM).tolist()
+    coded = sim.pq_encode(e, books, method="expr")
+    return sim.ann_topk_pq(coded, books, q, k=10)

@@ -181,6 +181,55 @@ def main() -> int:
         print(f"store nprobe={nprobe}: recall@10={recall} probe={best:.3f}s",
               flush=True)
 
+    # PQ/ADC at the classic 64-bit geometry (m=8 subspaces x 256 codes =
+    # Jégou et al.'s IVFADC code budget): codebooks train driver-side on
+    # the full 20k sample, codes checkpoint once (the persisted code
+    # column a real deployment stores), and recall is measured both for
+    # raw ADC top-10 and for the standard exact re-rank of the ADC
+    # top-100 (numpy-side — the composition itself is pinned in pytest).
+    t0 = time.perf_counter()
+    books = sim.train_pq_codebooks(emb, m=8, k=256, sample_n=20000, seed=42)
+    pq_train_sec = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    coded = sim.pq_encode(emb, books, method="pandas").localCheckpoint(eager=True)
+    pq_encode_sec = round(time.perf_counter() - t0, 2)
+    print(f"pq trained {pq_train_sec}s encoded {pq_encode_sec}s", flush=True)
+    pq_direct = 0.0
+    pq_rerank = 0.0
+    pq_queries = 25  # each ADC probe is its own driver-table plan
+    for qi in ids[:pq_queries]:
+        qv = mat[ids == qi][0]
+        cand = [
+            r.vec_id
+            for r in sim.ann_topk_pq(coded, books, qv.tolist(), k=100).collect()
+        ]
+        pq_direct += len(set(cand[:k]) & truth[int(qi)]) / k
+        sub = np.isin(ids, cand)
+        cos = mat[sub] @ qv / (nrm[sub] * np.linalg.norm(qv))
+        order = np.lexsort((ids[sub], -cos))
+        rer = set(ids[sub][order][:k].tolist())
+        pq_rerank += len(rer & truth[int(qi)]) / k
+    qv0 = mat[0].tolist()
+    probe = sim.ann_topk_pq(coded, books, qv0, k=k)
+    probe.count()  # warm
+    best = None
+    for _ in range(5):
+        t0 = time.perf_counter()
+        sim.ann_topk_pq(coded, books, qv0, k=k).count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    pq = {
+        "m": 8, "k_codes": 256, "code_bits": 64,
+        "train_sec": pq_train_sec, "encode_sec": pq_encode_sec,
+        "n_queries": pq_queries,
+        "recall_at_10_adc": round(pq_direct / pq_queries, 4),
+        "recall_at_10_rerank100": round(pq_rerank / pq_queries, 4),
+        "probe_sec": round(best, 3),
+    }
+    print(f"pq: adc recall={pq['recall_at_10_adc']} "
+          f"rerank100={pq['recall_at_10_rerank100']} probe={best:.3f}s",
+          flush=True)
+
     out = {
         "sf_dir": sf_dir,
         "geometry": "10 seeded ~0.82-cosine perturbations per committed "
@@ -191,6 +240,7 @@ def main() -> int:
         "k": k, "sweep": sweep,
         "sweep_bigbatch_1000q": sweep_big,
         "store_write_sec": store_write_sec, "store_probe": store_probe,
+        "pq": pq,
         "timing": "probe_sec is min-of-5 warm collects (round-8's "
                   "single-sample timing made host interference read as "
                   "non-monotone probe cost)",

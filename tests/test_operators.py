@@ -2409,3 +2409,97 @@ def test_density_prune_floor_and_order(spark):
         for r in sim.density_prune(df, cents, drop_frac_e6=250_000).collect()
     }
     assert ranks == {2: 2, 3: 3, 4: 4, 5: 5}
+
+
+def test_pq_encode_expr_pandas_parity_and_nulls(spark, sf_dir):
+    """The literal-expression encoder and the numpy kernel emit identical
+    codes (same argmax-with-first-index-ties rule), and both give NULL
+    codes to NULL vectors."""
+    e = _emb(spark, sf_dir)
+    books = sim.make_pq_codebooks(64, 4, 4, seed=42)
+    expr = {r.vec_id: r.codes for r in sim.pq_encode(e, books, method="expr").collect()}
+    pand = {r.vec_id: r.codes for r in sim.pq_encode(e, books, method="pandas").collect()}
+    assert expr == pand and len(expr) > 0
+    assert all(len(c) == 4 and all(0 <= x < 4 for x in c) for c in expr.values())
+
+    withnull = spark.createDataFrame(
+        [(1, [0.0] * 64), (2, None)], "vec_id long, embedding array<double>"
+    )
+    for method in ("expr", "pandas"):
+        got = {r.vec_id: r.codes for r in sim.pq_encode(withnull, books, method=method).collect()}
+        assert got[2] is None, method
+        assert got[1] is not None, method  # zero vector encodes (L2 defined)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not divisible"):
+        sim.make_pq_codebooks(64, 5, 4)
+
+
+def test_pq_adc_matches_numpy_reference(spark):
+    """ADC scores equal the cosine between the query and the PQ
+    reconstruction, checked against a plain numpy evaluation."""
+    import numpy as np
+
+    rng = np.random.RandomState(8)
+    X = rng.standard_normal((30, 16))
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    books = sim.make_pq_codebooks(16, 4, 4, seed=9)
+    C = np.asarray(books)  # (4, 4, 4)
+    q = rng.standard_normal(16).tolist()
+    coded = sim.pq_encode(df, books, method="expr")
+    got = {r.vec_id: r.adc_cos for r in sim.ann_topk_pq(coded, books, q, k=30).collect()}
+
+    codes = np.empty((30, 4), dtype=int)
+    for s in range(4):
+        Xs = X[:, s * 4 : (s + 1) * 4]
+        d2 = ((Xs[:, None, :] - C[s][None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = d2.argmin(axis=1)
+    recon = np.concatenate([C[s][codes[:, s]] for s in range(4)], axis=1)
+    qv = np.asarray(q)
+    want = (recon @ qv) / (np.linalg.norm(qv) * np.linalg.norm(recon, axis=1))
+    for i in range(30):
+        assert abs(got[i] - want[i]) < 1e-9, i
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="query dim"):
+        sim.ann_topk_pq(coded, books, q[:8], k=5)
+
+
+def test_pq_trained_codebooks_beat_seeded_recall(spark, sf_dir):
+    """Data-adaptive PQ codebooks (per-subspace Lloyd on a bounded
+    sample) must recall clearly better than the seeded random codebooks
+    at the same code budget — and well above chance. Measured at m=8
+    k=16 on sf0.01: trained 0.40, seeded 0.08 (chance = 10/500 = 0.02);
+    floors set at half the measured gap."""
+    import numpy as np
+
+    e = _emb(spark, sf_dir)
+    vecs = {r.vec_id: list(r.embedding) for r in e.select("vec_id", "embedding").collect()}
+    if len(vecs) < 300:
+        import pytest as _pytest
+
+        _pytest.skip("recall geometry needs the sf0.01 embedding set")
+    trained = sim.train_pq_codebooks(e, m=8, k=16, sample_n=500, seed=1)
+    seeded = sim.make_pq_codebooks(64, 8, 16, seed=42)
+    rng = np.random.RandomState(3)
+    qids = rng.choice(sorted(vecs), 3, replace=False)
+    queries = [[v + 0.05 * rng.standard_normal() for v in vecs[q]] for q in qids]
+
+    def recall(books):
+        coded = sim.pq_encode(e, books, method="pandas")
+        total = 0.0
+        for q in queries:
+            qdf = spark.createDataFrame([(q,)], "qe array<double>")
+            exact = {r.vec_id for r in sim.ann_topk_bruteforce(e, qdf, k=10).collect()}
+            adc = {r.vec_id for r in sim.ann_topk_pq(coded, books, q, k=10).collect()}
+            total += len(exact & adc) / 10
+        return total / len(queries)
+
+    r_t, r_s = recall(trained), recall(seeded)
+    assert r_t >= 0.2, r_t
+    assert r_t > r_s, (r_t, r_s)
