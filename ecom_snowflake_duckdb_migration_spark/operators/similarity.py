@@ -1135,6 +1135,27 @@ def train_pq_codebooks(
     return books
 
 
+def pq_code_cols(v: Column, codebooks: list[list[list[float]]]) -> list[Column]:
+    """Per-subspace PQ code expressions (the expr encoder's core, shared
+    with :func:`ivfadc_knn_join`'s item side): argmax of
+    ``dot(v_s, c) - ||c||^2/2`` with (score, -code) array_max ties."""
+    dsub = len(codebooks[0][0])
+    codes = []
+    for s, book in enumerate(codebooks):
+        sub = F.slice(v, s * dsub + 1, dsub)
+        scored = F.array(
+            *[
+                F.struct(
+                    (dot_lit(sub, c) - F.lit(sq_norm_lit(c) / 2.0)).alias("score"),
+                    F.lit(-j).alias("negcode"),
+                )
+                for j, c in enumerate(book)
+            ]
+        )
+        codes.append(F.lit(0) - F.array_max(scored)["negcode"])
+    return codes
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -1162,21 +1183,8 @@ def pq_encode(
         method = "pandas" if m * k > 32 else "expr"
     if method == "pandas":
         return _pq_encode_pandas(df, codebooks, vec_col, id_col)
-    dsub = len(codebooks[0][0])
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    codes = []
-    for s, book in enumerate(codebooks):
-        sub = F.slice(v, s * dsub + 1, dsub)
-        scored = F.array(
-            *[
-                F.struct(
-                    (dot_lit(sub, c) - F.lit(sq_norm_lit(c) / 2.0)).alias("score"),
-                    F.lit(-j).alias("negcode"),
-                )
-                for j, c in enumerate(book)
-            ]
-        )
-        codes.append(F.lit(0) - F.array_max(scored)["negcode"])
+    codes = pq_code_cols(v, codebooks)
     return df.select(
         F.col(id_col),
         F.when(v.isNotNull(), F.array(*codes)).alias("codes"),
@@ -1312,4 +1320,259 @@ def ann_topk_pq(
         .select(F.col(id_col), score.alias("adc_cos"))
         .orderBy(F.desc("adc_cos"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def ivfadc_knn_join(
+    items: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_vec_col: str = "qe",
+    query_id_col: str = "q_id",
+    method: str = "auto",
+) -> DataFrame:
+    """IVFADC batch search (Jégou et al. 2011 §IV — the paper's full
+    system): the coarse IVF codebook prunes the scan to ``nprobe`` cells
+    per query, and within them items are scored by ADC over their PQ
+    codes — m table lookups per pair instead of a dim-length dot, with
+    the float vectors never read on the item side.
+
+    Returns ``(query_id_col, id_col, adc_cos, rnk)``, ``rnk`` 1..k per
+    query by descending ADC cosine (cosine of the query against the PQ
+    reconstruction), item-id ascending ties.
+
+    Scale shape: item side is ``(id, cell, codes, rnorm2)`` — the
+    persisted form of a production index, 1 + m small ints + a double
+    per vector; ``rnorm2`` (reconstruction squared norm) is
+    query-independent, paid once at encode time. Queries explode to
+    (q_id, cell) exactly like :func:`knn_join` and carry their m*k ADC
+    dot table as one array column, computed once per query row; the
+    per-pair expression is a fold of m ``element_at`` lookups. The join
+    is the same cell equi-join, so bucketed-by-cell item storage makes
+    it exchange-free.
+
+    ``method`` follows :func:`knn_join`: 'expr' keeps everything as
+    literal-codebook Catalyst expressions (DuckDB-twinnable end to end —
+    the x123 oracle); 'pandas'/'auto' (>16 cells or m*k > 32) computes
+    cells, codes, and tables in Arrow/numpy kernels, pinned against the
+    expr path and against per-query :func:`ann_topk_pq` in pytest.
+    NULL/zero-norm queries emit no candidates; NULL-vector items are
+    excluded (no codes).
+    """
+    from pyspark.sql import Window
+
+    m, kc = len(codebooks), len(codebooks[0])
+    if method == "auto":
+        method = (
+            "pandas" if (len(centroids) > 16 or m * kc > 32) else "expr"
+        )
+    nrm2T = [[sq_norm_lit(c) for c in book] for book in codebooks]
+
+    if method == "expr":
+        v = F.col(vec_col)
+        codes = F.array(*pq_code_cols(v, codebooks))
+        rnorm2 = F.lit(0.0)
+        code_cols = pq_code_cols(v, codebooks)
+        for s in range(m):
+            rnorm2 = rnorm2 + F.element_at(
+                F.array(*[F.lit(x) for x in nrm2T[s]]), code_cols[s] + 1
+            )
+        item_side = items.select(
+            F.col(id_col),
+            assign_cell(v, centroids).alias("cell"),
+            F.when(v.isNotNull(), codes).alias("codes"),
+            rnorm2.alias("_rn2"),
+        ).filter(F.col("codes").isNotNull() & F.col("cell").isNotNull())
+
+        dsub = len(codebooks[0][0])
+        qv = F.col(query_vec_col)
+        dott = F.array(
+            *[
+                dot_lit(F.slice(qv, s * dsub + 1, dsub), c)
+                for s, book in enumerate(codebooks)
+                for c in book
+            ]
+        )
+        q_aug = queries.select(
+            F.col(query_id_col),
+            norm(query_vec_col, m * dsub).alias("_qn"),
+            dott.alias("_dott"),
+            qv.alias(query_vec_col),
+        )
+        qn_col = F.col("_qn")
+        sims = F.array(
+            *[
+                F.struct(
+                    cosine_lit(query_vec_col, c, qn_col).alias("sim"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        probe = F.slice(F.reverse(F.array_sort(sims)), 1, nprobe)
+        qcells = q_aug.select(
+            query_id_col,
+            "_qn",
+            "_dott",
+            F.explode(F.transform(probe, lambda s: s["cell"])).alias("cell"),
+        ).filter(F.col("_qn") > 0)
+    else:
+        item_side = _ivfadc_items_pandas(
+            items, centroids, codebooks, vec_col, id_col
+        )
+        qcells = _ivfadc_queries_pandas(
+            queries, centroids, codebooks, nprobe, query_vec_col, query_id_col
+        )
+
+    adc = F.lit(0.0)
+    for s in range(m):
+        adc = adc + F.element_at(
+            F.col("_dott"), F.lit(s * kc) + F.element_at("codes", s + 1) + 1
+        )
+    score = adc / (F.col("_qn") * F.sqrt(F.col("_rn2")))
+    scored = qcells.join(item_side, "cell").select(
+        query_id_col, F.col(id_col), score.alias("adc_cos")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("adc_cos"), F.asc(id_col)
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
+
+
+def _ivfadc_items_pandas(
+    items: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Arrow/numpy item side of IVFADC: one pass computes the IVF cell
+    (argmax cosine, NULL for NULL/zero-norm vectors — dropped), the PQ
+    codes (per-subspace L2 argmin), and the reconstruction squared norm."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = np.linalg.norm(C, axis=1)
+    B = np.asarray(codebooks, dtype=np.float64)  # (m, k, dsub)
+    m, _, dsub = B.shape
+    Bn2 = (B ** 2).sum(axis=2)  # (m, k)
+    id_field = [f for f in items.schema.fields if f.name == id_col][0]
+    schema = StructType(
+        [
+            id_field,
+            StructField("cell", IntegerType()),
+            StructField("codes", ArrayType(IntegerType())),
+            StructField("_rn2", DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            valid = pdf[vec_col].notna().to_numpy()
+            if not valid.any():
+                continue
+            sub = pdf[valid]
+            M = np.array(sub[vec_col].tolist(), dtype=np.float64)
+            Mn = np.linalg.norm(M, axis=1)
+            nz = Mn > 0.0
+            if not nz.any():
+                continue
+            M = M[nz]
+            out = sub[nz][[id_col]].copy()
+            sims = (M @ C.T) / np.outer(Mn[nz], Cn)
+            out["cell"] = sims.argmax(axis=1).astype("int32")
+            codes = np.empty((len(M), m), dtype=np.int64)
+            rn2 = np.zeros(len(M))
+            for s in range(m):
+                Xs = M[:, s * dsub : (s + 1) * dsub]
+                sc = Xs @ B[s].T - Bn2[s] / 2.0
+                codes[:, s] = sc.argmax(axis=1)
+                rn2 += Bn2[s][codes[:, s]]
+            out["codes"] = codes.tolist()
+            out["_rn2"] = rn2
+            yield out
+
+    return items.select(id_col, vec_col).mapInPandas(run, schema)
+
+
+def _ivfadc_queries_pandas(
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    nprobe: int,
+    query_vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Arrow/numpy query side of IVFADC: probe cells (top-nprobe by
+    cosine, lowest-cell ties like _probe_cells_pandas) plus the flat
+    m*k ADC dot table and the query norm, one kernel, then explode."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = np.linalg.norm(C, axis=1)
+    B = np.asarray(codebooks, dtype=np.float64)
+    m, kc, dsub = B.shape
+    id_field = [f for f in queries.schema.fields if f.name == query_id_col][0]
+    schema = StructType(
+        [
+            id_field,
+            StructField("_qn", DoubleType()),
+            StructField("_dott", ArrayType(DoubleType())),
+            StructField("_cells", ArrayType(IntegerType())),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            valid = pdf[query_vec_col].notna().to_numpy()
+            if not valid.any():
+                continue
+            sub = pdf[valid]
+            Q = np.array(sub[query_vec_col].tolist(), dtype=np.float64)
+            Qn = np.linalg.norm(Q, axis=1)
+            nz = Qn > 0.0
+            if not nz.any():
+                continue
+            Q = Q[nz]
+            out = sub[nz][[query_id_col]].copy()
+            out["_qn"] = Qn[nz]
+            sims = (Q @ C.T) / np.outer(Qn[nz], Cn)
+            # top-nprobe, sim desc, cell asc ties (argsort is stable)
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            out["_cells"] = order.astype("int32").tolist()
+            dott = np.concatenate(
+                [Q[:, s * dsub : (s + 1) * dsub] @ B[s].T for s in range(m)],
+                axis=1,
+            )  # (nq, m*k)
+            out["_dott"] = dott.tolist()
+            yield out
+
+    tabbed = queries.select(query_id_col, query_vec_col).mapInPandas(run, schema)
+    return tabbed.select(
+        query_id_col, "_qn", "_dott", F.explode("_cells").alias("cell")
     )

@@ -3342,14 +3342,20 @@ _PQ_M, _PQ_K, _PQ_DIM = 4, 4, 64
 
 
 def _pq_dot_sql(vec: str, offset: int, c: list[float]) -> str:
-    """Subspace dot against a literal centroid — the exact cos_lit dot
-    fragment rebased onto a slice: left-to-right list_sum fold."""
-    dsub = len(c)
-    lst = "[" + ", ".join(repr(float(x)) for x in c) + "]"
-    return (
-        f"list_sum(list_transform(range(1, {dsub} + 1),"
-        f" i -> CAST({vec}[{offset} + i] AS DOUBLE) * ({lst})[i]))"
-    )
+    """Subspace dot against a literal centroid as an EXPLICIT left-assoc
+    chain: DuckDB's list_sum matches Spark's left-to-right fold on
+    64-element lists (every cos_lit oracle pins that) but NOT on short
+    sub-vector lists — measured a 1-ulp divergence at 16 elements — so
+    sub-byte folds spell the sequence out."""
+    terms = "CAST(0.0 AS DOUBLE)"
+    for i, x in enumerate(c):
+        # string-parse the literal: DuckDB's DECIMAL->DOUBLE cast is off
+        # by an ulp for some 17-digit values; '...'::DOUBLE is exact
+        terms = (
+            f"({terms} + CAST({vec}[{offset + i + 1}] AS DOUBLE)"
+            f" * CAST('{float(x)!r}' AS DOUBLE))"
+        )
+    return terms
 
 
 def _pq_encode_fragment(books: list[list[list[float]]]) -> tuple[str, str]:
@@ -3365,7 +3371,8 @@ def _pq_encode_fragment(books: list[list[list[float]]]) -> tuple[str, str]:
         for j, c in enumerate(book):
             half = repr(sim.sq_norm_lit(c) / 2.0)
             score_defs.append(
-                f"{_pq_dot_sql('embedding', s * dsub, c)} - {half} AS s{s}_{j}"
+                f"{_pq_dot_sql('embedding', s * dsub, c)}"
+                f" - CAST('{half}' AS DOUBLE) AS s{s}_{j}"
             )
             names.append(f"s{s}_{j}")
         best = f"greatest({', '.join(names)})"
@@ -3432,7 +3439,8 @@ def _x122_oracle(k: int, query_seed: int) -> str:
     code_cols = ",\n               ".join(f"{e} AS c{s}" for s, e in enumerate(codes))
 
     def tbl(rows: list[float]) -> str:
-        return "[" + ", ".join(repr(v) for v in rows) + "]"
+        # DOUBLE[] via string parses (exact; see _pq_dot_sql)
+        return "[" + ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in rows) + "]"
 
     # CASTs keep every term DOUBLE: DuckDB parses bare decimal literals
     # as DECIMAL, and decimal chain arithmetic drifts a ulp from the
@@ -3454,7 +3462,7 @@ def _x122_oracle(k: int, query_seed: int) -> str:
         FROM scored
     )
     SELECT vec_id,
-           {dot_chain} / (CAST({qn!r} AS DOUBLE) * sqrt({nrm_chain})) AS adc_cos
+           {dot_chain} / (CAST('{qn!r}' AS DOUBLE) * sqrt({nrm_chain})) AS adc_cos
     FROM coded
     ORDER BY adc_cos DESC, vec_id ASC
     LIMIT {k}
@@ -3483,3 +3491,147 @@ def x122_pq_topk(spark, sf_dir):
     q = np.random.RandomState(7).standard_normal(_PQ_DIM).tolist()
     coded = sim.pq_encode(e, books, method="expr")
     return sim.ann_topk_pq(coded, books, q, k=10)
+
+
+def _x123_oracle(
+    k: int, dim: int, n_centroids: int, nprobe: int, n_queries: int
+) -> str:
+    """DuckDB twin of ivfadc_knn_join(method='expr'): x82's coarse-cell
+    assignment + probe fragments, x121's PQ-encode fragment on the item
+    side plus a reconstruction-norm chain of CAST-to-DOUBLE literal
+    lookups, and per-query ADC dot tables as computed columns — the
+    lookup indexes into a list_value of those columns by code. Every
+    double is the same left-to-right fold the operator inlines."""
+    cents = sim.make_centroids(dim, n_centroids, seed=42)
+    books = sim.make_pq_codebooks(dim, _PQ_M, _PQ_K, seed=42)
+    dsub = dim // _PQ_M
+
+    def clist(c: list[float]) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in c) + "]"
+
+    def cos_lit(vec: str, c: list[float]) -> str:
+        lst = clist(c)
+        dot = (
+            f"list_sum(list_transform(range(1, len({vec}) + 1),"
+            f" i -> CAST({vec}[i] AS DOUBLE) * ({lst})[i]))"
+        )
+        nv = f"sqrt(list_sum(list_transform({vec}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        nc = f"sqrt(list_sum(list_transform({lst}, x -> x * x)))"
+        return f"({dot} / ({nv} * {nc}))"
+
+    cell_sims = ",\n               ".join(
+        f"{cos_lit('embedding', c)} AS cs{i}" for i, c in enumerate(cents)
+    )
+    all_cs = ", ".join(f"cs{i}" for i in range(n_centroids))
+    cell_argmax = "CASE " + " ".join(
+        f"WHEN cs{i} = best THEN {i}" for i in range(n_centroids)
+    ) + " END"
+    pq_scores, pq_codes = _pq_encode_fragment(books)
+    code_cols = ",\n               ".join(
+        f"{e} AS c{s}" for s, e in enumerate(pq_codes)
+    )
+    rn2 = "CAST(0.0 AS DOUBLE)"
+    for s, book in enumerate(books):
+        lst = "[" + ", ".join(
+            f"CAST('{sim.sq_norm_lit(c)!r}' AS DOUBLE)" for c in book
+        ) + "]"
+        rn2 = f"({rn2} + ({lst})[c{s} + 1])"
+    probe_union = "\n            UNION ALL ".join(
+        f"SELECT q_id, {i} AS cell, cs{i} AS sim FROM qsims"
+        for i in range(n_centroids)
+    )
+    q_dott = ",\n               ".join(
+        f"{_pq_dot_sql('qe', s * dsub, c)} AS d{s}_{j}"
+        for s, book in enumerate(books)
+        for j, c in enumerate(book)
+    )
+    qnorm = "sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    adc = "CAST(0.0 AS DOUBLE)"
+    for s in range(_PQ_M):
+        lv = ", ".join(f"q.d{s}_{j}" for j in range(_PQ_K))
+        adc = f"({adc} + ([{lv}])[a.c{s} + 1])"
+    return f"""
+    WITH cellscored AS (
+        SELECT vec_id, embedding,
+               {cell_sims}
+        FROM embeddings
+    ),
+    celled AS (
+        SELECT vec_id, embedding, {cell_argmax} AS cell
+        FROM (SELECT *, greatest({all_cs}) AS best FROM cellscored)
+    ),
+    pqscored AS (
+        SELECT vec_id,
+               {pq_scores}
+        FROM embeddings
+    ),
+    items AS (
+        SELECT c.vec_id, c.cell,
+               {code_cols}
+        FROM celled c JOIN pqscored USING (vec_id)
+    ),
+    items_rn AS (
+        SELECT *, {rn2} AS rn2 FROM items
+    ),
+    qsims AS (
+        SELECT vec_id AS q_id, embedding AS qe,
+               {cell_sims.replace('embedding', 'embedding')}
+        FROM embeddings WHERE vec_id < {n_queries}
+    ),
+    qcells AS (
+        SELECT q_id, cell FROM (
+            SELECT q_id, cell, sim,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY sim DESC, cell DESC) AS rn
+            FROM ({probe_union})
+        ) WHERE rn <= {nprobe}
+    ),
+    qtab AS (
+        SELECT vec_id AS q_id, {qnorm} AS qn,
+               {q_dott}
+        FROM (SELECT vec_id, embedding AS qe FROM embeddings
+              WHERE vec_id < {n_queries})
+    ),
+    cand AS (
+        SELECT q.q_id, a.vec_id,
+               {adc} / (q.qn * sqrt(a.rn2)) AS adc_cos
+        FROM qcells pc
+        JOIN qtab q ON q.q_id = pc.q_id
+        JOIN items_rn a ON a.cell = pc.cell
+    )
+    SELECT q_id, vec_id, adc_cos, CAST(rnk AS INT) AS rnk FROM (
+        SELECT q_id, vec_id, adc_cos,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY adc_cos DESC, vec_id ASC) AS rnk
+        FROM cand
+    ) WHERE rnk <= {k}
+    """
+
+
+@register(
+    "x123_ivfadc_knn",
+    oracle=_x123_oracle(k=5, dim=64, n_centroids=8, nprobe=4, n_queries=5),
+    doc="IVFADC batch search (Jégou et al. 2011 §IV; "
+    "operators.similarity.ivfadc_knn_join): the paper's full system — "
+    "coarse IVF cells prune each query's scan to nprobe cells, and "
+    "candidates score by ADC over their PQ codes: m element_at lookups "
+    "into the query's inlined dot table instead of a 64-term dot, with "
+    "item float vectors never read past encode time. Item side is the "
+    "production index shape (id, cell, m codes, reconstruction norm); "
+    "queries explode to (q_id, cell) and meet it in the same cell "
+    "equi-join as x82, so bucketed-by-cell storage keeps it "
+    "exchange-free. Seeded codebooks make index, probe, tables, and "
+    "ranking oracle-checked end to end; the numpy twin (auto above 16 "
+    "cells / 32 codes) is pinned to this path in pytest.",
+    tags=("LLM", "similarity", "knn", "ann"),
+)
+def x123_ivfadc_knn(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    cents = sim.make_centroids(dim=_PQ_DIM, n_centroids=8, seed=42)
+    books = sim.make_pq_codebooks(_PQ_DIM, _PQ_M, _PQ_K, seed=42)
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    return sim.ivfadc_knn_join(
+        e, queries, cents, books, k=5, nprobe=4, method="expr"
+    )

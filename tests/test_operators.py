@@ -2503,3 +2503,74 @@ def test_pq_trained_codebooks_beat_seeded_recall(spark, sf_dir):
     r_t, r_s = recall(trained), recall(seeded)
     assert r_t >= 0.2, r_t
     assert r_t > r_s, (r_t, r_s)
+
+
+def test_ivfadc_full_probe_equals_exhaustive_adc(spark, sf_dir):
+    """With nprobe = n_cells the IVFADC join must reproduce per-query
+    exhaustive ADC (ann_topk_pq over pq_encode) exactly — same ids,
+    same ranks, bit-same scores."""
+    e = _emb(spark, sf_dir)
+    cents = sim.make_centroids(64, 8, seed=42)
+    books = sim.make_pq_codebooks(64, 4, 4, seed=42)
+    queries = e.filter("vec_id < 3").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    got = {}
+    for r in sim.ivfadc_knn_join(
+        e, queries, cents, books, k=5, nprobe=8, method="expr"
+    ).collect():
+        got.setdefault(r.q_id, []).append((r.rnk, r.vec_id, r.adc_cos))
+    coded = sim.pq_encode(e, books, method="expr")
+    for r in queries.collect():
+        want = [
+            (i + 1, t.vec_id, t.adc_cos)
+            for i, t in enumerate(
+                sim.ann_topk_pq(coded, books, list(r.qe), k=5).collect()
+            )
+        ]
+        assert sorted(got[r.q_id]) == want, r.q_id
+
+
+def test_ivfadc_pandas_matches_expr(spark, sf_dir):
+    """The Arrow/numpy IVFADC twin returns the same ids/ranks and scores
+    to 1e-9 (numpy table dots are not left-to-right folds)."""
+    e = _emb(spark, sf_dir)
+    cents = sim.make_centroids(64, 8, seed=42)
+    books = sim.make_pq_codebooks(64, 4, 4, seed=42)
+    queries = e.filter("vec_id < 3").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    def rows(method):
+        out = {}
+        for r in sim.ivfadc_knn_join(
+            e, queries, cents, books, k=5, nprobe=4, method=method
+        ).collect():
+            out.setdefault(r.q_id, []).append((r.rnk, r.vec_id, r.adc_cos))
+        return out
+    ge, gp = rows("expr"), rows("pandas")
+    assert set(ge) == set(gp)
+    for q in ge:
+        for (re_, ve, se), (rp, vp, sp) in zip(sorted(ge[q]), sorted(gp[q])):
+            assert (re_, ve) == (rp, vp)
+            assert abs(se - sp) < 1e-9
+
+
+def test_ivfadc_degenerate_queries_and_items(spark):
+    """NULL/zero-norm queries emit no candidates; NULL-vector items are
+    excluded — in BOTH methods."""
+    cents = sim.make_centroids(4, 2, seed=1)
+    books = sim.make_pq_codebooks(4, 2, 2, seed=2)
+    items = spark.createDataFrame(
+        [(1, [1.0, 0.5, 0.2, 0.1]), (2, None), (3, [0.3, 0.9, 0.4, 0.2])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(10, [1.0, 0.4, 0.3, 0.2]), (11, None), (12, [0.0, 0.0, 0.0, 0.0])],
+        "q_id long, qe array<double>",
+    )
+    for method in ("expr", "pandas"):
+        rows = sim.ivfadc_knn_join(
+            items, queries, cents, books, k=5, nprobe=2, method=method
+        ).collect()
+        assert {r.q_id for r in rows} == {10}, method
+        assert {r.vec_id for r in rows} == {1, 3}, method
