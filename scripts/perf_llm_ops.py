@@ -135,6 +135,22 @@ def main() -> int:
             docs.filter(F.col("doc_id") % 7 != 0),
             docs.filter(F.col("doc_id") % 11 != 3),
         ),
+        "segment_frequency_filter": lambda: tx.segment_frequency_filter(
+            docs, seg_words=8, max_occurrences=1
+        ),
+        "unicode_nfc": lambda: tx.unicode_normalize(docs, form="NFC"),
+        "density_prune": lambda: sim.density_prune(
+            emb, cents, drop_frac_e6=250_000
+        ),
+        "pq_encode": lambda: sim.pq_encode(
+            emb, sim.make_pq_codebooks(64, 8, 16, seed=42)
+        ),
+        "pq_topk": lambda: sim.ann_topk_pq(
+            sim.pq_encode(emb, sim.make_pq_codebooks(64, 8, 16, seed=42)),
+            sim.make_pq_codebooks(64, 8, 16, seed=42),
+            sim.make_centroids(64, 1, seed=7)[0],
+            k=10,
+        ),
     }
     results = {}
     if mode == "crossover":
