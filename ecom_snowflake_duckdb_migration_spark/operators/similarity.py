@@ -1364,71 +1364,118 @@ def ivfadc_knn_join(
     NULL/zero-norm queries emit no candidates; NULL-vector items are
     excluded (no codes).
     """
+    method = _ivfadc_method(method, centroids, codebooks)
+    item_side = _ivfadc_item_side(items, centroids, codebooks, vec_col, id_col, method)
+    qcells = _ivfadc_query_cells(
+        queries, centroids, codebooks, nprobe, query_vec_col, query_id_col, method
+    )
+    return _ivfadc_score_topk(qcells, item_side, codebooks, k, id_col, query_id_col)
+
+
+def _ivfadc_method(
+    method: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+) -> str:
+    if method == "auto":
+        m, kc = len(codebooks), len(codebooks[0])
+        return "pandas" if (len(centroids) > 16 or m * kc > 32) else "expr"
+    return method
+
+
+def _ivfadc_item_side(
+    items: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    vec_col: str,
+    id_col: str,
+    method: str,
+) -> DataFrame:
+    """The persisted index shape ``(id, cell, codes, _rn2)`` — shared by
+    :func:`ivfadc_knn_join` and :func:`write_ivfadc_store`."""
+    if method != "expr":
+        return _ivfadc_items_pandas(items, centroids, codebooks, vec_col, id_col)
+    m = len(codebooks)
+    nrm2T = [[sq_norm_lit(c) for c in book] for book in codebooks]
+    v = F.col(vec_col)
+    codes = F.array(*pq_code_cols(v, codebooks))
+    rnorm2 = F.lit(0.0)
+    code_cols = pq_code_cols(v, codebooks)
+    for s in range(m):
+        rnorm2 = rnorm2 + F.element_at(
+            F.array(*[F.lit(x) for x in nrm2T[s]]), code_cols[s] + 1
+        )
+    return items.select(
+        F.col(id_col),
+        assign_cell(v, centroids).alias("cell"),
+        F.when(v.isNotNull(), codes).alias("codes"),
+        rnorm2.alias("_rn2"),
+    ).filter(F.col("codes").isNotNull() & F.col("cell").isNotNull())
+
+
+def _ivfadc_query_cells(
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    nprobe: int,
+    query_vec_col: str,
+    query_id_col: str,
+    method: str,
+) -> DataFrame:
+    """The (q_id, _qn, _dott, cell) probe frame — one row per (query,
+    probed cell), the ADC dot table computed once per query row."""
+    if method != "expr":
+        return _ivfadc_queries_pandas(
+            queries, centroids, codebooks, nprobe, query_vec_col, query_id_col
+        )
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    qv = F.col(query_vec_col)
+    dott = F.array(
+        *[
+            dot_lit(F.slice(qv, s * dsub + 1, dsub), c)
+            for s, book in enumerate(codebooks)
+            for c in book
+        ]
+    )
+    q_aug = queries.select(
+        F.col(query_id_col),
+        norm(query_vec_col, m * dsub).alias("_qn"),
+        dott.alias("_dott"),
+        qv.alias(query_vec_col),
+    )
+    qn_col = F.col("_qn")
+    sims = F.array(
+        *[
+            F.struct(
+                cosine_lit(query_vec_col, c, qn_col).alias("sim"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probe = F.slice(F.reverse(F.array_sort(sims)), 1, nprobe)
+    return q_aug.select(
+        query_id_col,
+        "_qn",
+        "_dott",
+        F.explode(F.transform(probe, lambda s: s["cell"])).alias("cell"),
+    ).filter(F.col("_qn") > 0)
+
+
+def _ivfadc_score_topk(
+    qcells: DataFrame,
+    item_side: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Cell equi-join + per-pair ADC fold (m element_at lookups into the
+    query's table) + per-query top-k window."""
     from pyspark.sql import Window
 
     m, kc = len(codebooks), len(codebooks[0])
-    if method == "auto":
-        method = (
-            "pandas" if (len(centroids) > 16 or m * kc > 32) else "expr"
-        )
-    nrm2T = [[sq_norm_lit(c) for c in book] for book in codebooks]
-
-    if method == "expr":
-        v = F.col(vec_col)
-        codes = F.array(*pq_code_cols(v, codebooks))
-        rnorm2 = F.lit(0.0)
-        code_cols = pq_code_cols(v, codebooks)
-        for s in range(m):
-            rnorm2 = rnorm2 + F.element_at(
-                F.array(*[F.lit(x) for x in nrm2T[s]]), code_cols[s] + 1
-            )
-        item_side = items.select(
-            F.col(id_col),
-            assign_cell(v, centroids).alias("cell"),
-            F.when(v.isNotNull(), codes).alias("codes"),
-            rnorm2.alias("_rn2"),
-        ).filter(F.col("codes").isNotNull() & F.col("cell").isNotNull())
-
-        dsub = len(codebooks[0][0])
-        qv = F.col(query_vec_col)
-        dott = F.array(
-            *[
-                dot_lit(F.slice(qv, s * dsub + 1, dsub), c)
-                for s, book in enumerate(codebooks)
-                for c in book
-            ]
-        )
-        q_aug = queries.select(
-            F.col(query_id_col),
-            norm(query_vec_col, m * dsub).alias("_qn"),
-            dott.alias("_dott"),
-            qv.alias(query_vec_col),
-        )
-        qn_col = F.col("_qn")
-        sims = F.array(
-            *[
-                F.struct(
-                    cosine_lit(query_vec_col, c, qn_col).alias("sim"),
-                    F.lit(i).alias("cell"),
-                )
-                for i, c in enumerate(centroids)
-            ]
-        )
-        probe = F.slice(F.reverse(F.array_sort(sims)), 1, nprobe)
-        qcells = q_aug.select(
-            query_id_col,
-            "_qn",
-            "_dott",
-            F.explode(F.transform(probe, lambda s: s["cell"])).alias("cell"),
-        ).filter(F.col("_qn") > 0)
-    else:
-        item_side = _ivfadc_items_pandas(
-            items, centroids, codebooks, vec_col, id_col
-        )
-        qcells = _ivfadc_queries_pandas(
-            queries, centroids, codebooks, nprobe, query_vec_col, query_id_col
-        )
-
     adc = F.lit(0.0)
     for s in range(m):
         adc = adc + F.element_at(
@@ -1444,6 +1491,70 @@ def ivfadc_knn_join(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= k
     )
+
+
+def write_ivfadc_store(
+    df: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    method: str = "auto",
+) -> None:
+    """Persist the IVFADC index PHYSICALLY PARTITIONED by cell: each row
+    is ``(id, codes, rn2)`` — m small ints and a double, the float
+    vectors gone entirely — under its cell directory, so probes combine
+    PARTITION PRUNING (only nprobe directories scanned) with ADC's
+    constant-per-pair scoring. This is the at-rest 100 TB ANN layout:
+    a 64-dim float32 corpus shrinks ~32x on disk at m=8, and the scan
+    cost of a probe is nprobe/n_cells of THAT. Same clustered-write
+    discipline as :func:`write_ivf_store` (one file per cell, not
+    n_tasks slivers); NULL-vector rows are unsearchable and excluded."""
+    method = _ivfadc_method(method, centroids, codebooks)
+    item_side = _ivfadc_item_side(df, centroids, codebooks, vec_col, id_col, method)
+    (
+        item_side.withColumnRenamed("_rn2", "rn2")
+        .repartition(F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def probe_ivfadc_store(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    query_vec_col: str = "qe",
+    query_id_col: str = "q_id",
+    method: str = "auto",
+) -> DataFrame:
+    """Batch ADC probe against a :func:`write_ivfadc_store` layout with
+    static partition pruning, exactly like :func:`probe_ivf_store`: the
+    batch's probe-cell union is collected driver-side (bounded by
+    ``n_centroids`` ints) and pushed as an ``isin`` partition filter.
+    The probe reads only the probed cells' code columns — never a float
+    vector — and pays the query-side table expressions, the pruned scan,
+    one equi-join, and the top-k window."""
+    method = _ivfadc_method(method, centroids, codebooks)
+    qcells = _ivfadc_query_cells(
+        queries, centroids, codebooks, nprobe, query_vec_col, query_id_col, method
+    ).localCheckpoint(eager=False)
+    cells = sorted(r["cell"] for r in qcells.select("cell").distinct().collect())
+    store = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    item_side = store.select(
+        F.col(id_col),
+        F.col("codes"),
+        F.col("rn2").alias("_rn2"),
+        F.col("cell").cast("int").alias("cell"),
+    )
+    return _ivfadc_score_topk(qcells, item_side, codebooks, k, id_col, query_id_col)
 
 
 def _ivfadc_items_pandas(

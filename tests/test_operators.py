@@ -2574,3 +2574,53 @@ def test_ivfadc_degenerate_queries_and_items(spark):
         ).collect()
         assert {r.q_id for r in rows} == {10}, method
         assert {r.vec_id for r in rows} == {1, 3}, method
+
+
+def test_probe_ivfadc_store_matches_join_and_prunes(spark, sf_dir, tmp_path):
+    """The at-rest IVFADC index (write_ivfadc_store -> probe_ivfadc_store)
+    must return EXACTLY ivfadc_knn_join's top-k on the same data, and the
+    probed scan must physically touch only the probed cells' directories
+    — with the store carrying only (id, codes, rn2): no float vector
+    survives encode."""
+    import re
+
+    e = _emb(spark, sf_dir)
+    centroids = sim.make_centroids(dim=64, n_centroids=8, seed=42)
+    books = sim.make_pq_codebooks(64, 4, 4, seed=42)
+    path = str(tmp_path / "ivfadc_store")
+    sim.write_ivfadc_store(e, centroids, books, path)
+    stored = spark.read.parquet(path)
+    assert set(stored.columns) == {"vec_id", "codes", "rn2", "cell"}
+
+    qs = e.limit(10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    for method in ("expr", "pandas"):
+        want = {
+            (r.q_id, r.vec_id, r.rnk)
+            for r in sim.ivfadc_knn_join(
+                e, qs, centroids, books, k=5, nprobe=3, method=method
+            ).collect()
+        }
+        got_df = sim.probe_ivfadc_store(
+            spark, path, qs, centroids, books, k=5, nprobe=3, method=method
+        )
+        got = {(r.q_id, r.vec_id, r.rnk) for r in got_df.collect()}
+        assert got == want and got, method
+
+    # physical pruning: narrow batch -> only probed cell dirs are read
+    qs3 = qs.filter(F.col("q_id") < 3)
+    qcells = sim._ivfadc_query_cells(
+        qs3, centroids, books, 2, "qe", "q_id", "expr"
+    )
+    probe_cells = {r["cell"] for r in qcells.select("cell").distinct().collect()}
+    assert len(probe_cells) < 8
+    store = spark.read.parquet(path).filter(
+        F.col("cell").isin(sorted(probe_cells))
+    )
+    touched = {
+        r.f
+        for r in store.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    touched_cells = {int(re.search(r"cell=(\d+)", f).group(1)) for f in touched}
+    assert touched_cells <= probe_cells and touched_cells
