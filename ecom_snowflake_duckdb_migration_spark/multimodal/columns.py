@@ -7,8 +7,9 @@ bytes never round-trip through row-at-a-time Python, and partitioning is
 preserved (no shuffle is introduced by any operator here).
 
 Five genuine standard formats decode natively (struct + numpy + stdlib
-zlib, no external libs): **BMP** (uncompressed BI_RGB, 8-bit-palette and
-24-bit), **WAV** (RIFF: PCM 8/16/24/32-bit + IEEE float32/64, G.711 mu-law/A-law
+zlib, no external libs): **BMP** (BI_RGB at 1/4/8-bit palette,
+16-bit XRGB1555, 24- and 32-bit, plus BI_RLE8/BI_RLE4 run-length —
+RLE8 cross-validated against ImageIO's own BI_RLE8 writer), **WAV** (RIFF: PCM 8/16/24/32-bit + IEEE float32/64, G.711 mu-law/A-law
 and IMA/DVI ADPCM — the compressed-WAV formats telephony and game
 corpora actually carry, each cross-validated bit-for-bit against
 CPython's independent ``audioop`` C implementation — incl.
@@ -75,7 +76,7 @@ def encode_image(width: int, height: int, seed: int) -> bytes:
     return _IMG_MAGIC + struct.pack("<II", width, height) + pixels.tobytes()
 
 
-# ---- real codecs: BMP (uncompressed BI_RGB) and WAV (RIFF PCM16) ----
+# ---- real codecs: BMP (BI_RGB + RLE) and WAV (RIFF PCM16) ----
 
 def encode_bmp(pixels: np.ndarray) -> bytes:
     """8-bit-palette grayscale BMP (spec-conformant: BITMAPFILEHEADER +
@@ -94,26 +95,119 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
     return header + info + palette.tobytes() + rows.tobytes()
 
 
+def _bmp_gray_lut(payload: bytes, hdr_size: int, bits: int, clr_used: int) -> np.ndarray:
+    """Palette -> gray lookup (channel mean, the module's luminance rule).
+    ``biClrUsed`` caps the table when nonzero, else 2^bits entries."""
+    n_pal = clr_used if clr_used else (1 << bits)
+    pal_off = 14 + hdr_size
+    palette = np.frombuffer(payload, np.uint8, n_pal * 4, pal_off).reshape(n_pal, 4)
+    return palette[:, :3].mean(axis=1).round().astype(np.uint8)
+
+
+def _bmp_rle_indexed(data: np.ndarray, w: int, h: int, bits: int) -> np.ndarray:
+    """Decode BI_RLE8/BI_RLE4 to an (h, w) indexed array in ENCODED row
+    order (bottom-up per spec — caller flips). Escapes: 0 = end of line,
+    1 = end of bitmap, 2 = (dx, dy) delta; n >= 3 = absolute run, padded
+    to a word boundary. RLE4 runs alternate the value byte's high/low
+    nibbles; absolute runs pack two pixels per byte, high nibble first."""
+    out = np.zeros((h, w), np.uint8)
+    x = y = i = 0
+    n = len(data)
+    while i + 1 < n:
+        cnt, val = int(data[i]), int(data[i + 1])
+        i += 2
+        if cnt > 0:  # encoded run
+            if y >= h or x + cnt > w:
+                raise ValueError("RLE run overflows the bitmap")
+            if bits == 8:
+                out[y, x : x + cnt] = val
+            else:
+                pair = np.array([val >> 4, val & 0xF], np.uint8)
+                out[y, x : x + cnt] = np.tile(pair, (cnt + 1) // 2)[:cnt]
+            x += cnt
+        elif val == 0:  # end of line
+            y += 1
+            x = 0
+        elif val == 1:  # end of bitmap
+            break
+        elif val == 2:  # delta
+            x += int(data[i])
+            y += int(data[i + 1])
+            i += 2
+        else:  # absolute run of `val` pixels
+            if y >= h or x + val > w:
+                raise ValueError("RLE absolute run overflows the bitmap")
+            if bits == 8:
+                out[y, x : x + val] = data[i : i + val]
+                i += val + (val & 1)
+            else:
+                nbytes = (val + 1) // 2
+                raw = data[i : i + nbytes]
+                nibs = np.empty(nbytes * 2, np.uint8)
+                nibs[0::2] = raw >> 4
+                nibs[1::2] = raw & 0xF
+                out[y, x : x + val] = nibs[:val]
+                i += (nbytes + 1) & ~1  # word-align
+            x += val
+    return out
+
+
 def _decode_bmp(payload: bytes) -> tuple[str, dict]:
     data_offset = struct.unpack_from("<I", payload, 10)[0]
     hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
     planes, bits, compression = struct.unpack_from("<HHI", payload, 26)
-    if compression != 0:
+    clr_used = struct.unpack_from("<I", payload, 46)[0] if hdr_size >= 36 else 0
+    if compression not in (0, 1, 2):
         raise NotImplementedError(
-            f"compressed BMP (BI_ code {compression}) needs PIL; only BI_RGB "
-            "is decoded natively"
+            f"BMP compression {compression} (BITFIELDS/embedded JPEG-PNG) "
+            "unsupported; BI_RGB, BI_RLE8, and BI_RLE4 decode natively"
         )
-    if bits not in (8, 24):
-        raise NotImplementedError(f"{bits}-bit BMP unsupported (8/24 only)")
+    if compression == 0 and bits not in (1, 4, 8, 16, 24, 32):
+        raise ValueError(f"invalid BI_RGB bit depth {bits}")
     top_down = h < 0
     h = abs(h)
-    if bits == 8:
+    if compression in (1, 2):  # BI_RLE8 / BI_RLE4 (always palette, bottom-up)
+        want_bits = 8 if compression == 1 else 4
+        if bits != want_bits or top_down:
+            raise ValueError(f"malformed RLE BMP (bits={bits}, topdown={top_down})")
+        gray_lut = _bmp_gray_lut(payload, hdr_size, bits, clr_used)
+        data = np.frombuffer(payload, np.uint8, len(payload) - data_offset, data_offset)
+        px = gray_lut[_bmp_rle_indexed(data, w, h, bits)]
+    elif bits in (1, 4):
+        # bit/nibble-packed palette rows, MSB-first, padded to 4 bytes
+        row_bytes = ((w * bits + 7) // 8 + 3) & ~3
+        gray_lut = _bmp_gray_lut(payload, hdr_size, bits, clr_used)
+        rows = np.frombuffer(payload, np.uint8, row_bytes * h, data_offset).reshape(
+            h, row_bytes
+        )
+        if bits == 1:
+            idx = np.unpackbits(rows, axis=1)[:, :w]
+        else:
+            nibs = np.empty((h, row_bytes * 2), np.uint8)
+            nibs[:, 0::2] = rows >> 4
+            nibs[:, 1::2] = rows & 0xF
+            idx = nibs[:, :w]
+        px = gray_lut[idx]
+    elif bits == 8:
         row_bytes = (w + 3) & ~3
-        pal_off = 14 + hdr_size
-        palette = np.frombuffer(payload, np.uint8, 256 * 4, pal_off).reshape(256, 4)
-        gray_lut = palette[:, :3].mean(axis=1).round().astype(np.uint8)
+        gray_lut = _bmp_gray_lut(payload, hdr_size, 8, clr_used)
         rows = np.frombuffer(payload, np.uint8, row_bytes * h, data_offset)
         px = gray_lut[rows.reshape(h, row_bytes)[:, :w]]
+    elif bits == 16:
+        # BI_RGB 16 is XRGB1555; 5-bit channels scale by 255/31
+        row_bytes = (w * 2 + 3) & ~3
+        rows = np.frombuffer(payload, np.uint8, row_bytes * h, data_offset).reshape(
+            h, row_bytes
+        )
+        v = rows[:, : w * 2].copy().view("<u2").reshape(h, w)
+        r = ((v >> 10) & 31) * 255 // 31
+        g = ((v >> 5) & 31) * 255 // 31
+        b = (v & 31) * 255 // 31
+        px = ((r + g + b) / 3.0).round().astype(np.uint8)
+    elif bits == 32:
+        rows = np.frombuffer(payload, np.uint8, w * 4 * h, data_offset)
+        bgrx = rows.reshape(h, w, 4)
+        px = bgrx[:, :, :3].mean(axis=2).round().astype(np.uint8)
     else:
         row_bytes = (w * 3 + 3) & ~3
         rows = np.frombuffer(payload, np.uint8, row_bytes * h, data_offset)

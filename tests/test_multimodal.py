@@ -1379,3 +1379,170 @@ def test_png_subbyte_cross_validated_against_jvm(spark, tmp_path):
             data = f.read()
         assert data[8 + 8 + 8] == depth  # ImageIO honored the ICM depth
         assert np.array_equal(png.decode_png(data), pal[idx]), depth
+
+
+def _bmp_payload(w, h, bits, compression, palette_gray, body, clr_used=0):
+    """Assemble a BMP with a grayscale palette (R=G=B per entry)."""
+    import struct
+
+    import numpy as np
+
+    n_pal = len(palette_gray)
+    pal = np.zeros((n_pal, 4), np.uint8)
+    pal[:, 0] = pal[:, 1] = pal[:, 2] = palette_gray
+    data_offset = 14 + 40 + n_pal * 4
+    return (
+        b"BM"
+        + struct.pack("<IHHI", data_offset + len(body), 0, 0, data_offset)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, bits, compression, len(body),
+            0, 0, clr_used, 0,
+        )
+        + pal.tobytes()
+        + body
+    )
+
+
+def test_bmp_subbyte_decode():
+    """1- and 4-bit palette BMPs: MSB-first bit/nibble rows padded to 4
+    bytes, palette indexed via biClrUsed-sized tables."""
+    import numpy as np
+
+    # 1-bit, w=10 (crosses a byte boundary; row pads to 4 bytes)
+    w, h = 10, 3
+    idx = (np.arange(w * h).reshape(h, w) % 2).astype(np.uint8)
+    row_bytes = ((w + 7) // 8 + 3) & ~3
+    rows = np.zeros((h, row_bytes), np.uint8)
+    packed = np.packbits(idx, axis=1)
+    rows[:, : packed.shape[1]] = packed[::-1]  # bottom-up
+    pal = np.array([15, 240], np.uint8)
+    payload = _bmp_payload(w, h, 1, 0, pal, rows.tobytes(), clr_used=2)
+    kind, d = mm.columns._decode_payload(payload)
+    assert (kind, d["width"], d["height"]) == ("image", w, h)
+    assert list(d["pixels"]) == list(pal[idx].ravel())
+
+    # 4-bit, odd width (nibble padding)
+    w, h = 5, 2
+    idx = np.array([[0, 1, 2, 3, 4], [4, 3, 2, 1, 0]], np.uint8)
+    row_bytes = (((w + 1) // 2) + 3) & ~3
+    rows = np.zeros((h, row_bytes), np.uint8)
+    for y in range(h):
+        r = idx[h - 1 - y]  # bottom-up
+        for x in range(w):
+            rows[y, x // 2] |= r[x] << (4 if x % 2 == 0 else 0)
+    pal = np.array([0, 60, 120, 180, 240], np.uint8)
+    payload = _bmp_payload(w, h, 4, 0, pal, rows.tobytes(), clr_used=5)
+    kind, d = mm.columns._decode_payload(payload)
+    assert list(d["pixels"]) == list(pal[idx].ravel())
+
+
+def test_bmp_rle8_and_rle4_decode():
+    """BI_RLE8/BI_RLE4: encoded runs, absolute runs (word-aligned), EOL,
+    delta (skipped pixels default to index 0), EOB."""
+    import numpy as np
+
+    pal = np.arange(0, 256, 16, dtype=np.uint8)  # 16 gray entries
+    # RLE8 over a 6x3 image (encoded bottom-up)
+    # bottom row: 3x idx5, absolute [1,2,3] (pad byte)
+    # middle row: delta (2,0) skips 2 -> zeros, then 4x idx7
+    # top row: 6x idx1, EOB
+    body = bytes(
+        [3, 5, 0, 3, 1, 2, 3, 0, 0, 0,       # run, abs(3)+pad, EOL
+         0, 2, 2, 0, 4, 7, 0, 0,              # delta(2,0), run, EOL
+         6, 1, 0, 1]                          # run, EOB
+    )
+    payload = _bmp_payload(6, 3, 8, 1, pal, body, clr_used=16)
+    kind, d = mm.columns._decode_payload(payload)
+    want = np.array(
+        [[1, 1, 1, 1, 1, 1],
+         [0, 0, 7, 7, 7, 7],
+         [5, 5, 5, 1, 2, 3]], np.uint8
+    )
+    assert list(d["pixels"]) == list(pal[want].ravel())
+
+    # RLE4 over a 5x2 image: run of 4 alternating (9,3), 1 more pixel
+    # via absolute(3) -> nibbles 1,2,4 won't fit width; use abs on row 2
+    body4 = bytes(
+        [4, 0x93, 1, 0x50, 0, 0,    # row0 (bottom): 9,3,9,3,5  EOL
+         0, 3, 0x12, 0x40, 2, 0x66, 0, 1]  # row1: abs(3)=1,2,4, run 2x6, EOB
+    )
+    payload4 = _bmp_payload(5, 2, 4, 2, pal, body4, clr_used=16)
+    kind, d4 = mm.columns._decode_payload(payload4)
+    want4 = np.array([[1, 2, 4, 6, 6], [9, 3, 9, 3, 5]], np.uint8)
+    assert list(d4["pixels"]) == list(pal[want4].ravel())
+
+
+def test_bmp_16_and_32bit_decode():
+    """BI_RGB 16 (XRGB1555, 5-bit channels scaled by 255/31) and 32
+    (BGRX) decode to channel-mean luminance."""
+    import struct
+
+    import numpy as np
+
+    # 16-bit 2x1: pure red (31<<10) and mid gray (16,16,16)
+    w, h = 2, 1
+    v = np.array([[31 << 10, (16 << 10) | (16 << 5) | 16]], "<u2")
+    payload = (
+        b"BM" + struct.pack("<IHHI", 14 + 40 + 4, 0, 0, 14 + 40)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 16, 0, 4, 0, 0, 0, 0)
+        + v.tobytes()
+    )
+    kind, d = mm.columns._decode_payload(payload)
+    r = 31 * 255 // 31
+    g16 = 16 * 255 // 31
+    want = [round((r + 0 + 0) / 3), round((g16 * 3) / 3)]
+    assert list(d["pixels"]) == want
+
+    # 32-bit 1x2 top-down (negative height): BGRX
+    w, h = 1, 2
+    px = np.array([[10, 20, 40, 0], [200, 100, 50, 255]], np.uint8)
+    payload = (
+        b"BM" + struct.pack("<IHHI", 14 + 40 + 8, 0, 0, 14 + 40)
+        + struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 32, 0, 8, 0, 0, 0, 0)
+        + px.tobytes()
+    )
+    kind, d = mm.columns._decode_payload(payload)
+    want = [round((10 + 20 + 40) / 3), round((200 + 100 + 50) / 3)]
+    assert list(d["pixels"]) == want
+
+
+def test_bmp_rle8_cross_validated_against_jvm(spark, tmp_path):
+    """Foreign RLE8: ImageIO's BMP writer emits BI_RLE8 when asked — our
+    decoder must reproduce the gray values ImageIO itself reads back."""
+    import numpy as np
+
+    jvm = spark._jvm
+    rng = np.random.default_rng(21)
+    h, w = 11, 17
+    gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    bimg = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+    )
+    raster = bimg.getRaster()
+    for y in range(h):
+        for x in range(w):
+            raster.setSample(x, y, 0, int(gray[y, x]))
+    writers = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("bmp")
+    writer = writers.next()
+    param = writer.getDefaultWriteParam()
+    param.setCompressionMode(
+        jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT
+    )
+    param.setCompressionType("BI_RLE8")
+    path = str(tmp_path / "rle8.bmp")
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(
+        jvm.java.io.File(path)
+    )
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(bimg, None, None), param)
+    ios.close()
+    with open(path, "rb") as f:
+        data = f.read()
+    import struct as _s
+
+    assert _s.unpack_from("<I", data, 30)[0] == 1  # genuinely BI_RLE8
+    kind, d = mm.columns._decode_payload(data)
+    assert (kind, d["width"], d["height"]) == ("image", w, h)
+    assert np.array_equal(
+        np.asarray(d["pixels"]).reshape(h, w), gray
+    )
