@@ -3,10 +3,9 @@
 Decode scope: single- and multi-frame (animated) GIFs with global/local
 color tables, LZW-compressed image data (variable-width codes 3-12 bits),
 interlaced frames (the 4-pass row shuffle), transparency, frame delays,
-and disposal methods 0-2 (none / keep / restore-to-background). Returns
-composited full-canvas RGB frames, which is what frame-sampling and
-feature extraction want. Disposal 3 (restore-to-previous) raises
-``NotImplementedError`` — it is virtually unused in the wild.
+and all four disposal methods (none / keep / restore-to-background /
+restore-to-previous). Returns composited full-canvas RGB frames, which
+is what frame-sampling and feature extraction want.
 
 Encode scope: palette-indexed frames with a grayscale-identity palette
 (one byte per pixel = its gray level), real LZW compression, optional
@@ -238,8 +237,9 @@ def decode_gif(payload: bytes) -> tuple[list[np.ndarray], list[int]]:
             deinter = np.empty_like(idx)
             deinter[np.array(order)] = idx
             idx = deinter
-        if disposal == 3:
-            raise NotImplementedError("GIF disposal 3 (restore-previous) unsupported")
+        # disposal 3 (restore-to-previous): snapshot the canvas before
+        # rendering and put it back after the frame is emitted
+        saved = canvas.copy() if disposal == 3 else None
         region = canvas[fy : fy + fh, fx : fx + fw]
         rgb = palette[np.clip(idx, 0, len(palette) - 1)]
         if transparent is not None:
@@ -251,6 +251,8 @@ def decode_gif(payload: bytes) -> tuple[list[np.ndarray], list[int]]:
         delays.append(delay)
         if disposal == 2:  # restore region to background
             canvas[fy : fy + fh, fx : fx + fw] = background[fy : fy + fh, fx : fx + fw]
+        elif disposal == 3:
+            canvas = saved
         transparent = None
         disposal = 0
         delay = 0

@@ -1546,3 +1546,47 @@ def test_bmp_rle8_cross_validated_against_jvm(spark, tmp_path):
     assert np.array_equal(
         np.asarray(d["pixels"]).reshape(h, w), gray
     )
+
+
+def test_gif_disposal_restore_previous():
+    """Disposal 3: the frame's pixels vanish from the NEXT frame's canvas
+    — the compositor restores the pre-frame snapshot (distinct from
+    disposal 2, which restores to the background color)."""
+    import struct
+
+    import numpy as np
+
+    from ecom_snowflake_duckdb_migration_spark.multimodal import gif
+
+    # frame 1: full 4x4 canvas of gray 100, disposal 0
+    # frame 2: 2x2 patch of gray 200 at (1,1), disposal 3
+    # frame 3: 1x1 patch of gray 50 at (0,0), disposal 0
+    base = np.full((4, 4), 100, np.uint8)
+    patch = np.full((2, 2), 200, np.uint8)
+    dot = np.full((1, 1), 50, np.uint8)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 4, 4, 0xF7, 0, 0)
+    out += np.repeat(np.arange(256, dtype=np.uint8), 3).tobytes()
+
+    def frame(px, x, y, disposal):
+        b = bytearray()
+        b += b"\x21\xf9\x04" + struct.pack("<BHB", disposal << 2, 5, 0) + b"\x00"
+        fh, fw = px.shape
+        b += b"\x2c" + struct.pack("<HHHHB", x, y, fw, fh, 0)
+        b.append(8)
+        b += gif._sub_blocks(gif._lzw_encode(px.ravel(), 8))
+        return bytes(b)
+
+    out += frame(base, 0, 0, 0)
+    out += frame(patch, 1, 1, 3)
+    out += frame(dot, 0, 0, 0)
+    out += b"\x3b"
+
+    frames, delays = gif.decode_gif(bytes(out))
+    assert len(frames) == 3
+    # frame 2 shows the patch...
+    assert frames[1][1, 1, 0] == 200 and frames[1][2, 2, 0] == 200
+    # ...frame 3's canvas has it RESTORED to gray 100, not background 0
+    assert frames[2][1, 1, 0] == 100 and frames[2][2, 2, 0] == 100
+    assert frames[2][0, 0, 0] == 50  # the new dot rendered
+    assert frames[2][3, 3, 0] == 100  # untouched area persists
