@@ -1549,6 +1549,7 @@ def curate(
     contamination_n: int = 8,
     near_dup: str = "exact",
     quality: str = "basic",
+    boilerplate: str | None = None,
 ) -> DataFrame:
     """End-to-end training-corpus curation — the standard cleaning cascade
     (C4/RefinedWeb-style) composed from this module's operators, cheapest
@@ -1561,6 +1562,13 @@ def curate(
        mean word length, symbol/bullet/ellipsis ratios, alpha-word
        fraction, required stopwords; x114) via one id semi-join;
     2. **language gate** — ``predict_language() == 'en'``; scan-side;
+    2b. **boilerplate removal** (``boilerplate="segment"``) —
+       ``segment_frequency_filter`` rewrites every surviving document,
+       dropping ALL copies of corpus-over-frequent 8-word segments
+       (CCNet §4.1 / RefinedWeb G.2: nav menus and license headers
+       vanish everywhere, BEFORE dedup so boilerplate cannot glue
+       otherwise-distinct documents into near-dup pairs); ``n_tokens``
+       is recomputed on the cleaned text;
     3. **exact dedup** — keep the min-id canonical per ``md5(text)``;
     4. **near-dedup** — ``ngram_jaccard_pairs`` at ``jaccard_threshold_e6``;
        of each (d1 < d2) pair the higher id is dropped (the module's
@@ -1581,6 +1589,10 @@ def curate(
     """
     if quality not in ("basic", "gopher"):
         raise ValueError(f"quality must be 'basic' or 'gopher', got {quality!r}")
+    if boilerplate not in (None, "segment"):
+        raise ValueError(
+            f"boilerplate must be None or 'segment', got {boilerplate!r}"
+        )
     scored = predict_language(quality_metrics(corpus, text_col), text_col)
     keep1 = scored.filter(
         F.col("quality_ok") & (F.col("predicted_lang") == "en")
@@ -1592,6 +1604,22 @@ def curate(
             .select(id_col)
         )
         keep1 = keep1.join(gq, id_col, "left_semi")
+    if boilerplate == "segment":
+        cleaned = segment_frequency_filter(
+            keep1, seg_words=8, max_occurrences=1,
+            text_col=text_col, id_col=id_col,
+        )
+        keep1 = (
+            keep1.drop(text_col, "n_tokens")
+            .join(
+                cleaned.select(
+                    id_col, F.col("clean_text").alias(text_col)
+                ),
+                id_col,
+            )
+            .withColumn("n_tokens", token_count(text_col))
+            .select(id_col, "source", text_col, "n_tokens")
+        )
     canon = exact_dedup_groups(keep1, text_col, id_col).select(
         F.col("canonical_doc_id").alias(id_col)
     )

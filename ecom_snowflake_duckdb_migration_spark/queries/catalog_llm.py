@@ -3635,3 +3635,103 @@ def x123_ivfadc_knn(spark, sf_dir):
     return sim.ivfadc_knn_join(
         e, queries, cents, books, k=5, nprobe=4, method="expr"
     )
+
+
+# x124: the curation cascade with boilerplate="segment". Like x117, the
+# oracle COMPOSES registered fragments instead of restating them: x79's
+# WITH-chain gains (a) a planted corpus — every 4th document gets a
+# fixed 8-word "nav menu" prefix so the frequency filter genuinely
+# fires, the x113/x117/x119 planting discipline — and (b) x118's
+# segment-filter chain between keep1 and the dedup stages, with
+# n_tokens recomputed on the cleaned text.
+_X124_PREFIX = "subscribe to our newsletter follow us on twitter "
+_X124_SEGCHAIN = f"""segbase AS (
+        SELECT doc_id,
+               string_split_regex(regexp_replace(regexp_replace(
+                   coalesce(text, ''), '^\\s+', ''), '\\s+$', ''),
+                   '\\s+') AS words
+        FROM keep1
+    ),
+    segs AS (
+        SELECT doc_id, CAST(t.g AS INTEGER) AS pos,
+               array_to_string(
+                   words[(t.g * {_X118_SEG_WORDS} + 1):
+                         (t.g * {_X118_SEG_WORDS} + {_X118_SEG_WORDS})],
+                   ' ') AS seg
+        FROM segbase, unnest(range((len(words) - 1) // {_X118_SEG_WORDS} + 1))
+             AS t(g)
+    ),
+    over_freq AS (
+        SELECT seg FROM segs GROUP BY seg
+        HAVING count(*) > {_X118_MAX_OCC}
+    ),
+    segkept AS (
+        SELECT s.* FROM segs s
+        WHERE s.seg NOT IN (SELECT seg FROM over_freq)
+    ),
+    reass AS (
+        SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text
+        FROM segkept GROUP BY doc_id
+    ),
+    keep1b AS (
+        SELECT k.doc_id, k.source,
+               coalesce(r.clean_text, '') AS text,
+               len(string_split_regex(trim(coalesce(r.clean_text, '')),
+                   '\\s+')) AS n_tokens
+        FROM keep1 k LEFT JOIN reass r USING (doc_id)
+    ),
+    canon AS (SELECT min(doc_id) AS doc_id FROM keep1b GROUP BY md5(text)),
+    keep2 AS (SELECT k.* FROM keep1b k JOIN canon USING (doc_id)),"""
+
+_X124_ORACLE = (
+    REGISTRY["x79_corpus_curation"].oracle.replace(
+        "WITH corpus AS (SELECT * FROM documents WHERE source <> 'src0'),",
+        "WITH corpus AS (\n"
+        "        SELECT doc_id, source,\n"
+        "               CASE WHEN doc_id % 4 = 0\n"
+        f"                    THEN '{_X124_PREFIX}' || coalesce(text, '')\n"
+        "                    ELSE text END AS text\n"
+        "        FROM documents WHERE source <> 'src0'\n"
+        "    ),",
+        1,
+    ).replace(
+        "canon AS (SELECT min(doc_id) AS doc_id FROM keep1 GROUP BY md5(text)),\n"
+        "    keep2 AS (SELECT k.* FROM keep1 k JOIN canon USING (doc_id)),",
+        _X124_SEGCHAIN,
+        1,
+    )
+)
+assert "keep1b" in _X124_ORACLE  # the replace must have matched
+
+
+@register(
+    "x124_curate_boilerplate",
+    oracle=_X124_ORACLE,
+    doc="x79's curation cascade with boilerplate='segment': after the "
+    "quality/language gates, segment_frequency_filter (x118) rewrites "
+    "every document — ALL copies of corpus-over-frequent 8-word "
+    "segments vanish (the planted nav-menu prefix on every 4th doc "
+    "genuinely fires it) and n_tokens is recomputed on the cleaned "
+    "text — BEFORE dedup, so boilerplate cannot glue distinct docs "
+    "into near-dup pairs. Oracle composed from the registered x79 + "
+    "x118 fragments so the entries cannot drift apart "
+    "(operators.text.curate(boilerplate='segment')).",
+    tags=("LLM", "pipeline", "dedup", "quality"),
+)
+def x124_curate_boilerplate(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("source") != "src0").select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit(_X124_PREFIX), F.coalesce(F.col("text"), F.lit(""))),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return tx.curate(
+        corpus,
+        d.filter(F.col("source") == "src0"),
+        jaccard_threshold_e6=800_000,
+        contamination_n=8,
+        boilerplate="segment",
+    )

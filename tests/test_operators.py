@@ -2624,3 +2624,42 @@ def test_probe_ivfadc_store_matches_join_and_prunes(spark, sf_dir, tmp_path):
     }
     touched_cells = {int(re.search(r"cell=(\d+)", f).group(1)) for f in touched}
     assert touched_cells <= probe_cells and touched_cells
+
+
+def test_curate_boilerplate_segment_stage(spark):
+    """boilerplate='segment' removes corpus-frequent boilerplate from
+    EVERY doc before dedup — two docs that differ only in their shared
+    nav-menu prefix stay distinct documents with the prefix stripped and
+    n_tokens recomputed; invalid values raise."""
+    import pytest
+
+    nav = "subscribe to our newsletter follow us on twitter"
+    bodyA = ("the quick brown fox jumps over the lazy dog and keeps running "
+             "through the quiet green field toward the river bank every")
+    bodyB = ("a completely different second document with its own long and "
+             "distinctive wording that shares no phrasing with the first one")
+    bodyC = ("third unique entry about database engines columnar storage "
+             "vectorized execution adaptive planning and reliable shuffle work")
+    rows = [
+        (1, "srcA", f"{nav} {bodyA}"),
+        (2, "srcA", f"{nav} {bodyB}"),
+        (3, "srcA", f"{nav} {bodyC}"),
+        (4, "srcA", f"{nav} {bodyA}"),  # full dup: ALL its tiles over-frequent
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    bench = spark.createDataFrame(
+        [(900, "bench", "benchmark only tokens")], ["doc_id", "source", "text"]
+    )
+    out = {r.doc_id: r for r in tx.curate(
+        corpus, bench, boilerplate="segment"
+    ).collect()}
+    # nav (tile 0 of every doc, 4 occurrences) is stripped everywhere;
+    # docs 1/4 duplicated bodyA so its tiles are over-frequent too ->
+    # both empty out, dedup keeps the min-id empty survivor (doc 1);
+    # docs 2/3 keep their unique bodies with n_tokens recomputed
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_tokens == 1  # '' tokenizes to one empty token
+    assert out[2].n_tokens == len(bodyB.split())
+    assert out[3].n_tokens == len(bodyC.split())
+    with pytest.raises(ValueError, match="boilerplate"):
+        tx.curate(corpus, bench, boilerplate="nope")
