@@ -1643,6 +1643,69 @@ def curate(
     return kept.select(id_col, "source", "n_tokens")
 
 
+def split_leakage_guard(
+    df: DataFrame,
+    splits_e6: dict[str, int],
+    eval_splits: tuple[str, ...] = ("val", "test"),
+    threshold_e6: int = 800_000,
+    k: int = 3,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """Split-aware contamination guard — the eval-honesty step after
+    split assignment: find near-duplicate pairs that STRADDLE a train
+    split and an eval split and flag the TRAIN member as leaked (eval
+    rows are never touched, so metrics stay comparable across runs).
+    The cross-split generalization of benchmark decontamination
+    (``decontaminate``); without it a near-copy of a test document
+    trains the model on its own eval set.
+
+    Returns ``(id_col, split, leaked)`` for EVERY input row: consumers
+    train on ``split = 'train' AND NOT leaked``. Splits come from
+    ``sampling.shuffle_split`` (deterministic md5 ladder, same seed
+    semantics); near-dup pairs from ``ngram_jaccard_pairs`` at
+    ``threshold_e6``. A pair wholly inside train or wholly inside eval
+    is NOT leakage (in-split dedup is a separate concern — ``curate``).
+
+    Scale: split assignment is a per-row hash (no shuffle); candidate
+    pairs are the bounded shingle equi-join (hash the shingles at scale
+    — default on); the flag is two joins on the pair frame plus one
+    distinct, all tiny relative to the corpus.
+    """
+    from .sampling import shuffle_split
+
+    splits = shuffle_split(
+        df.select(id_col), splits_e6, id_col=id_col, seed=seed
+    ).select(id_col, "split")
+    base = df.select(id_col, text_col).join(splits, id_col)
+    pairs = ngram_jaccard_pairs(
+        base, text_col, id_col, k=k, threshold_e6=threshold_e6,
+        hash_shingles=hash_shingles,
+    )
+    s1 = splits.select(
+        F.col(id_col).alias("d1"), F.col("split").alias("_s1")
+    )
+    s2 = splits.select(
+        F.col(id_col).alias("d2"), F.col("split").alias("_s2")
+    )
+    tagged = pairs.join(s1, "d1").join(s2, "d2")
+    ev1 = F.col("_s1").isin(*eval_splits)
+    ev2 = F.col("_s2").isin(*eval_splits)
+    leaked = (
+        tagged.filter(ev1 != ev2)
+        .select(F.when(ev1, F.col("d2")).otherwise(F.col("d1")).alias(id_col))
+        .distinct()
+        .withColumn("_leak", F.lit(True))
+    )
+    return splits.join(leaked, id_col, "left").select(
+        id_col,
+        "split",
+        F.coalesce("_leak", F.lit(False)).alias("leaked"),
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",

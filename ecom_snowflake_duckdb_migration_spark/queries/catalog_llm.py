@@ -3735,3 +3735,91 @@ def x124_curate_boilerplate(spark, sf_dir):
         contamination_n=8,
         boilerplate="segment",
     )
+
+
+def _x125_oracle(
+    splits_e6: dict[str, int], eval_splits: tuple[str, ...],
+    threshold_e6: int, seed: int,
+) -> str:
+    """DuckDB twin of split_leakage_guard: x84's md5 split ladder plus
+    x45/x79's char-3-shingle Jaccard pair fragment, pairs filtered to
+    train/eval straddles and the train member flagged."""
+    from ..operators.sampling import rate_to_threshold_hex
+
+    names = list(splits_e6)
+    whens, cum = [], 0
+    for name in names[:-1]:
+        cum += splits_e6[name]
+        whens.append(
+            f"WHEN substr(md5('{seed}:' || CAST(doc_id AS VARCHAR)), 1, 8)"
+            f" < '{rate_to_threshold_hex(cum)}' THEN '{name}'"
+        )
+    case = "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+    evset = ", ".join(f"'{s}'" for s in eval_splits)
+    return f"""
+    WITH splits AS (
+        SELECT doc_id, {case} AS split FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct([substr(text, i, 3)
+                      for i in range(1, length(text) - 1)])) AS shingle
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT d1, d2
+        FROM inter
+        JOIN sizes s1 ON s1.doc_id = d1
+        JOIN sizes s2 ON s2.doc_id = d2
+        WHERE CAST(n_inter AS BIGINT) * 1000000
+              // (s1.sz + s2.sz - n_inter) >= {threshold_e6}
+    ),
+    tagged AS (
+        SELECT p.d1, p.d2,
+               (a.split IN ({evset})) AS ev1,
+               (b.split IN ({evset})) AS ev2
+        FROM pairs p
+        JOIN splits a ON a.doc_id = p.d1
+        JOIN splits b ON b.doc_id = p.d2
+    ),
+    leaked AS (
+        SELECT DISTINCT CASE WHEN ev1 THEN d2 ELSE d1 END AS doc_id
+        FROM tagged WHERE ev1 <> ev2
+    )
+    SELECT s.doc_id, s.split,
+           (s.doc_id IN (SELECT doc_id FROM leaked)) AS leaked
+    FROM splits s
+    """
+
+
+_X125_SPLITS = {"train": 800_000, "val": 100_000, "test": 100_000}
+
+
+@register(
+    "x125_split_leakage_guard",
+    oracle=_x125_oracle(
+        _X125_SPLITS, ("val", "test"), threshold_e6=800_000, seed=7
+    ),
+    doc="Split-aware contamination guard "
+    "(operators.text.split_leakage_guard): after deterministic "
+    "train/val/test assignment (x84's md5 ladder, seed 7), near-dup "
+    "pairs that STRADDLE train and an eval split flag their TRAIN "
+    "member as leaked — the cross-split generalization of q63's "
+    "benchmark decontamination; eval rows are never modified so "
+    "metrics stay comparable. Pairs are x45's exact shingle-Jaccard "
+    "(string shingles here for the oracle; production hashes them). "
+    "Per-row split hash + bounded shingle join + two pair joins.",
+    tags=("LLM", "dedup", "sampling", "pipeline"),
+)
+def x125_split_leakage_guard(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return tx.split_leakage_guard(
+        d, _X125_SPLITS, eval_splits=("val", "test"),
+        threshold_e6=800_000, seed=7, hash_shingles=False,
+    )

@@ -2663,3 +2663,50 @@ def test_curate_boilerplate_segment_stage(spark):
     assert out[3].n_tokens == len(bodyC.split())
     with pytest.raises(ValueError, match="boilerplate"):
         tx.curate(corpus, bench, boilerplate="nope")
+
+
+def test_split_leakage_guard_semantics(spark):
+    """Only train/eval-straddling near-dup pairs flag, and only the
+    TRAIN member; wholly-in-train and wholly-in-eval pairs are not
+    leakage; eval rows are never flagged."""
+    alpha = ("the quick brown fox jumps over the lazy dog and keeps running "
+             "through the quiet green field toward the river bank %s")
+    beta = ("columnar execution engines batch rows into vectors and fuse "
+            "operators inside generated loops for cache friendly scans %s")
+    gamma = ("completely unrelated third subject matter about baking bread "
+             "with sourdough starters and long cold fermentation windows")
+    # find ids landing in each split under this seed/fractions first
+    import hashlib
+
+    from ecom_snowflake_duckdb_migration_spark.operators.sampling import (
+        rate_to_threshold_hex,
+    )
+
+    def split_of(i, seed=7):
+        h = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8]
+        if h < rate_to_threshold_hex(500_000):
+            return "train"
+        if h < rate_to_threshold_hex(750_000):
+            return "val"
+        return "test"
+
+    ids = list(range(200))
+    train_ids = [i for i in ids if split_of(i) == "train"]
+    eval_ids = [i for i in ids if split_of(i) != "train"]
+    t1, t2, t3 = train_ids[:3]
+    e1, e2 = eval_ids[:2]
+    rows = [
+        (t1, alpha % "one"), (e1, alpha % "two"),   # straddle -> t1 leaks
+        (t2, beta % "one"), (t3, beta % "two"),     # train-only pair: ok
+        (e2, gamma),                                 # lone eval doc
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    splits = {"train": 500_000, "val": 250_000, "test": 250_000}
+    out = {r.doc_id: r for r in tx.split_leakage_guard(
+        df, splits, eval_splits=("val", "test"), threshold_e6=900_000, seed=7
+    ).collect()}
+    assert out[t1].leaked and out[t1].split == "train"
+    assert not out[e1].leaked  # the eval member is untouched
+    assert not out[t2].leaked and not out[t3].leaked  # in-split pair
+    assert not out[e2].leaked
+    assert len(out) == 5  # every input row reported
