@@ -1522,6 +1522,34 @@ def write_ivfadc_store(
     )
 
 
+def append_ivfadc_store(
+    df: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    method: str = "auto",
+) -> None:
+    """Append a new embedding batch to an existing :func:`write_ivfadc_store`
+    layout — incremental index maintenance, the weekly-drop analog of
+    ``incremental_dedup``'s band-store append: the batch is encoded with
+    the SAME frozen codebooks (re-training would silently re-key history;
+    rebuild the store when the quantizers retrain) and lands as new files
+    inside the existing cell directories. Probes see old + new rows with
+    no rewrite of history; dynamic partition overwrite is NOT used, so
+    concurrent probes keep reading committed files."""
+    method = _ivfadc_method(method, centroids, codebooks)
+    item_side = _ivfadc_item_side(df, centroids, codebooks, vec_col, id_col, method)
+    (
+        item_side.withColumnRenamed("_rn2", "rn2")
+        .repartition(F.col("cell"))
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
 def probe_ivfadc_store(
     spark,
     path: str,

@@ -2710,3 +2710,27 @@ def test_split_leakage_guard_semantics(spark):
     assert not out[t2].leaked and not out[t3].leaked  # in-split pair
     assert not out[e2].leaked
     assert len(out) == 5  # every input row reported
+
+
+def test_append_ivfadc_store_incremental(spark, sf_dir, tmp_path):
+    """Writing the corpus head then appending the tail must probe
+    EXACTLY like a store written in one shot — incremental index
+    maintenance never re-keys history."""
+    e = _emb(spark, sf_dir)
+    centroids = sim.make_centroids(dim=64, n_centroids=8, seed=42)
+    books = sim.make_pq_codebooks(64, 4, 4, seed=42)
+    full, inc = str(tmp_path / "full"), str(tmp_path / "inc")
+    sim.write_ivfadc_store(e, centroids, books, full)
+    sim.write_ivfadc_store(e.filter("vec_id % 2 = 0"), centroids, books, inc)
+    sim.append_ivfadc_store(e.filter("vec_id % 2 = 1"), centroids, books, inc)
+    qs = e.limit(6).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    def probe(path):
+        return {
+            (r.q_id, r.vec_id, r.rnk)
+            for r in sim.probe_ivfadc_store(
+                spark, path, qs, centroids, books, k=5, nprobe=3
+            ).collect()
+        }
+    assert probe(inc) == probe(full) and probe(full)
