@@ -843,7 +843,9 @@ def density_prune(
     DESCENDING (id ascending tiebreak); a cell of ``n`` rows drops ranks
     ``1 .. n * drop_frac_e6 div 1_000_000`` (integer floor, so a cell
     smaller than ``1e6 / drop_frac_e6`` rows drops nothing). Returns the
-    KEPT rows as ``(id_col, cell, cell_rank)``.
+    KEPT rows as ``(id_col, cell, cell_rank)``. NULL and zero-norm
+    vectors have no cell (the ``assign_cell`` contract) and are DROPPED
+    — ranking them would hinge on engine-specific NULL ordering.
 
     Scale: assignment is scan-side (literal codebook — no shuffle); the
     rank + count windows partition on ``cell``, whose width you bound by
@@ -852,7 +854,9 @@ def density_prune(
     """
     from pyspark.sql import Window
 
-    celled = semantic_cells(df, centroids, vec_col, id_col)
+    celled = semantic_cells(df, centroids, vec_col, id_col).filter(
+        F.col("cell").isNotNull()
+    )
     w = Window.partitionBy("cell").orderBy(
         F.col("csim").desc(), F.col(id_col).asc()
     )

@@ -2409,6 +2409,15 @@ def test_density_prune_floor_and_order(spark):
         for r in sim.density_prune(df, cents, drop_frac_e6=250_000).collect()
     }
     assert ranks == {2: 2, 3: 3, 4: 4, 5: 5}
+    # NULL and zero-norm vectors have no cell and are dropped, never
+    # ranked (engine NULL-ordering must not decide membership)
+    degen = spark.createDataFrame(
+        [(10, None), (11, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    assert sim.density_prune(
+        df.unionByName(degen), cents, drop_frac_e6=250_000
+    ).filter("vec_id >= 10").count() == 0
 
 
 def test_pq_encode_expr_pandas_parity_and_nulls(spark, sf_dir):
