@@ -103,6 +103,58 @@ def mix_rates_e6(counts: dict[str, int], weights_e6: dict[str, int]) -> dict[str
     }
 
 
+def temperature_mix(
+    df: DataFrame,
+    alpha_e6: int = 500_000,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-scaled domain rebalancing (the Pile / T5 / mT5 mixing
+    rule ``p_d ∝ n_d^alpha``): downsample every domain at rate
+    ``r_d = (min_n / n_d)^(1 - alpha)`` so the SMALLEST domain keeps all
+    its rows and surviving proportions follow ``n_d^alpha`` — alpha 1 is
+    the natural mix (no-op), alpha 0 equalizes domains, the 0.5 default
+    is the classic sqrt temperature.
+
+    Per-domain counts are the one bounded driver collect (|domains|
+    scalars, the ``domain_mix`` contract); selection is the pure-hash
+    stratified filter, reproducible anywhere. At ``alpha_e6=500000`` the
+    rate math is division + sqrt + floor — all correctly-rounded IEEE
+    primitives, so the DuckDB oracle recomputing the same expression
+    lands on bit-identical rates (x126). Other alphas go through
+    ``pow``, which is NOT correctly rounded in general — supported, but
+    only the sqrt temperature is oracle-exact.
+    """
+    import math
+
+    if not 0 <= alpha_e6 <= 1_000_000:
+        raise ValueError("alpha_e6 must be in [0, 1000000]")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not counts:
+        return df.filter(F.lit(False))
+    min_n = min(counts.values())
+    rates: dict[str, int] = {}
+    for s, n in counts.items():
+        ratio = float(min_n) / float(n)
+        if alpha_e6 == 500_000:
+            r = math.sqrt(ratio)
+        elif alpha_e6 == 1_000_000:
+            r = 1.0
+        elif alpha_e6 == 0:
+            r = ratio
+        else:
+            r = ratio ** (1.0 - alpha_e6 / 1_000_000.0)
+        rates[s] = min(1_000_000, int(math.floor(r * 1_000_000.0)))
+    return stratified_sample(
+        df, rates, strata_col=strata_col, id_col=id_col, seed=seed,
+        default_rate_e6=0,
+    )
+
+
 def domain_mix(
     df: DataFrame,
     weights_e6: dict[str, int],

@@ -3823,3 +3823,63 @@ def x125_split_leakage_guard(spark, sf_dir):
         d, _X125_SPLITS, eval_splits=("val", "test"),
         threshold_e6=800_000, seed=7, hash_shingles=False,
     )
+
+
+@register(
+    "x126_temperature_mix",
+    # The oracle RECOMPUTES the per-domain rates in SQL with the exact
+    # operation sequence the driver uses (double division -> sqrt ->
+    # *1e6 -> floor): every primitive is correctly-rounded IEEE, so the
+    # two engines' rate integers — and therefore the md5 threshold
+    # strings — are bit-identical. printf('%08x') mirrors
+    # rate_to_threshold_hex; rate 1e6 maps to 'g' (keep-all sentinel
+    # that sorts after every hex digit).
+    # the synthetic generator deals sources round-robin (exactly 25 per
+    # source at sf0.01), which would make every rate 1e6 — so, like
+    # x113/x117/x119's planting, the corpus is deterministically skewed
+    # first: sources >= 'src5' drop their odd doc_ids, halving them.
+    oracle="""
+    WITH corpus AS (
+        SELECT * FROM documents
+        WHERE source < 'src5' OR doc_id % 2 = 0
+    ),
+    counts AS (
+        SELECT source, count(*) AS n FROM corpus GROUP BY source
+    ),
+    rates AS (
+        SELECT source,
+               LEAST(1000000, CAST(floor(
+                   sqrt(CAST((SELECT min(n) FROM counts) AS DOUBLE)
+                        / CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)
+               ) AS rate_e6
+        FROM counts
+    ),
+    thresholds AS (
+        SELECT source,
+               CASE WHEN rate_e6 >= 1000000 THEN 'g'
+                    ELSE printf('%08x', rate_e6 * 4294967296 // 1000000)
+               END AS thr
+        FROM rates
+    )
+    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+    FROM corpus d
+    JOIN thresholds t USING (source)
+    WHERE substr(md5('42:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr
+    """,
+    doc="Temperature-scaled domain mixing (Pile/T5 p_d ∝ n_d^alpha at "
+    "the sqrt temperature; operators.sampling.temperature_mix): every "
+    "domain downsamples at rate (min_n/n_d)^(1-alpha) so the smallest "
+    "keeps everything and surviving proportions follow n_d^0.5 — the "
+    "standard upweighting of rare domains before training. Counts are "
+    "the bounded |domains| driver collect; selection is the pure-hash "
+    "stratified filter. Rates recomputed in SQL land bit-identical "
+    "(division/sqrt/floor are all correctly-rounded primitives).",
+    tags=("LLM", "sampling", "pipeline"),
+)
+def x126_temperature_mix(spark, sf_dir):
+    from ..operators.sampling import temperature_mix
+
+    d = load(spark, sf_dir, "documents").filter(
+        (F.col("source") < "src5") | (F.col("doc_id") % 2 == 0)
+    )
+    return temperature_mix(d, alpha_e6=500_000, seed=42)

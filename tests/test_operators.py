@@ -2743,3 +2743,35 @@ def test_append_ivfadc_store_incremental(spark, sf_dir, tmp_path):
             ).collect()
         }
     assert probe(inc) == probe(full) and probe(full)
+
+
+def test_temperature_mix_rates_and_edges(spark):
+    """alpha=1 is the natural mix (no-op); the smallest domain always
+    keeps everything; alpha=0 targets equal domains (rate = min/n);
+    rates fall monotonically with domain size; invalid alpha raises."""
+    import pytest
+
+    from ecom_snowflake_duckdb_migration_spark.operators import sampling as sp_
+
+    rows = [(i, "big") for i in range(400)]
+    rows += [(1000 + i, "mid") for i in range(100)]
+    rows += [(2000 + i, "small") for i in range(25)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+
+    assert sp_.temperature_mix(df, alpha_e6=1_000_000).count() == 525
+
+    kept = sp_.temperature_mix(df, alpha_e6=500_000).groupBy("source").count()
+    c = {r.source: r["count"] for r in kept.collect()}
+    assert c["small"] == 25  # smallest keeps all
+    # sqrt temperature: expected rates 25/400 -> 0.25, 25/100 -> 0.5
+    assert 0.15 * 400 < c["big"] < 0.35 * 400
+    assert 0.38 * 100 < c["mid"] < 0.62 * 100
+    # monotone: bigger domain, smaller keep fraction
+    assert c["big"] / 400 < c["mid"] / 100 <= 1.0
+
+    eq = sp_.temperature_mix(df, alpha_e6=0).groupBy("source").count()
+    e = {r.source: r["count"] for r in eq.collect()}
+    assert e["small"] == 25 and 10 < e["big"] < 40  # ~25 each
+
+    with pytest.raises(ValueError, match="alpha_e6"):
+        sp_.temperature_mix(df, alpha_e6=2_000_000)

@@ -414,6 +414,8 @@ LINT_ALLOW: dict[str, dict[str, str]] = {
         "FILTER_NOT_PUSHED": "isnull-on-join-output / array predicates"},
     "x76_domain_mix": {
         "FILTER_NOT_PUSHED": "hash-membership sampling must see every row"},
+    "x126_temperature_mix": {
+        "FILTER_NOT_PUSHED": "hash-membership sampling must see every row"},
     "x82_knn_join": {
         "FILTER_NOT_PUSHED": "cell-membership predicate on derived columns"},
     "x83_incremental_semantic_dedup": {
