@@ -420,6 +420,9 @@ LINT_ALLOW: dict[str, dict[str, str]] = {
         "FILTER_NOT_PUSHED": "cell-membership predicate on derived columns"},
     "x83_incremental_semantic_dedup": {
         "FILTER_NOT_PUSHED": "cosine-threshold predicate on derived columns"},
+    "x120_density_prune": {
+        "FILTER_NOT_PUSHED": "NULL-cell guard on the derived cell column "
+        "(degenerate vectors dropped rather than NULL-ordered)"},
     "x87_exact_substring_dedup": {
         "FILTER_NOT_PUSHED": "size(split(text)) guard is a derived expression"},
     "x110_quality_classifier": {
