@@ -1173,6 +1173,60 @@ def decontaminate(
     )
 
 
+def ngram_novelty(
+    df: DataFrame,
+    reference: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document novelty against a reference corpus: the fraction of
+    the doc's DISTINCT word ``n``-grams absent from the reference's
+    distinct gram set — the data-valuation signal novelty-based
+    selection ranks on (a doc whose phrasing the corpus already holds
+    contributes little new signal). Scoring complement of
+    ``decontaminate`` (which flags ANY overlap with a benchmark; this
+    measures HOW MUCH is new vs a training corpus).
+
+    Returns ``(id_col, n_grams, n_novel, novelty_e6)`` for every input
+    row; docs too short for an ``n``-gram get ``n_grams = 0`` and NULL
+    novelty. ``novelty_e6`` is integer fixed-point (engine-stable).
+
+    Relational shape: both sides reduce to distinct grams; novelty is
+    one left-anti join + two doc-id counts. At 100 TB hash the grams
+    before the shuffle and keep the reference side as a persisted
+    distinct-gram store (it is the corpus-side artifact the incremental
+    band-store pattern already maintains).
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
+    )
+    ref = reference.select(
+        F.explode(word_ngrams(text_col, n)).alias("gram")
+    ).distinct()
+    novel = grams.join(ref, "gram", "left_anti").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
+    totals = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(novel, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.coalesce("n_novel", F.lit(0)),
+            ).alias("n_novel"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.expr("coalesce(n_novel, 0) * 1000000 div n_grams"),
+            ).alias("novelty_e6"),
+        )
+    )
+
+
 def span_dedup(
     df: DataFrame,
     span_words: int = 10,

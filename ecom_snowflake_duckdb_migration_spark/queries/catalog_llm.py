@@ -3883,3 +3883,63 @@ def x126_temperature_mix(spark, sf_dir):
         (F.col("source") < "src5") | (F.col("doc_id") % 2 == 0)
     )
     return temperature_mix(d, alpha_e6=500_000, seed=42)
+
+
+@register(
+    "x127_ngram_novelty",
+    # q63's gram fragments, scored: distinct 3-gram sets per doc, left
+    # anti the reference (source='src0') distinct set, e6 integer ratio.
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\\s+') AS t,
+               len(string_split_regex(lower(trim(text)), '\\s+')) AS n
+        FROM documents WHERE source <> 'src0'
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, n - 1),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS gram
+        FROM toks WHERE n >= 3
+    ),
+    ref AS (
+        SELECT DISTINCT unnest(list_distinct(list_transform(range(1, n - 1),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS gram
+        FROM (SELECT string_split_regex(lower(trim(text)), '\\s+') AS t,
+                     len(string_split_regex(lower(trim(text)), '\\s+')) AS n
+              FROM documents WHERE source = 'src0')
+        WHERE n >= 3
+    ),
+    novel AS (
+        SELECT doc_id, count(*) AS n_novel FROM grams
+        WHERE gram NOT IN (SELECT gram FROM ref)
+        GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(t.n_grams, 0) AS n_grams,
+           CASE WHEN coalesce(t.n_grams, 0) > 0
+                THEN coalesce(v.n_novel, 0) END AS n_novel,
+           CASE WHEN coalesce(t.n_grams, 0) > 0
+                THEN coalesce(v.n_novel, 0) * 1000000 // t.n_grams
+           END AS novelty_e6
+    FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+    LEFT JOIN totals t USING (doc_id)
+    LEFT JOIN novel v USING (doc_id)
+    """,
+    doc="N-gram novelty scoring (operators.text.ngram_novelty): fraction "
+    "of each corpus doc's distinct 3-grams absent from the src0 "
+    "reference slice — the data-valuation signal novelty-based "
+    "selection ranks on; the scoring complement of q63's binary "
+    "decontamination flag. Distinct-gram reduction both sides, one "
+    "anti join, two doc-id counts; grams hash at scale and the "
+    "reference set persists as a distinct-gram store.",
+    tags=("LLM", "quality", "pipeline"),
+)
+def x127_ngram_novelty(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return tx.ngram_novelty(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        n=3,
+    )

@@ -2775,3 +2775,25 @@ def test_temperature_mix_rates_and_edges(spark):
 
     with pytest.raises(ValueError, match="alpha_e6"):
         sp_.temperature_mix(df, alpha_e6=2_000_000)
+
+
+def test_ngram_novelty_semantics(spark):
+    """Novelty = fraction of distinct n-grams absent from the reference:
+    a verbatim reference copy scores 0, fresh text scores 1e6, mixtures
+    land proportionally; short docs get 0 grams and NULL novelty."""
+    ref = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),      # all 3 grams known -> 0
+        (2, "zeta eta theta iota kappa"),            # all 3 novel -> 1e6
+        (3, "alpha beta gamma zeta eta"),            # 1 known of 3
+        (4, "too short"),                            # < 3 words
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in tx.ngram_novelty(df, ref, n=3).collect()}
+    assert out[1].novelty_e6 == 0 and out[1].n_grams == 3
+    assert out[2].novelty_e6 == 1_000_000
+    assert out[3].n_grams == 3 and out[3].n_novel == 2
+    assert out[3].novelty_e6 == 2_000_000 // 3
+    assert out[4].n_grams == 0 and out[4].novelty_e6 is None
