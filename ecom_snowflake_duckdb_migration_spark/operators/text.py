@@ -1410,6 +1410,89 @@ def unicode_normalize(
     return df.select(id_col, text_col).mapInPandas(run, out_schema)
 
 
+def cdc_dedup(
+    df: DataFrame,
+    window: int = 3,
+    boundary_hex_prefixes: tuple[str, ...] = ("0", "1"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined-chunking dedup (the Rabin/FastCDC idea storage
+    dedup systems use, at word granularity): a chunk boundary falls
+    after word ``i`` wherever the hash of the trailing ``window``-word
+    context starts with one of ``boundary_hex_prefixes`` (expected chunk
+    length ``16 / len(prefixes)`` words), then only the globally FIRST
+    occurrence of each chunk survives and documents reassemble from
+    their kept chunks.
+
+    Why not fixed tiles (``span_dedup``): one inserted word shifts every
+    later FIXED tile, so two docs differing by one early insertion share no
+    tiles at all — CDC boundaries are functions of local content, so
+    chunks re-align right after the edit and the shared tail still
+    dedups. Returns ``(id_col, clean_text, n_chunks, n_removed)`` for
+    every input document.
+
+    Relational shape: words explode once; the boundary flag is a
+    scan-side md5 of the 3-word context; chunk ids are a per-DOCUMENT
+    running sum (window partitioned by doc — bounded by document
+    length, never global); then the span_dedup keep-first machinery
+    (chunk-text rank + ordered reassembly). At 100 TB hash chunk text
+    before the rank shuffle.
+    """
+    from pyspark.sql import Window
+
+    w = window
+    words = f"split(trim(coalesce({text_col}, '')), '\\\\s+')"
+    prefixes = ", ".join(f"'{p}'" for p in boundary_hex_prefixes)
+    pos_words = df.select(
+        F.col(id_col),
+        F.posexplode(F.expr(words)).alias("pos0", "word"),
+        F.expr(
+            # boundary AFTER this word: hash of the trailing w-word
+            # context opens with a boundary prefix (1-based pos = pos0+1)
+            f"transform(sequence(1, size({words})), i -> CASE WHEN i >= {w}"
+            f" AND substr(md5(concat_ws(' ',"
+            f" slice({words}, i - {w} + 1, {w}))), 1, 1) IN ({prefixes})"
+            f" THEN 1 ELSE 0 END)"
+        ).alias("_bflags"),
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).alias("pos"),
+        "word",
+        F.element_at("_bflags", F.col("pos0") + 1).alias("_b"),
+    )
+    wcum = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = pos_words.withColumn(
+        "chunk_idx", F.coalesce(F.sum("_b").over(wcum), F.lit(0))
+    )
+    chunks = chunked.groupBy(id_col, "chunk_idx").agg(
+        F.concat_ws(
+            " ",
+            F.expr("transform(array_sort(collect_list(struct(pos, word))), s -> s.word)"),
+        ).alias("chunk"),
+    )
+    wk = Window.partitionBy("chunk").orderBy(F.col(id_col), F.col("chunk_idx"))
+    kept = chunks.withColumn("rn", F.row_number().over(wk)).filter(F.col("rn") == 1)
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.expr("transform(array_sort(collect_list(struct(chunk_idx, chunk))), s -> s.chunk)"),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = chunks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_chunks"))
+    return totals.join(reassembled, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_chunks",
+        (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+    )
+
+
 def exact_substring_dedup(
     df: DataFrame,
     k: int = 15,

@@ -3943,3 +3943,74 @@ def x127_ngram_novelty(spark, sf_dir):
         d.filter(F.col("source") == "src0"),
         n=3,
     )
+
+
+@register(
+    "x128_cdc_dedup",
+    # Same word-split as x81/x118; boundaries are md5-of-context string
+    # compares (identical in both engines), chunk ids a per-doc running
+    # sum, then the keep-first rank + ordered reassembly fragments.
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               string_split_regex(regexp_replace(regexp_replace(
+                   coalesce(text, ''), '^\\s+', ''), '\\s+$', ''),
+                   '\\s+') AS t
+        FROM documents
+    ),
+    posw AS (
+        SELECT doc_id, CAST(i.g AS INTEGER) AS pos, t[i.g] AS word,
+               CASE WHEN i.g >= 3 AND substr(md5(
+                        t[i.g - 2] || ' ' || t[i.g - 1] || ' ' || t[i.g]),
+                        1, 1) IN ('0', '1')
+                    THEN 1 ELSE 0 END AS b
+        FROM base, unnest(range(1, len(t) + 1)) AS i(g)
+    ),
+    chunked AS (
+        SELECT doc_id, pos, word,
+               coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS chunk_idx
+        FROM posw
+    ),
+    chunks AS (
+        SELECT doc_id, chunk_idx,
+               string_agg(word, ' ' ORDER BY pos) AS chunk
+        FROM chunked GROUP BY doc_id, chunk_idx
+    ),
+    kept AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY chunk
+                          ORDER BY doc_id, chunk_idx) AS rn
+            FROM chunks
+        ) WHERE rn = 1
+    ),
+    reassembled AS (
+        SELECT doc_id,
+               string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    ),
+    totals AS (
+        SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           t.n_chunks,
+           t.n_chunks - coalesce(r.n_kept, 0) AS n_removed
+    FROM totals t LEFT JOIN reassembled r USING (doc_id)
+    """,
+    doc="Content-defined-chunking dedup (operators.text.cdc_dedup): "
+    "Rabin/FastCDC-style boundaries fall where the md5 of the trailing "
+    "3-word context opens with '0'/'1' (expected 8-word chunks), and "
+    "only each chunk's globally first occurrence survives. Unlike "
+    "x81's fixed tiles, boundaries are functions of LOCAL content, so "
+    "an early insertion re-aligns within one chunk and the shared tail "
+    "still dedups — the insert-robust member of the span-dedup family. "
+    "Scan-side boundary hash, per-DOC running sum (never a global "
+    "window), then the keep-first rank + ordered reassembly.",
+    tags=("LLM", "dedup"),
+)
+def x128_cdc_dedup(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return tx.cdc_dedup(d, window=3)

@@ -2797,3 +2797,37 @@ def test_ngram_novelty_semantics(spark):
     assert out[3].n_grams == 3 and out[3].n_novel == 2
     assert out[3].novelty_e6 == 2_000_000 // 3
     assert out[4].n_grams == 0 and out[4].novelty_e6 is None
+
+
+def test_cdc_dedup_insert_robust(spark):
+    """The CDC property: a one-word insertion at the head re-aligns
+    within a chunk, so the shared tail still dedups — where fixed tiling
+    (span_dedup) shares nothing. Identical docs dedup fully; boundaries
+    are deterministic."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    vocab = [f"w{i}" for i in range(50)]
+    body = " ".join(rng.choice(vocab, 120))
+    rows = [
+        (1, body),
+        (2, "INSERTED " + body),   # head insertion
+        (3, body),                  # exact copy of 1
+        (4, " ".join(rng.choice(vocab, 40))),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in tx.cdc_dedup(df, window=3).collect()}
+    # exact copy dedups completely
+    assert out[3].clean_text == "" and out[3].n_removed == out[3].n_chunks
+    # head-inserted twin still sheds MOST of its chunks (tail re-aligns)
+    assert out[2].n_removed >= out[2].n_chunks - 2 > 0
+    # the first occurrence keeps everything
+    assert out[1].n_removed == 0 and out[1].clean_text == body
+    # span_dedup's fixed tiles CANNOT dedup the shifted twin's interior
+    sp_out = {r.doc_id: r for r in tx.span_dedup(
+        df.filter("doc_id in (1, 2)"), span_words=8
+    ).collect()}
+    assert sp_out[2].n_removed == 0  # fixed tiling misses every tile
+    # determinism
+    again = {r.doc_id: r.clean_text for r in tx.cdc_dedup(df, window=3).collect()}
+    assert again == {k: v.clean_text for k, v in out.items()}
