@@ -151,6 +151,17 @@ def main() -> int:
             sim.make_centroids(64, 1, seed=7)[0],
             k=10,
         ),
+        "ivfadc_knn_join": lambda: sim.ivfadc_knn_join(
+            emb, queries, cents,
+            sim.make_pq_codebooks(64, 4, 4, seed=42), k=5, nprobe=4,
+        ),
+        "split_leakage_guard": lambda: tx.split_leakage_guard(
+            docs, {"train": 800_000, "val": 100_000, "test": 100_000},
+            seed=7,
+        ),
+        "temperature_mix": lambda: sp.temperature_mix(docs, alpha_e6=500_000),
+        "ngram_novelty": lambda: tx.ngram_novelty(corpus, bench, n=3),
+        "cdc_dedup": lambda: tx.cdc_dedup(docs, window=3),
     }
     results = {}
     if mode == "crossover":
