@@ -131,9 +131,17 @@ def _bmp_rle_indexed(data: np.ndarray, w: int, h: int, bits: int) -> np.ndarray:
         elif val == 1:  # end of bitmap
             break
         elif val == 2:  # delta
+            # the (dx, dy) pair must re-check bounds: a truncated stream
+            # would raise IndexError instead of the decoder's ValueError
+            # contract, and an unchecked move past (w, h) would defer the
+            # failure to whichever run happens to follow
+            if i + 1 >= n:
+                raise ValueError("RLE delta truncated")
             x += int(data[i])
             y += int(data[i + 1])
             i += 2
+            if x > w or y > h:
+                raise ValueError("RLE delta moves outside the bitmap")
         else:  # absolute run of `val` pixels
             if y >= h or x + val > w:
                 raise ValueError("RLE absolute run overflows the bitmap")

@@ -1306,6 +1306,12 @@ def ann_topk_pq(
     rows; exact re-rank of the ADC top-N is the standard refinement.
     """
     dotT, nrm2T, qn = pq_adc_tables(codebooks, query_vec)
+    if qn == 0.0:
+        # degenerate-query contract shared with the IVFADC paths (which
+        # filter _qn > 0): a zero query has no cosine direction, and the
+        # 0/0 = NaN scores would otherwise sort LARGEST under DESC,
+        # returning k arbitrary rows
+        raise ValueError("zero-norm query vector: ADC cosine is undefined")
     m = len(codebooks)
     codes = F.col(codes_col)
     dot_acc = F.lit(0.0)

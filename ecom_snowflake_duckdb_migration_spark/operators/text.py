@@ -1375,9 +1375,12 @@ def unicode_normalize(
         raise ValueError(f"unknown normalization form {form!r}")
     from pyspark.sql.types import BooleanType
 
+    # id field copied from the INPUT schema (like the similarity pandas
+    # kernels): hardcoding LongType would break/miscast int or string ids
+    id_field = [f for f in df.schema.fields if f.name == id_col][0]
     out_schema = StructType(
         [
-            StructField(id_col, LongType()),
+            id_field,
             StructField("text_norm", StringType()),
             StructField("changed", BooleanType()),
             StructField("n_chars_raw", LongType()),

@@ -3296,6 +3296,11 @@ def _x120_oracle(drop_frac_e6: int, dim: int, n_centroids: int, seed: int = 42) 
     argmax = "CASE " + " ".join(
         f"WHEN s{i} = best THEN {i}" for i in range(n_centroids)
     ) + " END"
+    # the operator drops NULL cells (assign_cell gives NULL/zero-norm
+    # vectors no cell); the guard below mirrors that BY CONSTRUCTION
+    # (best IS NOT NULL for NULL vectors, norm > 0 for zero vectors)
+    # rather than relying on the fixtures having no degenerate rows
+    nv = "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
     return f"""
     WITH scored AS (
         SELECT vec_id, embedding,
@@ -3305,6 +3310,7 @@ def _x120_oracle(drop_frac_e6: int, dim: int, n_centroids: int, seed: int = 42) 
     assigned AS (
         SELECT vec_id, {argmax} AS cell, best AS csim
         FROM (SELECT *, greatest({all_s}) AS best FROM scored)
+        WHERE best IS NOT NULL AND {nv} > 0
     ),
     ranked AS (
         SELECT vec_id, cell,
