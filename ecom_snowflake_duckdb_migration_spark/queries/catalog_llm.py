@@ -3502,28 +3502,41 @@ def x122_pq_topk(spark, sf_dir):
 def _x123_oracle(
     k: int, dim: int, n_centroids: int, nprobe: int, n_queries: int
 ) -> str:
-    """DuckDB twin of ivfadc_knn_join(method='expr'): x82's coarse-cell
-    assignment + probe fragments, x121's PQ-encode fragment on the item
-    side plus a reconstruction-norm chain of CAST-to-DOUBLE literal
-    lookups, and per-query ADC dot tables as computed columns — the
-    lookup indexes into a list_value of those columns by code. Every
-    double is the same left-to-right fold the operator inlines."""
+    """DuckDB twin of RESIDUAL ivfadc_knn_join(method='expr'): x82's
+    coarse-cell assignment + probe fragments (ties to the LOWEST cell,
+    matching the operator's (sim, -cell) struct); item PQ codes are the
+    residual argmax — raw subspace dot (explicit left-assoc chain) minus
+    the per-(cell, subspace, code) adjustment literal of
+    ``ivfadc_residual_tables``, indexed by cell — and the reconstruction
+    norm indexes the same function's ``crn2T`` by [cell][code]. Per-query
+    ADC dot tables ride as computed columns plus the full-dim
+    query·centroid dots (the residual coarse term, seeding the ADC fold);
+    every double is the same left-to-right fold the operator inlines,
+    string-cast so DuckDB parses it exactly."""
     cents = sim.make_centroids(dim, n_centroids, seed=42)
     books = sim.make_pq_codebooks(dim, _PQ_M, _PQ_K, seed=42)
+    adjT, crn2T = sim.ivfadc_residual_tables(cents, books)
     dsub = dim // _PQ_M
 
     def clist(c: list[float]) -> str:
         return "[" + ", ".join(repr(float(x)) for x in c) + "]"
 
+    def dlist(vals: list[float]) -> str:
+        # scalar lookup tables: string-parse so every entry is exact
+        return "[" + ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in vals) + "]"
+
+    def dot64(vec: str, c: list[float]) -> str:
+        # full-dim literal dot: list_sum matches Spark's fold at 64 elems
+        return (
+            f"list_sum(list_transform(range(1, len({vec}) + 1),"
+            f" i -> CAST({vec}[i] AS DOUBLE) * ({clist(c)})[i]))"
+        )
+
     def cos_lit(vec: str, c: list[float]) -> str:
         lst = clist(c)
-        dot = (
-            f"list_sum(list_transform(range(1, len({vec}) + 1),"
-            f" i -> CAST({vec}[i] AS DOUBLE) * ({lst})[i]))"
-        )
         nv = f"sqrt(list_sum(list_transform({vec}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
         nc = f"sqrt(list_sum(list_transform({lst}, x -> x * x)))"
-        return f"({dot} / ({nv} * {nc}))"
+        return f"({dot64(vec, c)} / ({nv} * {nc}))"
 
     cell_sims = ",\n               ".join(
         f"{cos_lit('embedding', c)} AS cs{i}" for i, c in enumerate(cents)
@@ -3532,16 +3545,37 @@ def _x123_oracle(
     cell_argmax = "CASE " + " ".join(
         f"WHEN cs{i} = best THEN {i}" for i in range(n_centroids)
     ) + " END"
-    pq_scores, pq_codes = _pq_encode_fragment(books)
-    code_cols = ",\n               ".join(
-        f"{e} AS c{s}" for s, e in enumerate(pq_codes)
-    )
-    rn2 = "CAST(0.0 AS DOUBLE)"
+    nv_item = "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    # residual PQ scores: raw subspace dot minus the adj[cell][s][j]
+    # literal (dot(cent_s, B_sj) + ||B_sj||^2/2), indexed by cell
+    score_defs, code_exprs = [], []
     for s, book in enumerate(books):
-        lst = "[" + ", ".join(
-            f"CAST('{sim.sq_norm_lit(c)!r}' AS DOUBLE)" for c in book
+        names = []
+        for j, b in enumerate(book):
+            adj = dlist([adjT[c][s][j] for c in range(n_centroids)])
+            score_defs.append(
+                f"{_pq_dot_sql('embedding', s * dsub, b)}"
+                f" - ({adj})[cell + 1] AS s{s}_{j}"
+            )
+            names.append(f"s{s}_{j}")
+        best = f"greatest({', '.join(names)})"
+        code_exprs.append(
+            "CASE "
+            + " ".join(f"WHEN {n} = {best} THEN {j}" for j, n in enumerate(names))
+            + " END"
+        )
+    pq_scores = ",\n               ".join(score_defs)
+    code_cols = ",\n               ".join(
+        f"{e} AS c{s}" for s, e in enumerate(code_exprs)
+    )
+    # reconstruction norm: crn2T[cell][code_s] nested-literal lookups
+    rn2 = "CAST(0.0 AS DOUBLE)"
+    for s in range(_PQ_M):
+        nested = "[" + ", ".join(
+            dlist([crn2T[c][s][j] for j in range(_PQ_K)])
+            for c in range(n_centroids)
         ) + "]"
-        rn2 = f"({rn2} + ({lst})[c{s} + 1])"
+        rn2 = f"({rn2} + ({nested})[cell + 1][c{s} + 1])"
     probe_union = "\n            UNION ALL ".join(
         f"SELECT q_id, {i} AS cell, cs{i} AS sim FROM qsims"
         for i in range(n_centroids)
@@ -3551,8 +3585,12 @@ def _x123_oracle(
         for s, book in enumerate(books)
         for j, c in enumerate(book)
     )
+    q_cdots = ",\n               ".join(
+        f"{dot64('qe', c)} AS qd{i}" for i, c in enumerate(cents)
+    )
     qnorm = "sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-    adc = "CAST(0.0 AS DOUBLE)"
+    qd_all = ", ".join(f"q.qd{i}" for i in range(n_centroids))
+    adc = f"([{qd_all}])[pc.cell + 1]"
     for s in range(_PQ_M):
         lv = ", ".join(f"q.d{s}_{j}" for j in range(_PQ_K))
         adc = f"({adc} + ([{lv}])[a.c{s} + 1])"
@@ -3565,19 +3603,20 @@ def _x123_oracle(
     celled AS (
         SELECT vec_id, embedding, {cell_argmax} AS cell
         FROM (SELECT *, greatest({all_cs}) AS best FROM cellscored)
-    ),
-    pqscored AS (
-        SELECT vec_id,
-               {pq_scores}
-        FROM embeddings
+        WHERE best IS NOT NULL AND {nv_item} > 0
     ),
     items AS (
-        SELECT c.vec_id, c.cell,
+        SELECT vec_id, cell,
+               {pq_scores}
+        FROM celled
+    ),
+    coded AS (
+        SELECT vec_id, cell,
                {code_cols}
-        FROM celled c JOIN pqscored USING (vec_id)
+        FROM items
     ),
     items_rn AS (
-        SELECT *, {rn2} AS rn2 FROM items
+        SELECT *, {rn2} AS rn2 FROM coded
     ),
     qsims AS (
         SELECT vec_id AS q_id, embedding AS qe,
@@ -3588,15 +3627,17 @@ def _x123_oracle(
         SELECT q_id, cell FROM (
             SELECT q_id, cell, sim,
                    row_number() OVER (PARTITION BY q_id
-                                      ORDER BY sim DESC, cell DESC) AS rn
+                                      ORDER BY sim DESC, cell ASC) AS rn
             FROM ({probe_union})
         ) WHERE rn <= {nprobe}
     ),
     qtab AS (
         SELECT vec_id AS q_id, {qnorm} AS qn,
+               {q_cdots},
                {q_dott}
         FROM (SELECT vec_id, embedding AS qe FROM embeddings
               WHERE vec_id < {n_queries})
+        WHERE {qnorm} > 0
     ),
     cand AS (
         SELECT q.q_id, a.vec_id,
@@ -3617,18 +3658,23 @@ def _x123_oracle(
 @register(
     "x123_ivfadc_knn",
     oracle=_x123_oracle(k=5, dim=64, n_centroids=8, nprobe=4, n_queries=5),
-    doc="IVFADC batch search (Jégou et al. 2011 §IV; "
-    "operators.similarity.ivfadc_knn_join): the paper's full system — "
-    "coarse IVF cells prune each query's scan to nprobe cells, and "
-    "candidates score by ADC over their PQ codes: m element_at lookups "
-    "into the query's inlined dot table instead of a 64-term dot, with "
-    "item float vectors never read past encode time. Item side is the "
-    "production index shape (id, cell, m codes, reconstruction norm); "
-    "queries explode to (q_id, cell) and meet it in the same cell "
-    "equi-join as x82, so bucketed-by-cell storage keeps it "
-    "exchange-free. Seeded codebooks make index, probe, tables, and "
-    "ranking oracle-checked end to end; the numpy twin (auto above 16 "
-    "cells / 32 codes) is pinned to this path in pytest.",
+    doc="IVFADC batch search with residual encoding (Jégou et al. 2011 "
+    "§IV; operators.similarity.ivfadc_knn_join): the paper's full "
+    "system — coarse IVF cells prune each query's scan to nprobe cells, "
+    "item codes quantize the RESIDUAL v - centroid(cell) (the paper's "
+    "§IV quantizer: raw-vector PQ wastes code budget re-encoding each "
+    "cell's offset), and candidates score by ADC: the query·centroid "
+    "dot plus m element_at lookups into the query's inlined dot table "
+    "instead of a 64-term dot, with item float vectors never read past "
+    "encode time. Residual encoding keeps the index shape (id, cell, m "
+    "codes, reconstruction norm) — the per-(cell,subspace,code) "
+    "adjustment/norm tables are driver constants shared verbatim with "
+    "the oracle (ivfadc_residual_tables). Queries explode to (q_id, "
+    "cell) and meet items in the same cell equi-join as x82, so "
+    "bucketed-by-cell storage keeps it exchange-free. Seeded codebooks "
+    "make index, probe, tables, and ranking oracle-checked end to end; "
+    "the numpy twin (auto above 16 cells / 32 codes) is pinned to this "
+    "path and to an explicit-residual numpy reference in pytest.",
     tags=("LLM", "similarity", "knn", "ann"),
 )
 def x123_ivfadc_knn(spark, sf_dir):

@@ -230,6 +230,65 @@ def main() -> int:
           f"rerank100={pq['recall_at_10_rerank100']} probe={best:.3f}s",
           flush=True)
 
+    # residual IVFADC at the production geometry (round-10): codebooks
+    # train on the residuals v - centroid(cell) (Jégou §IV's trainer),
+    # the item side persists once (the real index build), and recall is
+    # swept over nprobe including nprobe = n_cells — the exhaustive
+    # point that isolates residual-vs-raw quantization quality from IVF
+    # pruning loss (compare to pq.recall_at_10_adc above, the raw-vector
+    # exhaustive number).
+    t0 = time.perf_counter()
+    rbooks = sim.train_residual_pq_codebooks(
+        emb, centroids, m=8, k=256, sample_n=20000, seed=42
+    )
+    ivfadc_train_sec = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    item_side = sim._ivfadc_item_side(
+        emb, centroids, rbooks, "embedding", "vec_id", "pandas"
+    ).localCheckpoint(eager=True)
+    ivfadc_encode_sec = round(time.perf_counter() - t0, 2)
+    print(f"ivfadc residual books {ivfadc_train_sec}s encode {ivfadc_encode_sec}s",
+          flush=True)
+    ivfadc_sweep = {}
+    for nprobe in (8, 16, 32, n_cells):
+        qcells = sim._ivfadc_query_cells(
+            queries, centroids, rbooks, nprobe, "qe", "q_id", "pandas"
+        )
+        res = sim._ivfadc_score_topk(qcells, item_side, rbooks, k, "vec_id", "q_id")
+        got = {}
+        for r in res.collect():
+            got.setdefault(r.q_id, set()).add(r.vec_id)
+        best = None
+        for _ in range(5):
+            t0 = time.perf_counter()
+            sim._ivfadc_score_topk(
+                sim._ivfadc_query_cells(
+                    queries, centroids, rbooks, nprobe, "qe", "q_id", "pandas"
+                ),
+                item_side, rbooks, k, "vec_id", "q_id",
+            ).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        recall = round(
+            sum(
+                len(got.get(int(qi), set()) & truth[int(qi)]) / k
+                for qi in ids[:n_queries]
+            )
+            / n_queries,
+            4,
+        )
+        ivfadc_sweep[str(nprobe)] = {
+            "recall_at_10": recall, "probe_sec": round(best, 3),
+            "scored_fraction": round(nprobe / n_cells, 4),
+        }
+        print(f"ivfadc nprobe={nprobe}: recall@10={recall} probe={best:.3f}s",
+              flush=True)
+    ivfadc = {
+        "m": 8, "k_codes": 256, "code_bits": 64, "residual_encoded": True,
+        "train_sec": ivfadc_train_sec, "encode_sec": ivfadc_encode_sec,
+        "n_queries": n_queries, "sweep": ivfadc_sweep,
+    }
+
     out = {
         "sf_dir": sf_dir,
         "geometry": "10 seeded ~0.82-cosine perturbations per committed "
@@ -241,6 +300,7 @@ def main() -> int:
         "sweep_bigbatch_1000q": sweep_big,
         "store_write_sec": store_write_sec, "store_probe": store_probe,
         "pq": pq,
+        "ivfadc": ivfadc,
         "timing": "probe_sec is min-of-5 warm collects (round-8's "
                   "single-sample timing made host interference read as "
                   "non-monotone probe cost)",
