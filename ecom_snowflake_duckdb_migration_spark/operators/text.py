@@ -1435,8 +1435,15 @@ def cdc_dedup(
     dedups. Returns ``(id_col, clean_text, n_chunks, n_removed)`` for
     every input document.
 
-    Relational shape: words explode once; the boundary flag is a
-    scan-side md5 of the 3-word context; chunk ids are a per-DOCUMENT
+    Relational shape: each document generates (pos, word, boundary)
+    structs in ONE let-bound transform over its word array, then
+    explodes — the exploded rows carry O(1) state each (the round-9
+    version projected the per-document flag array ALONGSIDE the
+    explode, so every word row dragged the full O(|words|) array
+    through the Generate: O(words^2) cells per document — a 100k-word
+    document pushed ~10^10 cells). The boundary flag is still a
+    scan-side md5 of the w-word trailing context (computed inside the
+    lambda from a length-``w`` slice); chunk ids are a per-DOCUMENT
     running sum (window partitioned by doc — bounded by document
     length, never global); then the span_dedup keep-first machinery
     (chunk-text rank + ordered reassembly). At 100 TB hash chunk text
@@ -1447,22 +1454,25 @@ def cdc_dedup(
     w = window
     words = f"split(trim(coalesce({text_col}, '')), '\\\\s+')"
     prefixes = ", ".join(f"'{p}'" for p in boundary_hex_prefixes)
+    # let-bind the split through a one-element transform (the
+    # _hashed_presence_features device) so it evaluates once per row,
+    # then build (pos, word, b) structs: the Generate's INPUT row holds
+    # the word array once; its output rows are O(1) wide.
+    struct_arr = F.expr(
+        f"get(transform(array({words}), ws ->"
+        f" transform(sequence(1, size(ws)), i -> struct("
+        f" i AS pos, element_at(ws, i) AS word,"
+        f" CASE WHEN i >= {w} AND substr(md5(concat_ws(' ',"
+        f" slice(ws, i - {w} + 1, {w}))), 1, 1) IN ({prefixes})"
+        f" THEN 1 ELSE 0 END AS b))), 0)"
+    )
     pos_words = df.select(
-        F.col(id_col),
-        F.posexplode(F.expr(words)).alias("pos0", "word"),
-        F.expr(
-            # boundary AFTER this word: hash of the trailing w-word
-            # context opens with a boundary prefix (1-based pos = pos0+1)
-            f"transform(sequence(1, size({words})), i -> CASE WHEN i >= {w}"
-            f" AND substr(md5(concat_ws(' ',"
-            f" slice({words}, i - {w} + 1, {w}))), 1, 1) IN ({prefixes})"
-            f" THEN 1 ELSE 0 END)"
-        ).alias("_bflags"),
+        F.col(id_col), F.explode(struct_arr).alias("_s")
     ).select(
         id_col,
-        (F.col("pos0") + 1).alias("pos"),
-        "word",
-        F.element_at("_bflags", F.col("pos0") + 1).alias("_b"),
+        F.col("_s.pos").alias("pos"),
+        F.col("_s.word").alias("word"),
+        F.col("_s.b").alias("_b"),
     )
     wcum = (
         Window.partitionBy(id_col)

@@ -190,6 +190,45 @@ def main() -> int:
                 "(corpus_celled=True); store_build_sec is the one-time cost"
             )
         print(f"{name}: {results[name]}", flush=True)
+
+    # round-10: long-document scaling probe for cdc_dedup — the round-9
+    # shape projected the per-document boundary-flag array ALONGSIDE the
+    # explode (O(words^2) cells through the Generate); the struct-explode
+    # rewrite is linear. 10k-word docs at 4x the words of the 2.5k
+    # baseline must cost ~4x, not ~16x.
+    if mode != "crossover":
+        import numpy as np
+
+        rng = np.random.RandomState(5)
+        vocab = [f"w{k}" for k in range(500)]
+
+        def longdocs(n_docs, n_words):
+            rows = [
+                (i, " ".join(rng.choice(vocab, n_words).tolist()))
+                for i in range(n_docs)
+            ]
+            return (
+                spark.createDataFrame(rows, "doc_id long, text string")
+                .repartition(par)
+                .localCheckpoint(eager=True)
+            )
+
+        d_small = longdocs(64, 10000)
+        d_big = longdocs(64, 40000)
+        tx.cdc_dedup(d_small, window=3).count()  # warm
+        t_small = min(_timed(lambda: tx.cdc_dedup(d_small, window=3)) for _ in range(3))
+        t_big = min(_timed(lambda: tx.cdc_dedup(d_big, window=3)) for _ in range(3))
+        results["cdc_dedup_longdoc"] = {
+            "docs": 64, "words_small": 10000, "words_big": 40000,
+            "small_best_sec": round(t_small, 4),
+            "big_best_sec": round(t_big, 4),
+            "time_ratio_at_4x_words": round(t_big / t_small, 2),
+            "note": "linear-scaling pin: ratio <= ~4 means O(words); the "
+            "round-9 flag-array shape was O(words^2) per doc (a 40k-word "
+            "doc would push 1.6e9 array cells through the Generate)",
+        }
+        print(f"cdc_dedup_longdoc: {results['cdc_dedup_longdoc']}", flush=True)
+
     # Incremental-vs-recompute crossover (judge round-6 ask): at sf0.1 both
     # paths are codegen-floor-bound (the probe's two chained cell-join
     # sub-plans pay ~2 stages of expression compile on a 400-row batch), so
