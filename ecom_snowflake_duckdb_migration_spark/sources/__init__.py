@@ -1,7 +1,7 @@
 """Sources and sinks: readers (S1-S3), writers/materialization (S4-S7, S9-S10,
 S12), and incremental-load operators (S8, S11, A11)."""
 
-from .compaction import compact_parquet, parquet_file_stats
+from .compaction import compact_cell_store, compact_parquet, parquet_file_stats
 from .readers import (
     flatten_json_columns,
     read_csv,
@@ -39,6 +39,7 @@ __all__ = [
     "SnapshotTable",
     "align_union",
     "backfill_id_column",
+    "compact_cell_store",
     "compact_parquet",
     "create_typed_table",
     "create_view",

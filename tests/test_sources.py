@@ -536,16 +536,91 @@ def test_bucketed_same_session_source_change_rebuilds(spark, tmp_path):
 
 
 def test_compact_parquet_recovers_from_torn_swap(spark, tmp_path):
-    """Crash between the two swap renames leaves only '.old': the next
-    compact restores it and proceeds (sketch_store recovery contract)."""
+    """Crash between the two swap renames leaves only the hidden '.old'
+    scratch: the next compact restores it and proceeds (sketch_store
+    recovery contract). Scratch names are dot-prefixed SIBLINGS
+    ('.torn.old') so partition discovery over a parent store never lists
+    them."""
     import os
 
     from ecom_snowflake_duckdb_migration_spark.sources import compact_parquet
 
     path = str(tmp_path / "torn")
     spark.range(1000).write.parquet(path)
-    os.rename(path, path + ".old")  # simulate crash after rename 1
+    os.rename(path, str(tmp_path / ".torn.old"))  # simulate crash after rename 1
     stats = compact_parquet(spark, path, target_file_bytes=1 << 30)
     assert stats["rows"] == 1000 and stats["files_after"] == 1
     assert spark.read.parquet(path).count() == 1000
-    assert not os.path.exists(path + ".old")
+    assert not os.path.exists(str(tmp_path / ".torn.old"))
+
+
+def test_compact_cell_store_ann_lifecycle(spark, tmp_path):
+    """Wiring compaction into the ANN store lifecycle: after appends grow
+    one-file-per-batch-per-cell, compact_cell_store bounds the per-cell
+    file count, probe results are IDENTICAL pre/post, quiet cells are
+    skipped, and a simulated mid-compaction state (hidden scratch dirs
+    present) is invisible to a store-root reader."""
+    import glob as _g
+    import shutil
+
+    import numpy as np
+
+    from ecom_snowflake_duckdb_migration_spark.operators import similarity as sim
+    from ecom_snowflake_duckdb_migration_spark.sources import compact_cell_store
+
+    rng = np.random.RandomState(4)
+    rows = [(i, rng.standard_normal(16).tolist()) for i in range(240)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = sim.make_centroids(16, 4, seed=1)
+    books = sim.make_pq_codebooks(16, 4, 4, seed=2)
+    path = str(tmp_path / "ivfadc")
+    sim.write_ivfadc_store(e.filter("vec_id < 80"), cents, books, path)
+    for lo in (80, 160):  # two weekly drops
+        sim.append_ivfadc_store(
+            e.filter(f"vec_id >= {lo} AND vec_id < {lo + 80}"), cents, books, path
+        )
+    qs = e.filter("vec_id < 5").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+
+    def probe():
+        return {
+            (r.q_id, r.vec_id, r.rnk)
+            for r in sim.probe_ivfadc_store(
+                spark, path, qs, cents, books, k=5, nprobe=2
+            ).collect()
+        }
+
+    before = probe()
+    assert before
+    files_per_cell = {
+        d: len(_g.glob(d + "/*.parquet")) for d in _g.glob(path + "/cell=*")
+    }
+    assert max(files_per_cell.values()) >= 3  # append creep is real
+    stats = compact_cell_store(spark, path, target_file_bytes=1 << 30)
+    assert stats["compacted"] >= 1
+    after_files = {
+        d: len(_g.glob(d + "/*.parquet")) for d in _g.glob(path + "/cell=*")
+    }
+    assert max(after_files.values()) == 1  # bounded per cell
+    assert probe() == before  # identical results post-compaction
+    # second pass: everything already compact -> all leaves skipped
+    stats2 = compact_cell_store(spark, path, target_file_bytes=1 << 30)
+    assert stats2["compacted"] == 0 and stats2["skipped"] == stats2["leaves"]
+
+    # mid-compaction visibility: hidden scratch siblings must be invisible
+    # to a root reader (partition discovery skips dot-prefixed dirs), so a
+    # concurrent probe sees only committed files
+    some_cell = sorted(_g.glob(path + "/cell=*"))[0]
+    name = some_cell.rsplit("/", 1)[1]
+    shutil.copytree(some_cell, f"{path}/.{name}.tmp")
+    shutil.copytree(some_cell, f"{path}/.{name}.old")
+    try:
+        assert probe() == before
+        cells = {
+            r.cell for r in spark.read.parquet(path).select("cell").distinct().collect()
+        }
+        assert all(str(c).isdigit() for c in cells)  # no '3.old' ghosts
+    finally:
+        shutil.rmtree(f"{path}/.{name}.tmp")
+        shutil.rmtree(f"{path}/.{name}.old")
