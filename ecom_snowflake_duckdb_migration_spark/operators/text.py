@@ -2715,42 +2715,7 @@ def quality_classifier_train(
 
         corpus = deterministic_sample(corpus, train_sample_e6, id_col=id_col, seed=seed)
         target = deterministic_sample(target, train_sample_e6, id_col=id_col, seed=seed)
-    # composite (_y, _id) doc key: corpus/target id spaces may overlap and
-    # the label disambiguates — no synthetic monotonic id, so no extra
-    # materialization is needed to keep the feats/labels join stable
-    labeled = corpus.select(
-        F.lit(0).alias("_y"), F.col(id_col).alias("_id"), F.col(text_col)
-    ).unionByName(
-        target.select(
-            F.lit(1).alias("_y"), F.col(id_col).alias("_id"), F.col(text_col)
-        )
-    )
-    # bias as the constant feature b = -1 on every doc, and the whole
-    # feature table folded to ONE ROW PER DOC (bucket array + label): an
-    # iteration is then a single job — margin and residual are per-row
-    # expressions against the literal weight array (no join, no doc-keyed
-    # shuffle), and the only exchange is the gradient groupBy, which
-    # map-side combines to <= n_buckets + 1 rows before collecting (the
-    # b = -1 row IS the bias gradient; no second pass). AQE sizes the
-    # checkpointed frame's partitions to the data.
-    doc_feats = (
-        _hashed_presence_features(
-            labeled, text_col, ["_y", "_id"], n_buckets, distinct=False
-        )
-        # collect_set = the distinct + list fold in ONE shuffle (set
-        # order is nondeterministic, but every consumer below is an
-        # order-independent integer sum)
-        .groupBy("_y", "_id")
-        .agg(F.collect_set("b").alias("bs"))
-        .join(labeled.select("_y", "_id"), ["_y", "_id"], "right")
-        .select(
-            F.col("_y").alias("y"),
-            F.concat(
-                F.array(F.lit(-1)), F.coalesce(F.col("bs"), F.array())
-            ).alias("bs"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    doc_feats = _classifier_doc_feats(corpus, target, text_col, id_col, n_buckets)
     n_docs = doc_feats.count()
     if n_docs == 0:
         return [0] * (n_buckets + 1)
@@ -2758,27 +2723,7 @@ def quality_classifier_train(
     w = [0] * (n_buckets + 1)  # e6 ints; [0] is the bias
 
     for _ in range(n_iters):
-        # weight lookup as a literal array indexed by bucket + 1 (0 = bias)
-        warr = F.lit([int(v) for v in w])
-        z = F.aggregate(
-            F.col("bs"),
-            F.lit(0).cast("long"),
-            lambda acc, b: acc + F.get(warr, b + F.lit(1)),
-        )
-        # margin z (exact integer) -> residual r = floor((sigmoid - y)*1e6)
-        r = F.floor(
-            F.lit(1.0)
-            / (
-                F.lit(1.0)
-                + F.exp(
-                    -F.greatest(
-                        F.lit(-30.0), F.least(F.lit(30.0), z / F.lit(1e6))
-                    )
-                )
-            )
-            * F.lit(1e6)
-            - F.col("y") * F.lit(1e6)
-        ).cast("long")
+        r = _classifier_residual(w)
         # persist barrier: projection collapse would otherwise push the
         # margin fold through the explode and recompute it per exploded
         # row (measured 2.7x); the cache fills inside the gradient job
@@ -2796,6 +2741,115 @@ def quality_classifier_train(
         for row in grad_rows:
             w[row["b"] + 1] -= int(round(lr * row["g_e6"] / n_docs))
     return w
+
+
+def _classifier_doc_feats(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """The trainer's per-doc feature frame ``(y, bs)``, checkpointed:
+    bias as the constant feature b = -1 on every doc, and the whole
+    feature table folded to ONE ROW PER DOC (bucket array + label) — an
+    iteration is then a single job: margin and residual are per-row
+    expressions against the literal weight array (no join, no doc-keyed
+    shuffle), and the only exchange is the gradient groupBy, which
+    map-side combines to <= n_buckets + 1 rows before collecting (the
+    b = -1 row IS the bias gradient; no second pass). AQE sizes the
+    checkpointed frame's partitions to the data.
+
+    Composite (_y, _id) doc key: corpus/target id spaces may overlap and
+    the label disambiguates — no synthetic monotonic id, so no extra
+    materialization is needed to keep the feats/labels join stable."""
+    labeled = corpus.select(
+        F.lit(0).alias("_y"), F.col(id_col).alias("_id"), F.col(text_col)
+    ).unionByName(
+        target.select(
+            F.lit(1).alias("_y"), F.col(id_col).alias("_id"), F.col(text_col)
+        )
+    )
+    return (
+        _hashed_presence_features(
+            labeled, text_col, ["_y", "_id"], n_buckets, distinct=False
+        )
+        # collect_set = the distinct + list fold in ONE shuffle (set
+        # order is nondeterministic, but every consumer below is an
+        # order-independent integer sum)
+        .groupBy("_y", "_id")
+        .agg(F.collect_set("b").alias("bs"))
+        .join(labeled.select("_y", "_id"), ["_y", "_id"], "right")
+        .select(
+            F.col("_y").alias("y"),
+            F.concat(
+                F.array(F.lit(-1)), F.coalesce(F.col("bs"), F.array())
+            ).alias("bs"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _classifier_residual(w: list[int]):
+    """Per-doc residual expression ``floor((sigmoid(z) - y) * 1e6)`` over
+    a ``(y, bs)`` feature row, with the margin z an EXACT integer sum of
+    the literal weight array's entries — the bit-reproducible core shared
+    by the trainer loop and :func:`quality_classifier_grad`."""
+    warr = F.lit([int(v) for v in w])
+    z = F.aggregate(
+        F.col("bs"),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.get(warr, b + F.lit(1)),
+    )
+    return F.floor(
+        F.lit(1.0)
+        / (
+            F.lit(1.0)
+            + F.exp(
+                -F.greatest(
+                    F.lit(-30.0), F.least(F.lit(30.0), z / F.lit(1e6))
+                )
+            )
+        )
+        * F.lit(1e6)
+        - F.col("y") * F.lit(1e6)
+    ).cast("long")
+
+
+def quality_classifier_grad(
+    corpus: DataFrame,
+    target: DataFrame,
+    weights_e6: list[int] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """ONE gradient step of :func:`quality_classifier_train`, exposed as
+    a DataFrame ``(b, g_e6)`` — bucket -1 is the bias gradient — so the
+    iteration's integer arithmetic is ORACLE-CHECKABLE: with the
+    trainer's zero init (``weights_e6=None``) the margin is exactly 0,
+    sigmoid(0) is exactly 0.5 in every engine (no libm exp in the data
+    path), and the residual is the exact integer ``500000 - y*1000000``,
+    so the per-bucket sums are cross-engine bit-identical. This pins the
+    estimator's feature hashing, bias handling, and residual
+    quantization in DuckDB SQL (the x93 one-iteration-BPE pattern);
+    full training remains pytest-pinned (bit-determinism at any
+    parallelism) since the LOOP has no SQL twin.
+
+    Same scale shape as one trainer iteration: one explode + one
+    map-side-combined bucket groupBy bounded at n_buckets + 1 rows.
+    (The one-shot form skips the trainer's persist barrier — the margin
+    recompute it avoids only matters when the frame is iterated.)"""
+    w = weights_e6 if weights_e6 is not None else [0] * (n_buckets + 1)
+    if len(w) != n_buckets + 1:
+        raise ValueError(f"weights length {len(w)} != n_buckets + 1")
+    doc_feats = _classifier_doc_feats(corpus, target, text_col, id_col, n_buckets)
+    return (
+        doc_feats.select(_classifier_residual(w).alias("r_e6"), "bs")
+        .select("r_e6", F.explode("bs").alias("b"))
+        .groupBy("b")
+        .agg(F.sum("r_e6").alias("g_e6"))
+    )
 
 
 def quality_classifier_score(

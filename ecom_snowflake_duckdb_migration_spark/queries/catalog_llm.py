@@ -4066,3 +4066,81 @@ def x127_ngram_novelty(spark, sf_dir):
 def x128_cdc_dedup(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return tx.cdc_dedup(d, window=3)
+
+
+_X129_B = 512
+
+# One GD step of the x110 quality classifier, at the trainer's ZERO
+# init: the margin is the exact-integer sum of zero weights = 0, so
+# sigmoid is exp(0) — exact in every libm — and the residual is the
+# exact integer 500000 - y*1000000. The oracle is x91's feature chain
+# (same split/bigrams/h60 buckets) made per-doc-DISTINCT plus the bias
+# bucket -1, then the residual-weighted bucket sum. This pins the
+# estimator's feature hashing, bias handling, and residual quantization
+# in SQL (the x93 one-iteration-BPE pattern); the LOOP stays rows-only
+# in x110 (pytest-pinned bit-determinism).
+_X129_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               string_split_regex(trim(coalesce(text, '')), '\\s+') AS t
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, source, unnest(t) AS g FROM tok
+        UNION ALL
+        SELECT doc_id, source,
+               unnest([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))])
+                   AS g
+        FROM tok WHERE len(t) >= 2
+    ),
+    db AS (
+        SELECT DISTINCT CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y,
+               doc_id,
+               CAST(('0x' || substr(md5(CAST(g AS VARCHAR)),1,15)) AS BIGINT)
+                   % {_X129_B} AS b
+        FROM feats
+        UNION ALL
+        SELECT CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y,
+               doc_id, CAST(-1 AS BIGINT) AS b
+        FROM documents
+    ),
+    resid AS (
+        -- zero-init margin: z = 0 exactly (integer sum of zero weights),
+        -- so the sigmoid arm is exp(-0.0) = 1.0 bit-exactly in any libm
+        SELECT y, doc_id,
+               CAST(floor(1.0 / (1.0 + exp(-greatest(-30.0,
+                        least(30.0, CAST(0 AS DOUBLE) / 1000000.0))))
+                    * 1000000.0 - y * 1000000.0) AS BIGINT) AS r_e6
+        FROM (SELECT DISTINCT y, doc_id FROM db)
+    )
+    SELECT CAST(db.b AS BIGINT) AS b,
+           CAST(sum(resid.r_e6) AS BIGINT) AS g_e6
+    FROM db JOIN resid USING (y, doc_id)
+    GROUP BY db.b
+"""
+
+
+@register(
+    "x129_classifier_grad_step",
+    oracle=_X129_ORACLE,
+    doc="One oracle-checked gradient step of the GPT-3-style quality "
+    "classifier (operators.text.quality_classifier_grad; Brown et al. "
+    "2020 appendix A): hashed unigram+bigram presence features (x91's "
+    "h60 bucket space, per-doc distinct) plus the bias bucket -1, "
+    "margin as an exact-integer weight sum, residual floor-e6-quantized "
+    "before the per-bucket sum. At the trainer's zero init the sigmoid "
+    "is exp(0) — exact in every libm — so the whole step is "
+    "cross-engine bit-identical; full training (x110) remains "
+    "rows-only, its loop pinned in pytest by applying this step's "
+    "update rule. Scale: one explode + one map-side-combined bucket "
+    "groupBy bounded at n_buckets + 1 rows — the iteration cost model "
+    "of the trainer itself.",
+    tags=("LLM", "quality", "iterative"),
+)
+def x129_classifier_grad_step(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return tx.quality_classifier_grad(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        n_buckets=_X129_B,
+    )

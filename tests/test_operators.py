@@ -1713,6 +1713,40 @@ def test_quality_classifier_training_is_deterministic(spark):
     assert any(v != 0 for v in w1)
 
 
+def test_quality_classifier_grad_step_reproduces_trainer(spark):
+    """The exposed one-step gradient (the x129 oracle surface) IS the
+    trainer's iteration: applying its update rule once reproduces
+    train(n_iters=1) bit-exactly, and twice (re-deriving the gradient at
+    the updated weights) reproduces train(n_iters=2) — so the SQL-pinned
+    step plus the pytest-pinned loop covers the whole estimator."""
+    corpus, target = _qc_frames(spark)
+    n_docs = corpus.count() + target.count()
+    B, lr = 128, 2.0
+
+    def apply_step(w):
+        grad = {
+            r.b: r.g_e6
+            for r in tx.quality_classifier_grad(
+                corpus, target, weights_e6=w, n_buckets=B
+            ).collect()
+        }
+        w2 = list(w)
+        for b, g in grad.items():
+            w2[b + 1] -= int(round(lr * g / n_docs))
+        return w2
+
+    w0 = [0] * (B + 1)
+    w1 = apply_step(w0)
+    assert w1 == tx.quality_classifier_train(corpus, target, n_buckets=B, n_iters=1)
+    assert apply_step(w1) == tx.quality_classifier_train(
+        corpus, target, n_buckets=B, n_iters=2
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="weights length"):
+        tx.quality_classifier_grad(corpus, target, weights_e6=[0] * 3, n_buckets=B)
+
+
 def test_quality_classifier_empty_and_null(spark):
     from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
