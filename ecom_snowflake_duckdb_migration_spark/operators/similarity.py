@@ -1086,6 +1086,75 @@ def ann_topk_quantized(
     return scored.orderBy(F.desc("dot_q"), F.asc(id_col)).limit(k)
 
 
+def ann_topk_matryoshka(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    prefix_dim: int = 16,
+    shortlist: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage ANN for Matryoshka-style embeddings (Kusupati et al.
+    2022, "Matryoshka Representation Learning"): MRL-trained models
+    order information by prefix, so cosine on the FIRST ``prefix_dim``
+    dimensions is a cheap high-recall filter — stage 1 shortlists by
+    prefix cosine, stage 2 re-ranks the shortlist by exact full-dim
+    cosine. Returns ``(id_col, cosine, prefix_cos)`` — the final top-k
+    with both scores, ranked (cosine desc, id asc).
+
+    Scale: stage 1 is a scan + TakeOrdered top-``shortlist`` touching
+    ``prefix_dim/dim`` of the vector arithmetic (at rest, persist the
+    prefix as its own column/store and the scan reads a quarter of the
+    BYTES too); stage 2 pays full-dim dots on ``shortlist`` rows only.
+    The same adaptive-retrieval shape as ADC-then-rerank (x122), with
+    the shortlist knob trading recall for stage-1 cost. Both stages'
+    folds are the pinned left-to-right doubles, so the whole funnel is
+    DuckDB-twinnable. NULL and zero-PREFIX-norm vectors emit no
+    candidates (their prefix cosine is undefined; a NaN would sort
+    first under DESC); zero-norm queries raise like :func:`ann_topk_pq`.
+    """
+    qp = [float(x) for x in query_vec[:prefix_dim]]
+    qpn = norm_lit(qp)
+    qfn = norm_lit([float(x) for x in query_vec])
+    if len(query_vec) < prefix_dim:
+        raise ValueError(f"query dim {len(query_vec)} < prefix_dim {prefix_dim}")
+    if qpn == 0.0 or qfn == 0.0:
+        raise ValueError("zero-norm query (full or prefix): cosine undefined")
+    v = F.col(vec_col)
+    pre = F.slice(v, 1, prefix_dim)
+    pnorm = norm(pre)
+    # explicit > 0 guard, not isNotNull: 0/0 is NaN in Spark (which sorts
+    # FIRST under DESC), the assign_cell degenerate-vector lesson
+    short = (
+        df.filter(v.isNotNull())
+        .select(
+            F.col(id_col),
+            v.alias(vec_col),
+            pnorm.alias("_pn"),
+            dot(pre, F.array(*[F.lit(x) for x in qp])).alias("_pd"),
+        )
+        .filter(F.col("_pn") > 0)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            (F.col("_pd") / (F.col("_pn") * F.lit(qpn))).alias("prefix_cos"),
+        )
+        .orderBy(F.desc("prefix_cos"), F.asc(id_col))
+        .limit(shortlist)
+    )
+    full_cos = dot_lit(v, [float(x) for x in query_vec]) / (
+        norm(v) * F.lit(qfn)
+    )
+    return (
+        short.select(
+            F.col(id_col), full_cos.alias("cosine"), F.col("prefix_cos")
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def make_pq_codebooks(
     dim: int, m: int, k: int, seed: int = 42
 ) -> list[list[list[float]]]:

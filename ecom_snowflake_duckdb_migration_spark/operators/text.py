@@ -2352,6 +2352,57 @@ def bm25_scores(
     )
 
 
+def rrf_fuse(
+    ranked: list[DataFrame],
+    k0: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Reciprocal-rank fusion of retrieval lists (Cormack, Clarke &
+    Büttcher 2009) — the standard hybrid-search combiner: each list
+    contributes ``1 / (k0 + rank)`` for the documents it ranked, and
+    documents are re-ranked by the sum. Pairs :func:`bm25_scores`
+    (lexical) with the ANN family (dense) without any score calibration
+    — only ranks matter, which is why RRF survives heterogeneous
+    retrievers.
+
+    Returns ``(id_col, rrf_e6, n_lists, fused_rank)`` over the union of
+    the input lists' documents: ``rrf_e6 = sum_lists 1_000_000 div
+    (k0 + rank)`` — integer floor division per term, so fused scores are
+    exact integers and cross-engine ranking never hinges on float sums;
+    ``n_lists`` = how many lists retrieved the doc; ``fused_rank``
+    breaks score ties by ascending id.
+
+    Scale: inputs are top-k lists (bounded — the retrievers already did
+    the data-sized work), so this is a union + one groupBy + one window
+    over at most ``sum(len(list))`` rows; the window's single partition
+    is bounded by construction, never by corpus size.
+    """
+    from pyspark.sql import Window
+
+    if not ranked:
+        raise ValueError("ranked must be a non-empty list of DataFrames")
+    if k0 < 0:
+        raise ValueError("k0 must be >= 0")
+    contribs = None
+    for df in ranked:
+        # integer floor division (div): identical longs in Spark and
+        # DuckDB (//), the catalog's fixed-point ratio convention
+        c = df.select(
+            F.col(id_col),
+            F.expr(f"1000000 div ({k0} + {rank_col})").cast("long").alias("_c"),
+        )
+        contribs = c if contribs is None else contribs.unionByName(c)
+    fused = contribs.groupBy(id_col).agg(
+        F.sum("_c").alias("rrf_e6"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+    )
+    # bounded single-partition window: the frame is the union of top-k
+    # lists, never corpus-sized
+    w = Window.orderBy(F.desc("rrf_e6"), F.asc(id_col))
+    return fused.withColumn("fused_rank", F.row_number().over(w))
+
+
 def _merge_adjacent(toks: Column, a: str, b: str) -> Column:
     """Greedy left-to-right merge of every adjacent ``(a, b)`` symbol pair
     in a token array into the single symbol ``a+b`` — one BPE merge

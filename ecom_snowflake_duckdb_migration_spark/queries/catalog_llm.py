@@ -4144,3 +4144,200 @@ def x129_classifier_grad_step(spark, sf_dir):
         d.filter(F.col("source") == "src0"),
         n_buckets=_X129_B,
     )
+
+
+# x130: hybrid retrieval — x96's BM25 chain (lexical list) + x46's dense
+# cosine top-k (vec_id 0 as the query, like x46), fused by integer RRF:
+# contribution 1000000 // (60 + rank) per list, summed, re-ranked. Both
+# stage-1 rankings are cross-engine exact already (integer BM25 scores,
+# bit-identical cosine doubles), so the fused integers are too.
+_X130_TOPN = 50
+
+_X130_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS t
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+    stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tt FROM dl),
+    hits AS (
+        SELECT doc_id, unnest(list_filter(t,
+               x -> x IN ('spark', 'hash', 'merge', 'window'))) AS term
+        FROM toks
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY 1, 2),
+    docfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    idf AS (
+        SELECT term, df,
+               CAST(floor(ln(1.0 + (stats.n - df + 0.5) / (df + 0.5))
+                          * 1000000.0) AS BIGINT) AS idf_e6
+        FROM docfreq CROSS JOIN stats
+    ),
+    bmscored AS (
+        SELECT tf.doc_id,
+               CAST(floor((44.0 * stats.tt * tf.tf)
+                          / (20.0 * stats.tt * tf.tf + 6.0 * stats.tt
+                             + 18.0 * dl.dl * stats.n)
+                          * idf.idf_e6) AS BIGINT) AS s_e6
+        FROM tf JOIN idf ON idf.term = tf.term
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats
+    ),
+    bm AS (
+        SELECT doc_id, CAST(sum(s_e6) AS BIGINT) AS score_e6
+        FROM bmscored GROUP BY doc_id
+    ),
+    bm_ranked AS (
+        SELECT doc_id, rnk FROM (
+            SELECT doc_id, row_number() OVER (ORDER BY score_e6 DESC,
+                                              doc_id ASC) AS rnk
+            FROM bm
+        ) WHERE rnk <= 50
+    ),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    ann AS (
+        SELECT e.vec_id AS doc_id,
+               list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(e.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(q.qe,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                   AS cosine
+        FROM embeddings e, q
+    ),
+    ann_ranked AS (
+        SELECT doc_id, rnk FROM (
+            SELECT doc_id, row_number() OVER (ORDER BY cosine DESC,
+                                              doc_id ASC) AS rnk
+            FROM ann
+        ) WHERE rnk <= 50
+    ),
+    contribs AS (
+        SELECT doc_id, CAST(1000000 // (60 + rnk) AS BIGINT) AS c
+        FROM bm_ranked
+        UNION ALL
+        SELECT doc_id, CAST(1000000 // (60 + rnk) AS BIGINT) AS c
+        FROM ann_ranked
+    ),
+    fused AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_e6,
+               CAST(count(*) AS BIGINT) AS n_lists
+        FROM contribs GROUP BY doc_id
+    )
+    SELECT doc_id, rrf_e6, n_lists,
+           CAST(row_number() OVER (ORDER BY rrf_e6 DESC, doc_id ASC) AS INT)
+               AS fused_rank
+    FROM fused
+"""
+
+
+@register(
+    "x130_rrf_hybrid_retrieval",
+    oracle=_X130_ORACLE,
+    doc="Hybrid retrieval via reciprocal-rank fusion (Cormack et al. "
+    "2009; operators.text.rrf_fuse): x96's BM25 lexical top-50 and "
+    "x46's dense cosine top-50 fuse by rank alone — contribution "
+    "1000000 div (60 + rank) per list, integer-summed, re-ranked with "
+    "id ties — so no score calibration is ever needed across "
+    "heterogeneous retrievers (the reason RRF is the default hybrid "
+    "combiner). Both stage-1 lists are already cross-engine exact "
+    "(integer BM25, bit-identical cosine folds); the fusion is pure "
+    "integer arithmetic. Scale: the retrievers do the data-sized work; "
+    "fusion is a union + groupBy + window over <= 100 rows (bounded by "
+    "construction — the lint allowance names the bound).",
+    tags=("LLM", "retrieval", "similarity"),
+)
+def x130_rrf_hybrid_retrieval(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    bm = tx.bm25_scores(d, ["spark", "hash", "merge", "window"])
+    # rank AFTER the TakeOrdered limit: the window sees only topn rows
+    wb = Window.orderBy(F.desc("score_e6"), F.asc("doc_id"))
+    bm_ranked = (
+        bm.orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .limit(_X130_TOPN)
+        .withColumn("rnk", F.row_number().over(wb))
+        .select("doc_id", "rnk")
+    )
+    query = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    ann = sim.ann_topk_bruteforce(e, query, k=_X130_TOPN, dim=64)
+    wa = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    ann_ranked = ann.withColumn("rnk", F.row_number().over(wa)).select(
+        F.col("vec_id").alias("doc_id"), "rnk"
+    )
+    return tx.rrf_fuse([bm_ranked, ann_ranked], k0=60)
+
+
+# x131: Matryoshka two-stage ANN. The query is vec_id 0's own embedding
+# (the x46 convention), collected driver-side (1 bounded row) so the
+# operator's literal folds see the exact stored doubles the oracle's
+# column references see. Prefix (16-dim) folds are SHORT, so the oracle
+# spells them as explicit left-assoc chains (list_sum diverges a ulp
+# below ~64 elements — the _pq_dot_sql discipline).
+def _x131_oracle(prefix_dim: int, shortlist: int, k: int) -> str:
+    pdot = "CAST(0.0 AS DOUBLE)"
+    pn2 = "CAST(0.0 AS DOUBLE)"
+    qpn2 = "CAST(0.0 AS DOUBLE)"
+    for i in range(1, prefix_dim + 1):
+        pdot = (f"({pdot} + CAST(e.embedding[{i}] AS DOUBLE)"
+                f" * CAST(q.qe[{i}] AS DOUBLE))")
+        pn2 = (f"({pn2} + CAST(e.embedding[{i}] AS DOUBLE)"
+               f" * CAST(e.embedding[{i}] AS DOUBLE))")
+        qpn2 = (f"({qpn2} + CAST(q.qe[{i}] AS DOUBLE)"
+                f" * CAST(q.qe[{i}] AS DOUBLE))")
+    return f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    pre AS (
+        SELECT e.vec_id, e.embedding,
+               {pdot} AS pdot, sqrt({pn2}) AS pn, sqrt({qpn2}) AS qpn
+        FROM embeddings e, q
+        WHERE e.embedding IS NOT NULL
+    ),
+    short AS (
+        SELECT vec_id, embedding, pdot / (pn * qpn) AS prefix_cos
+        FROM pre WHERE pn > 0
+        ORDER BY pdot / (pn * qpn) DESC, vec_id ASC
+        LIMIT {shortlist}
+    )
+    SELECT vec_id,
+           list_sum(list_transform(range(1, len(s.embedding) + 1),
+               i -> CAST(s.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(s.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.qe,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               AS cosine,
+           prefix_cos
+    FROM short s, q
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT {k}
+    """
+
+
+@register(
+    "x131_matryoshka_topk",
+    oracle=_x131_oracle(prefix_dim=16, shortlist=100, k=10),
+    doc="Matryoshka two-stage ANN (Kusupati et al. 2022; "
+    "operators.similarity.ann_topk_matryoshka): stage 1 shortlists by "
+    "cosine on the FIRST 16 dims (MRL embeddings order information by "
+    "prefix — the cheap high-recall filter), stage 2 re-ranks the "
+    "shortlist by exact full-dim cosine. Scan-side prefix arithmetic is "
+    "a quarter of the flops (and of the BYTES when the prefix persists "
+    "as its own column), the shortlist bounds stage-2 cost, and both "
+    "stages are TakeOrdered top-k — no shuffle, no window. Short "
+    "(16-elem) folds are explicit left-assoc chains in the oracle "
+    "(list_sum diverges a ulp below 64 elems); zero-prefix-norm rows "
+    "are guarded out (NaN would sort first under DESC).",
+    tags=("LLM", "similarity", "ann"),
+)
+def x131_matryoshka_topk(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    # bounded driver collect: ONE query row (the x46 query convention)
+    q = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return sim.ann_topk_matryoshka(
+        e, [float(x) for x in q], k=10, prefix_dim=16, shortlist=100
+    )

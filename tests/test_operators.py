@@ -2580,6 +2580,71 @@ def test_codebook_training_sample_is_layout_invariant(spark):
     assert any(m > 2 for m in means) and any(m < -2 for m in means)
 
 
+def test_rrf_fuse_semantics(spark):
+    """Integer RRF: contributions are 1000000 div (k0 + rank) per list,
+    summed over lists; docs in one list only get n_lists=1; fused_rank
+    orders by (score desc, id asc); invalid inputs raise."""
+    import pytest
+
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "doc_id long, rnk int")
+    b = spark.createDataFrame([(20, 1), (10, 2), (40, 3)], "doc_id long, rnk int")
+    got = {r.doc_id: r for r in tx.rrf_fuse([a, b], k0=60).collect()}
+    c = lambda r: 1_000_000 // (60 + r)
+    assert got[10].rrf_e6 == c(1) + c(2) and got[10].n_lists == 2
+    assert got[20].rrf_e6 == c(2) + c(1) and got[20].n_lists == 2
+    assert got[30].rrf_e6 == c(3) and got[30].n_lists == 1
+    assert got[40].rrf_e6 == c(3) and got[40].n_lists == 1
+    # 10 and 20 tie on score -> id-ascending tie-break; 30/40 tie after
+    ranks = {r.doc_id: r.fused_rank for r in got.values()}
+    assert ranks == {10: 1, 20: 2, 30: 3, 40: 4}
+    with pytest.raises(ValueError, match="non-empty"):
+        tx.rrf_fuse([])
+    with pytest.raises(ValueError, match="k0"):
+        tx.rrf_fuse([a], k0=-1)
+
+
+def test_ann_topk_matryoshka_semantics(spark):
+    """Full-shortlist Matryoshka equals exact brute force (stage 1
+    passes everything through); a small shortlist filters by prefix
+    cosine only; zero-PREFIX vectors emit no candidates; zero-norm
+    queries raise."""
+    import numpy as np
+    import pytest
+
+    rng = np.random.RandomState(23)
+    X = rng.standard_normal((30, 8))
+    X[5, :2] = 0.0  # zero PREFIX, nonzero tail
+    rows = [(i, X[i].tolist()) for i in range(30)] + [(99, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = rng.standard_normal(8).tolist()
+    qdf = spark.createDataFrame([(q,)], "qe array<double>")
+
+    exact = [
+        (r.vec_id, r.cosine)
+        for r in sim.ann_topk_bruteforce(
+            df.filter("vec_id <> 5 AND embedding IS NOT NULL"), qdf, k=5
+        ).collect()
+    ]
+    got = [
+        (r.vec_id, r.cosine)
+        for r in sim.ann_topk_matryoshka(
+            df, q, k=5, prefix_dim=2, shortlist=100
+        ).collect()
+    ]
+    assert [g[0] for g in got] == [e[0] for e in exact]
+    for g, e in zip(got, exact):
+        assert abs(g[1] - e[1]) < 1e-12
+    assert all(r[0] != 5 for r in got)  # zero-prefix row dropped
+
+    # tiny shortlist: stage 2 only sees stage 1's best prefix matches
+    small = sim.ann_topk_matryoshka(df, q, k=5, prefix_dim=2, shortlist=3)
+    assert small.count() == 3  # k > shortlist collapses to the shortlist
+    with pytest.raises(ValueError, match="zero-norm"):
+        sim.ann_topk_matryoshka(df, [0.0] * 8, k=3, prefix_dim=2)
+    with pytest.raises(ValueError, match="prefix_dim"):
+        sim.ann_topk_matryoshka(df, q[:1], k=3, prefix_dim=2)
+
+
 def test_ann_topk_pq_zero_norm_query_raises(spark):
     """The degenerate-query contract: a zero query vector raises instead
     of returning k arbitrary NaN-scored rows."""

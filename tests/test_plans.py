@@ -427,6 +427,12 @@ LINT_ALLOW: dict[str, dict[str, str]] = {
         "FILTER_NOT_PUSHED": "size(split(text)) guard is a derived expression"},
     "x110_quality_classifier": {
         "FILTER_NOT_PUSHED": "hashed-feature predicates on derived columns"},
+    "x129_classifier_grad_step": {
+        "FILTER_NOT_PUSHED": "hashed-feature predicates on derived columns "
+        "(one trainer iteration — same frame as x110)"},
+    "x130_rrf_hybrid_retrieval": {
+        "BNLJ": "1-row query vector + 1-row (N, avgdl) stats broadcasts "
+        "(via x46 + x96); fusion itself joins nothing data-sized"},
     "x115_entity_match_scored": {
         "FILTER_NOT_PUSHED": "isnotnull(length(c_name)) null guard inferred "
         "by constraint propagation from the score threshold — a derived "
