@@ -805,6 +805,7 @@ def semantic_dedup(
     threshold: float,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    method: str = "auto",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings and pruning near-duplicates
@@ -830,7 +831,7 @@ def semantic_dedup(
     ``ivf_partition`` output bucketed by cell, and the self-join becomes
     co-located with zero exchanges.
     """
-    celled = semantic_cells(df, centroids, vec_col, id_col)
+    celled = semantic_cells(df, centroids, vec_col, id_col, method=method)
     return semantic_dedup_celled(celled, threshold, id_col, dim=len(centroids[0]))
 
 
@@ -840,6 +841,7 @@ def density_prune(
     drop_frac_e6: int = 250_000,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    method: str = "auto",
 ) -> DataFrame:
     """D4-style prototypicality pruning (Tirumala et al. 2023,
     arXiv:2308.12284): within each semantic cell, DROP the
@@ -863,7 +865,7 @@ def density_prune(
     """
     from pyspark.sql import Window
 
-    celled = semantic_cells(df, centroids, vec_col, id_col).filter(
+    celled = semantic_cells(df, centroids, vec_col, id_col, method=method).filter(
         F.col("cell").isNotNull()
     )
     w = Window.partitionBy("cell").orderBy(
@@ -887,13 +889,27 @@ def semantic_cells(
     centroids: list[list[float]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    method: str = "auto",
 ) -> DataFrame:
     """The SemDeDup cell projection ``(id, vec, nrm, cell, csim)`` — the
     frame ``semantic_dedup`` pairs on, exposed so it can be PERSISTED as
     the cell store: write it with ``sources.write_table(...,
     bucket_by=(n, ["cell"]))`` and ``semantic_dedup_celled`` (and every
     later probe) runs its cell self-join exchange-free on the bucketed
-    layout (pinned in tests/test_plans.py)."""
+    layout (pinned in tests/test_plans.py).
+
+    ``method`` follows :func:`ivf_partition`: 'expr' inlines the
+    codebook as literals (DuckDB-twinnable — the x78/x120 oracles run
+    the default 8-cell geometry through it), 'pandas'/'auto' (>16
+    cells) computes nrm/cell/csim in one Arrow/numpy pass. The paper
+    sizes ``n_centroids ~ 0.1% of N``, so any production run is past
+    the dispatch point — without it the 128-cell literal tree pays the
+    measured ~90 s/20k-row interpreted-expression cost (round-10 sf64
+    finding, same economics as knn_join's)."""
+    if method == "auto":
+        method = "expr" if len(centroids) <= 16 else "pandas"
+    if method == "pandas":
+        return _semantic_cells_pandas(df, centroids, vec_col, id_col)
     d = len(centroids[0])
     _nv = norm(vec_col, d)
     csim = F.greatest(*[cosine_lit(vec_col, c, _nv) for c in centroids])
@@ -904,6 +920,63 @@ def semantic_cells(
         assign_cell(vec_col, centroids).alias("cell"),
         csim.alias("csim"),
     )
+
+
+def _semantic_cells_pandas(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Arrow/numpy twin of the semantic_cells projection for production
+    codebooks: one float64 matmul yields nrm, cell (argmax cosine —
+    first-index ties, matching (sim, -cell) array_max), and csim (the
+    max cosine). Degenerate-vector contract shared with
+    :func:`assign_cell_pandas`: NULL/zero-norm vectors keep their row
+    (the frame is a projection, not a filter) with NULL cell/csim."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = np.linalg.norm(C, axis=1)
+    id_field = [f for f in df.schema.fields if f.name == id_col][0]
+    vec_field = [f for f in df.schema.fields if f.name == vec_col][0]
+    schema = StructType(
+        [
+            id_field,
+            vec_field,
+            StructField("nrm", DoubleType()),
+            StructField("cell", IntegerType()),
+            StructField("csim", DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = pdf[[id_col, vec_col]].copy()
+            n = len(pdf)
+            nrm = np.full(n, np.nan)
+            cell = [None] * n
+            csim = [None] * n
+            valid = pdf[vec_col].notna().to_numpy()
+            if valid.any():
+                M = np.array(pdf[vec_col][valid].tolist(), dtype=np.float64)
+                Mn = np.linalg.norm(M, axis=1)
+                nrm[valid] = Mn
+                nz = Mn > 0.0
+                if nz.any():
+                    sims = (M[nz] @ C.T) / np.outer(Mn[nz], Cn)
+                    pos = np.flatnonzero(valid)[nz]
+                    for p, row in zip(pos, sims):
+                        cell[p] = int(row.argmax())
+                        csim[p] = float(row.max())
+            out["nrm"] = [None if np.isnan(v) else float(v) for v in nrm]
+            out["cell"] = pd.array(cell, dtype="Int32")
+            out["csim"] = csim
+            yield out
+
+    return df.select(id_col, vec_col).mapInPandas(run, schema)
 
 
 def semantic_removal_candidates(
@@ -970,6 +1043,7 @@ def semantic_dedup_incremental(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     corpus_celled: bool = False,
+    method: str = "auto",
 ) -> DataFrame:
     """Frozen-corpus incremental SemDeDup — the weekly-drop pattern: dedup a
     NEW batch against an already-curated corpus without re-pairing history
@@ -1004,7 +1078,7 @@ def semantic_dedup_incremental(
     # the probe's dominant cost at small batch sizes, and computing them
     # separately for the veto side and again inside the sweep's
     # semantic_cells doubled it (judge round-6 perf finding).
-    bc = semantic_cells(batch, centroids, vec_col, id_col)
+    bc = semantic_cells(batch, centroids, vec_col, id_col, method=method)
     b = bc.select(
         F.col(id_col).alias("b_id"),
         F.col(vec_col).alias("b_vec"),
@@ -1013,6 +1087,15 @@ def semantic_dedup_incremental(
     )
     if corpus_celled:
         c = corpus_kept.select(
+            F.col(vec_col).alias("c_vec"),
+            F.col("nrm").alias("c_nrm"),
+            F.col("cell").alias("c_cell"),
+        )
+    elif method == "pandas" or (method == "auto" and len(centroids) > 16):
+        # numpy kernel for production codebooks (csim is a free by-product
+        # of the same matmul, unlike the expr path where it would double
+        # the per-row cosine count)
+        c = _semantic_cells_pandas(corpus_kept, centroids, vec_col, id_col).select(
             F.col(vec_col).alias("c_vec"),
             F.col("nrm").alias("c_nrm"),
             F.col("cell").alias("c_cell"),

@@ -2580,6 +2580,39 @@ def test_codebook_training_sample_is_layout_invariant(spark):
     assert any(m > 2 for m in means) and any(m < -2 for m in means)
 
 
+def test_semantic_cells_pandas_matches_expr(spark):
+    """The production-codebook numpy twin of semantic_cells returns the
+    same (cell, nrm, csim) as the literal-expression path (csim to 1e-12
+    — matmul vs fold ulps), with the shared degenerate contract: NULL
+    and zero-norm vectors keep their row with NULL cell/csim. And the
+    dispatch composes: semantic_dedup / density_prune keep-sets are
+    method-invariant."""
+    import numpy as np
+
+    rng = np.random.RandomState(31)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(60)]
+    rows += [(100, None), (101, [0.0] * 8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = sim.make_centroids(8, 6, seed=2)
+    ex = {r.vec_id: r for r in sim.semantic_cells(df, cents, method="expr").collect()}
+    pa_ = {r.vec_id: r for r in sim.semantic_cells(df, cents, method="pandas").collect()}
+    assert set(ex) == set(pa_) == {i for i in range(60)} | {100, 101}
+    for i in range(60):
+        assert ex[i].cell == pa_[i].cell, i
+        assert abs(ex[i].nrm - pa_[i].nrm) < 1e-12, i
+        assert abs(ex[i].csim - pa_[i].csim) < 1e-12, i
+    assert pa_[100].cell is None and pa_[100].csim is None and pa_[100].nrm is None
+    assert pa_[101].cell is None and pa_[101].csim is None and pa_[101].nrm == 0.0
+    assert ex[100].cell is None and ex[101].cell is None
+
+    keep_e = {r.vec_id for r in sim.semantic_dedup(df, cents, 0.4, method="expr").collect()}
+    keep_p = {r.vec_id for r in sim.semantic_dedup(df, cents, 0.4, method="pandas").collect()}
+    assert keep_e == keep_p and keep_e
+    dp_e = {r.vec_id for r in sim.density_prune(df, cents, method="expr").collect()}
+    dp_p = {r.vec_id for r in sim.density_prune(df, cents, method="pandas").collect()}
+    assert dp_e == dp_p and dp_e
+
+
 def test_rrf_fuse_semantics(spark):
     """Integer RRF: contributions are 1000000 div (k0 + rank) per list,
     summed over lists; docs in one list only get n_lists=1; fused_rank
