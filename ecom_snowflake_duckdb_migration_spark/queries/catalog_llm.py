@@ -3585,8 +3585,13 @@ def _x123_oracle(
         for s, book in enumerate(books)
         for j, c in enumerate(book)
     )
+    # the query·centroid dots SEED the ADC chain, so their raw doubles
+    # land in the hashed output — unlike the cos fragments (rank-only),
+    # they need the explicit left-assoc chain: list_sum matched the fold
+    # on every fixture tested at 64 elems until the sf0.001 parity set
+    # exposed a 1-ulp divergence here (round-10 finding)
     q_cdots = ",\n               ".join(
-        f"{dot64('qe', c)} AS qd{i}" for i, c in enumerate(cents)
+        f"{_pq_dot_sql('qe', 0, c)} AS qd{i}" for i, c in enumerate(cents)
     )
     qnorm = "sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
     qd_all = ", ".join(f"q.qd{i}" for i in range(n_centroids))
@@ -4341,3 +4346,5 @@ def x131_matryoshka_topk(spark, sf_dir):
     return sim.ann_topk_matryoshka(
         e, [float(x) for x in q], k=10, prefix_dim=16, shortlist=100
     )
+
+
