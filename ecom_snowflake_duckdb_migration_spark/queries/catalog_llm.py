@@ -4341,10 +4341,11 @@ def _x131_oracle(prefix_dim: int, shortlist: int, k: int) -> str:
 )
 def x131_matryoshka_topk(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
-    # bounded driver collect: ONE query row (the x46 query convention)
-    q = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    return sim.ann_topk_matryoshka(
-        e, [float(x) for x in q], k=10, prefix_dim=16, shortlist=100
-    )
+    # bounded driver collect: ONE query row (the x46 query convention);
+    # on an EMPTY table fall back to a unit query — the funnel is then
+    # vacuously empty either way (the empty-inputs contract)
+    row = e.filter(F.col("vec_id") == 0).select("embedding").first()
+    q = [float(x) for x in row["embedding"]] if row else [1.0] * 64
+    return sim.ann_topk_matryoshka(e, q, k=10, prefix_dim=16, shortlist=100)
 
 
