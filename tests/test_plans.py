@@ -423,6 +423,10 @@ LINT_ALLOW: dict[str, dict[str, str]] = {
     "x120_density_prune": {
         "FILTER_NOT_PUSHED": "NULL-cell guard on the derived cell column "
         "(degenerate vectors dropped rather than NULL-ordered)"},
+    "x123_ivfadc_knn": {
+        "FILTER_NOT_PUSHED": "NULL-cell guard on the derived cell column "
+        "(residual codes are per-cell, so unsearchable rows drop before "
+        "encode — same contract as x120)"},
     "x87_exact_substring_dedup": {
         "FILTER_NOT_PUSHED": "size(split(text)) guard is a derived expression"},
     "x110_quality_classifier": {
