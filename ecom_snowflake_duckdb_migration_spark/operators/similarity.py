@@ -831,8 +831,17 @@ def semantic_dedup(
     ``ivf_partition`` output bucketed by cell, and the self-join becomes
     co-located with zero exchanges.
     """
+    if method == "auto":
+        method = "expr" if len(centroids) <= 16 else "pandas"
     celled = semantic_cells(df, centroids, vec_col, id_col, method=method)
-    return semantic_dedup_celled(celled, threshold, id_col, dim=len(centroids[0]))
+    return semantic_dedup_celled(
+        celled,
+        threshold,
+        id_col,
+        vec_col,
+        dim=len(centroids[0]),
+        pair_method=method,
+    )
 
 
 def density_prune(
@@ -1024,14 +1033,81 @@ def semantic_dedup_celled(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    pair_method: str = "expr",
 ) -> DataFrame:
     """SemDeDup over a prepared ``semantic_cells`` frame (in-memory or read
     back from the bucketed cell store) — keep rows no higher-ranked
-    cell-mate vetoes."""
-    removed = semantic_removal_candidates(celled, threshold, id_col, vec_col, dim).distinct()
+    cell-mate vetoes.
+
+    ``pair_method``: 'expr' scores cell-mate pairs in the self-equi-join
+    (DuckDB-twinnable — the x78 oracle form; right at oracle cell counts),
+    'pandas' swaps the pair scoring for ONE BLAS matmul per cell
+    (:func:`_semantic_removed_pandas`). The expr pair fold measured
+    ~2.6 us/pair on this host — fine for 10^6-pair cells, a wall at the
+    10^9-pair totals a 10^6-row corpus reaches even at the paper's cell
+    sizing (round-10 sf64 finding: the 1.3M-vector store build ran hours
+    in expr and seconds in BLAS)."""
+    if pair_method == "pandas":
+        removed = _semantic_removed_pandas(celled, threshold, id_col, vec_col)
+    else:
+        removed = semantic_removal_candidates(
+            celled, threshold, id_col, vec_col, dim
+        ).distinct()
     return (
         celled.join(removed, celled[id_col] == removed["_rm"], "left_anti")
         .select(F.col(id_col), F.col("cell"))
+    )
+
+
+def _semantic_removed_pandas(
+    celled: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The removed-id set via ONE pairwise-cosine matmul per cell
+    (grouped ``applyInPandas``): order cell-mates by (csim asc, id asc)
+    — the paper's keep order — and remove every row some EARLIER row
+    matches at >= threshold (dominance by rank, not closure: identical
+    semantics to :func:`semantic_removal_candidates`, pinned in pytest).
+
+    Scale: per-cell cost is one (w x d) @ (d x w) BLAS matmul — ~1000x
+    the expr join's per-pair fold throughput; memory is w^2 doubles per
+    cell (8 MB at the paper's ~1k cell width), so the same
+    n_centroids-sizing discipline that bounds the expr join's pair count
+    bounds this kernel's matrix. Cosine here is a matmul, not the
+    left-to-right fold — removal flips only on exact-threshold ulp ties,
+    which seeded corpora never sit on (same tolerance contract as the
+    other pandas twins)."""
+    import numpy as np
+
+    from pyspark.sql.types import StructType
+
+    id_field = [f for f in celled.schema.fields if f.name == id_col][0]
+    out_schema = StructType([id_field])
+
+    def kernel(pdf):
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame({id_col: []}).astype(pdf[id_col].dtype)
+        M = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        n = pdf["nrm"].to_numpy(dtype=np.float64)
+        ids = pdf[id_col].to_numpy()
+        csim = pdf["csim"].to_numpy(dtype=np.float64)
+        order = np.lexsort((ids, csim))  # csim asc, id asc — keep order
+        S = (M @ M.T) / np.outer(n, n)
+        S_o = S[order][:, order]
+        earlier = np.tril(S_o >= threshold, k=-1)  # row j vs earlier i<j
+        removed_o = earlier.any(axis=1)
+        return pd.DataFrame({id_col: ids[order][removed_o]})
+
+    return (
+        celled.filter(F.col("cell").isNotNull())
+        .select(id_col, vec_col, "nrm", "csim", "cell")
+        .groupBy("cell")
+        .applyInPandas(kernel, out_schema)
+        .select(F.col(id_col).alias("_rm"))
     )
 
 
@@ -1106,17 +1182,62 @@ def semantic_dedup_incremental(
             norm(vec_col, d).alias("c_nrm"),
             assign_cell(vec_col, centroids).alias("c_cell"),
         )
-    veto = (
-        b.join(c, F.col("b_cell") == F.col("c_cell"))
-        .where(
-            dot(F.col("b_vec"), F.col("c_vec")) / (F.col("b_nrm") * F.col("c_nrm"))
-            >= F.lit(float(threshold))
-        )
-        .select(F.col("b_id").alias("_veto"))
-        .distinct()
+    resolved = (
+        ("expr" if len(centroids) <= 16 else "pandas") if method == "auto" else method
     )
+    if resolved == "pandas":
+        veto = _veto_cogroup_pandas(b, c, threshold, id_col, bc.schema[id_col])
+    else:
+        veto = (
+            b.join(c, F.col("b_cell") == F.col("c_cell"))
+            .where(
+                dot(F.col("b_vec"), F.col("c_vec")) / (F.col("b_nrm") * F.col("c_nrm"))
+                >= F.lit(float(threshold))
+            )
+            .select(F.col("b_id").alias("_veto"))
+            .distinct()
+        )
     survivors_celled = bc.join(veto, bc[id_col] == veto["_veto"], "left_anti")
-    return semantic_dedup_celled(survivors_celled, threshold, id_col, vec_col, dim=d)
+    return semantic_dedup_celled(
+        survivors_celled, threshold, id_col, vec_col, dim=d, pair_method=resolved
+    )
+
+
+def _veto_cogroup_pandas(b: DataFrame, c: DataFrame, threshold: float, id_col, id_field):
+    """The incremental-SemDeDup corpus veto as ONE cross cosine matmul
+    per cell (cogrouped ``applyInPandas``): batch rows with >= threshold
+    cosine to ANY kept corpus cell-mate. Identical semantics to the
+    cell equi-join + per-pair fold (pinned in pytest), at BLAS
+    throughput — the sf64 store probe's batch x corpus pair totals hit
+    the same 10^9-fold wall the within-batch sweep did. Memory per cell
+    is |batch_cell| x |corpus_cell| doubles; both widths are bounded by
+    the same n_centroids sizing."""
+    import numpy as np
+
+    from pyspark.sql.types import StructField, StructType
+
+    out_schema = StructType([StructField("_veto", id_field.dataType)])
+
+    def kernel(left, right):
+        import pandas as pd
+
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"_veto": []})
+        Mb = np.array(left["b_vec"].tolist(), dtype=np.float64)
+        Mc = np.array(right["c_vec"].tolist(), dtype=np.float64)
+        nb = left["b_nrm"].to_numpy(dtype=np.float64)
+        nc = right["c_nrm"].to_numpy(dtype=np.float64)
+        S = (Mb @ Mc.T) / np.outer(nb, nc)
+        hit = (S >= threshold).any(axis=1)
+        return pd.DataFrame({"_veto": left["b_id"].to_numpy()[hit]})
+
+    bf = b.filter(F.col("b_cell").isNotNull())
+    cf = c.filter(F.col("c_cell").isNotNull())
+    return (
+        bf.groupBy(F.col("b_cell").alias("cell"))
+        .cogroup(cf.groupBy(F.col("c_cell").alias("cell")))
+        .applyInPandas(kernel, out_schema)
+    )
 
 
 def ann_topk_quantized(

@@ -2612,6 +2612,15 @@ def test_semantic_cells_pandas_matches_expr(spark):
     dp_p = {r.vec_id for r in sim.density_prune(df, cents, method="pandas").collect()}
     assert dp_e == dp_p and dp_e
 
+    # incremental twin: BLAS cogroup veto + BLAS sweep == expr joins
+    corpus = df.filter("vec_id < 40")
+    batch = df.filter("vec_id >= 40")
+    inc_e = {r.vec_id for r in sim.semantic_dedup_incremental(
+        batch, corpus, cents, 0.4, method="expr").collect()}
+    inc_p = {r.vec_id for r in sim.semantic_dedup_incremental(
+        batch, corpus, cents, 0.4, method="pandas").collect()}
+    assert inc_e == inc_p and inc_e
+
 
 def test_rrf_fuse_semantics(spark):
     """Integer RRF: contributions are 1000000 div (k0 + rank) per list,
