@@ -7,8 +7,9 @@ sf0.1 wall time in PERF_LLM_OPS (minhash_lsh_pairs,
 incremental_semantic_dedup, curate, minhash_estimate_pairs,
 semantic_dedup) run once at sf64 geometry (~1.28M documents / 128k
 vectors), each with production method dispatch and production cell
-sizing (n_centroids ~ 0.1% N = 128 — the dispatch point the round-10
-semantic_cells pandas kernel exists for).
+sizing (n_centroids ~ 0.1% N = 1280 — far past the numpy dispatch
+point; the round-10 semantic_cells + BLAS pair kernels exist exactly
+because the expr pair fold measured hours at this geometry).
 
 Results merge into BENCH_SCALING.json under "round10_sf64_llm_ops".
 
@@ -34,7 +35,12 @@ from ecom_snowflake_duckdb_migration_spark.session import get_spark
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/benchdata/sf64"
     out_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_SCALING.json"
-    spark = get_spark(app_name="sf64-llm-ops")
+    # same harness raise as perf_crossover's sf64 rows: AQE-materialized
+    # broadcast sides at this scale exceed the 1g default result cap
+    spark = get_spark(
+        app_name="sf64-llm-ops",
+        extra_conf={"spark.driver.maxResultSize": "8g"},
+    )
     par = spark.sparkContext.defaultParallelism
     docs = load(spark, sf_dir, "documents").repartition(par).localCheckpoint(
         eager=True
@@ -45,9 +51,9 @@ def main() -> int:
     n_docs, n_vecs = docs.count(), emb.count()
     print(f"sf64: {n_docs} docs, {n_vecs} vectors", flush=True)
     bench = docs.filter(F.col("source") == "src0")
-    # production cell sizing: ~0.1% of N -> 128 cells; auto-dispatch runs
-    # the numpy assigner (the expr literal tree is the sf0.1 oracle form)
-    cents = sim.make_centroids(dim=64, n_centroids=128, seed=42)
+    # production cell sizing: ~0.1% of N -> 1280 cells; auto-dispatch runs
+    # the numpy assigner + BLAS pair kernels (expr is the oracle form)
+    cents = sim.make_centroids(dim=64, n_centroids=1280, seed=42)
 
     # frozen-corpus store for the incremental probe (one-time cost,
     # reported separately like PERF_LLM_OPS does)
@@ -74,7 +80,7 @@ def main() -> int:
         "minhash_estimate_pairs": lambda: tx.minhash_estimate_pairs(
             docs, threshold_e6=800_000
         ),
-        "semantic_dedup_128cells": lambda: sim.semantic_dedup(
+        "semantic_dedup_1280cells": lambda: sim.semantic_dedup(
             emb, cents, threshold=0.35
         ),
     }
@@ -101,7 +107,7 @@ def main() -> int:
         "sf_dir": sf_dir,
         "n_docs": n_docs,
         "n_vectors": n_vecs,
-        "n_cells": 128,
+        "n_cells": 1280,
         "note": "five most expensive PERF_LLM_OPS entries at sf64, "
         "production dispatch (numpy cell assigner past 16 cells — the "
         "round-10 semantic_cells kernel) and production cell sizing",
