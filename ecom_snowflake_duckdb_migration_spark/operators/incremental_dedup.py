@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import char_shingles, jaccard_verify_pairs, lsh_band_stack, minhash_signatures
+from .text import char_shingle_sets, jaccard_verify_pairs, lsh_band_stack, minhash_signatures
 
 
 def lsh_band_table(
@@ -113,5 +113,5 @@ def incremental_minhash_pairs(
     )
     corpus_needed = corpus_docs.select(id_col, text_col).join(cand_ids, id_col, "left_semi")
     new_needed = new_docs.select(id_col, text_col).join(cand_ids, id_col, "left_semi")
-    sh = char_shingles(new_needed.unionByName(corpus_needed), text_col, id_col, k)
+    sh = char_shingle_sets(new_needed.unionByName(corpus_needed), text_col, id_col, k)
     return jaccard_verify_pairs(candidates, sh, id_col, threshold_e6)

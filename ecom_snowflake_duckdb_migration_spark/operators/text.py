@@ -417,14 +417,11 @@ def exact_dedup_groups(
     )
 
 
-def char_shingles(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
-) -> DataFrame:
-    """Distinct character k-shingles per document: (id, shingle).
-
-    Built with transform(sequence(...)) — pure Catalyst, no UDF. The explode
-    multiplies rows by ~doc length; at scale, shingle hashing (xxhash64)
-    should replace raw strings before any shuffle to cut width.
+def _shingle_array(text_col: str, k: int) -> Column:
+    """Column expression: the document's DISTINCT character k-shingles as an
+    array — the scan-side building block shared by the exploded
+    (``char_shingles``) and array-at-rest (``char_shingle_sets``,
+    ``minhash_signatures``) forms.
 
     Texts shorter than ``k`` contribute NO shingles — guarded by an explicit
     length gate, because ``sequence(1, 0)`` in Spark steps DESCENDING to
@@ -434,13 +431,56 @@ def char_shingles(
     Found by the hypothesis ground-truth pin, not the corpus oracles — the
     test corpus carries no short documents.
     """
-    shingle_array = F.expr(
+    return F.expr(
         f"CASE WHEN length({text_col}) >= {k} THEN"
         f" array_distinct(transform(sequence(1, length({text_col}) - {k - 1}),"
         f" i -> substring({text_col}, i, {k})))"
         f" ELSE array() END"
     )
-    return df.select(F.col(id_col), F.explode(shingle_array).alias("shingle"))
+
+
+def char_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Distinct character k-shingles per document: (id, shingle), exploded.
+
+    Built with transform(sequence(...)) — pure Catalyst, no UDF. The explode
+    multiplies rows by ~doc length; operators that only need per-document
+    shingle SETS or folds over them should use ``char_shingle_sets`` /
+    ``minhash_signatures`` instead, which keep the array at rest in the row
+    and never generate the exploded form.
+    """
+    return df.select(
+        F.col(id_col), F.explode(_shingle_array(text_col, k)).alias("shingle")
+    )
+
+
+def char_shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Per-document shingle set as ONE array row: (id, ss array<bigint>).
+
+    ``ss`` holds the xxhash64 of each distinct k-shingle — the exact frame
+    ``jaccard_verify_pairs`` previously rebuilt with explode →
+    xxhash64 → collect_set, now computed entirely scan-side
+    (array_distinct(transform(...))): no row explosion, no
+    ObjectHashAggregate, no shuffle. At sf64 geometry (3.2M docs × ~300
+    chars) the explode+collect_set shape pushed ~1e9 16-byte rows through
+    an object aggregate; this form reads and emits one row per document.
+    Documents with no shingles (length < k, NULL text) emit no row,
+    matching the grouped form's explode-drop semantics.
+    """
+    arr = _shingle_array(text_col, k)
+    return (
+        df.select(F.col(id_col), arr.alias("_shingles"))
+        .filter(F.size("_shingles") > 0)
+        .select(
+            id_col,
+            F.array_distinct(
+                F.transform(F.col("_shingles"), lambda s: F.xxhash64(s))
+            ).alias("ss"),
+        )
+    )
 
 
 def ngram_jaccard_pairs(
@@ -515,16 +555,41 @@ def minhash_signatures(
     """MinHash signature per document: for each of ``num_hashes`` seeded
     hash functions, the min hash over the document's shingle set.
 
-    Computed as one aggregation over the exploded shingles — num_hashes MIN
-    aggregates, single shuffle on doc id. Seeds are column literals, not
-    Python randomness, so signatures are reproducible across runs/engines.
+    Computed ENTIRELY scan-side — ``array_min(transform(shingles, s ->
+    h_seed(s)))`` per seed over the document's shingle array, one output
+    row per input row, zero shuffle and zero row explosion. (The previous
+    explode → groupBy(id) → num_hashes·MIN shape produced one row per
+    shingle before the partial aggregate; at sf64 geometry that is ~1e9
+    generated rows of pure aggregation overhead for the same values.) The
+    shingle array is bound once in its own projection so Catalyst's
+    CollapseProject keeps it single-evaluation rather than inlining it
+    into all num_hashes consumers. Values are bit-identical to the
+    grouped form: MIN over exploded distinct shingles == array_min over
+    the distinct-shingle array (string mins are lexicographic in both
+    shapes, so the md5 oracle variant is unaffected), and documents with
+    no shingles emit no row, matching the explode-drop semantics. Seeds
+    are column literals, not Python randomness, so signatures are
+    reproducible across runs/engines.
     """
-    sh = char_shingles(df, text_col, id_col, k)
-    aggs = [
-        F.min(_seeded_hash(F.col("shingle"), seed, hash_fn)).alias(f"mh_{seed}")
+    arr = _shingle_array(text_col, k)
+
+    # NB: a one-parameter lambda is required — F.transform binds a second
+    # parameter to the ARRAY INDEX, so `lambda s, _seed=seed` would hash
+    # with the element position instead of the seed.
+    def _hash_with(seed: int):
+        return lambda s: _seeded_hash(s, seed, hash_fn)
+
+    mins = [
+        F.array_min(
+            F.transform(F.col("_shingles"), _hash_with(seed))
+        ).alias(f"mh_{seed}")
         for seed in range(num_hashes)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return (
+        df.select(F.col(id_col), arr.alias("_shingles"))
+        .filter(F.size("_shingles") > 0)
+        .select(id_col, *mins)
+    )
 
 
 def lsh_band_stack(
@@ -569,10 +634,14 @@ def jaccard_verify_pairs(
 ) -> DataFrame:
     """Exact-Jaccard verification restricted to candidate (d1, d2) pairs.
 
-    Each document's distinct shingles are collected ONCE into an array
-    (``sh`` must carry distinct (id, shingle) rows — ``char_shingles``'
-    contract); candidates join that narrow (id, array) table on each side
-    and |A∩B| is computed per pair with ``array_intersect`` — an
+    ``sh`` is either the pre-built per-document set frame from
+    ``char_shingle_sets`` — (id, ss array<bigint>), the zero-shuffle
+    scan-side form every internal caller now passes — or, for backward
+    compatibility, exploded distinct (id, shingle) rows
+    (``char_shingles``' contract), which are collected into the same
+    array shape with one object aggregate. Candidates join that narrow
+    (id, array) table on each side and |A∩B| is computed per pair with
+    ``array_intersect`` — an
     O(|A|+|B|) hash probe inside whole-stage codegen. |A∪B| =
     |A|+|B|-|A∩B|. Cost is linear in (candidates x doc shingle count)
     WITHOUT materializing exploded (pair, shingle) rows through an
@@ -598,9 +667,12 @@ def jaccard_verify_pairs(
     arrays join in AFTER it (broadcast at small scale), so they are never
     shuffled per candidate.
     """
-    sets = sh.select(
-        F.col(id_col), F.xxhash64("shingle").alias("shingle")
-    ).groupBy(id_col).agg(F.collect_set("shingle").alias("ss"))
+    if "ss" in sh.columns:
+        sets = sh.select(id_col, "ss")
+    else:
+        sets = sh.select(
+            F.col(id_col), F.xxhash64("shingle").alias("shingle")
+        ).groupBy(id_col).agg(F.collect_set("shingle").alias("ss"))
     par = candidates.sparkSession.sparkContext.defaultParallelism
     return (
         candidates.repartition(par, "d1", "d2")
@@ -647,12 +719,23 @@ def minhash_lsh_pairs(
     ``hash_fn="md5"`` swaps every hash for md5 hex strings (wider shuffles,
     same asymptotics) so the whole pipeline has a DuckDB twin — the oracled
     catalog entry (q48) runs that variant; this default stays xxhash64.
+
+    **The all-pairs contract is OUTPUT-bound, not algorithm-bound**: a
+    corpus whose duplication factor grows with corpus size (e.g. a base
+    corpus replicated d×, as replication-scaled benchmark data is) has
+    Θ(groups · d²) qualifying pairs — at d=640 over 5k duplicate groups
+    that is ≥1e9 output rows regardless of how candidates are generated,
+    and the band-bucket self-join emits every one of them. Real corpora
+    hold the duplicate RATE roughly constant as they grow (pairs scale
+    linearly), but on heavily-replicated inputs run exact dedup first and
+    pair only the canonical survivors — ``curate`` stages exact dedup
+    before this operator for exactly that reason.
     """
     sig = minhash_signatures(df, text_col, id_col, k, num_hashes, hash_fn)
     # candidates: LSH band-bucket equi-join, then exact Jaccard for THOSE
     # pairs only — never the all-shared-shingle-pairs join.
     candidates = band_candidates(sig, id_col, num_hashes, bands, hash_fn)
-    sh = char_shingles(df, text_col, id_col, k)
+    sh = char_shingle_sets(df, text_col, id_col, k)
     return jaccard_verify_pairs(candidates, sh, id_col, threshold_e6)
 
 
