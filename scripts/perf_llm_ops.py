@@ -164,13 +164,17 @@ def main() -> int:
         "cdc_dedup": lambda: tx.cdc_dedup(docs, window=3),
     }
     results = {}
-    if mode == "crossover":
+    if mode == "crossover" or mode.startswith("only="):
         try:
             with open(out_path) as f:
                 results = json.load(f).get("entries", {})
         except (OSError, ValueError):
             results = {}
-        ops = {}
+        if mode == "crossover":
+            ops = {}
+        else:  # only=<comma-list>: re-time named ops, keep the rest
+            keep = set(mode[len("only="):].split(","))
+            ops = {k: v for k, v in ops.items() if k in keep}
     for name, fn in ops.items():
         fn().count()  # warm (JIT + listing)
         times = []
@@ -196,7 +200,7 @@ def main() -> int:
     # explode (O(words^2) cells through the Generate); the struct-explode
     # rewrite is linear. 10k-word docs at 4x the words of the 2.5k
     # baseline must cost ~4x, not ~16x.
-    if mode != "crossover":
+    if mode != "crossover" and not mode.startswith("only="):
         import numpy as np
 
         rng = np.random.RandomState(5)
@@ -237,14 +241,14 @@ def main() -> int:
     import os as _os
 
     crossover = None
-    if mode == "ops":
+    if mode == "ops" or mode.startswith("only="):
         try:  # keep a previously-measured crossover when only re-running ops
             with open(out_path) as f:
                 crossover = json.load(f).get("incremental_semdedup_crossover")
         except (OSError, ValueError):
             pass
     sf1 = "/root/repo/benchdata/sf1"
-    if mode != "ops" and _os.path.exists(_os.path.join(sf1, "embeddings.parquet")):
+    if mode not in ("ops",) and not mode.startswith("only=") and _os.path.exists(_os.path.join(sf1, "embeddings.parquet")):
         e1 = load(spark, sf1, "embeddings").repartition(par)
         c1 = e1.filter(F.col("vec_id") < 16000)
         b1 = e1.filter(F.col("vec_id") >= 16000)
