@@ -821,6 +821,14 @@ def semantic_dedup(
     by transitive closure — exactly the paper's per-cluster sweep; for
     closure semantics see ``operators.dedup_groups``.
 
+    Ids must be UNIQUE (the ingest layer's PK contract,
+    sources/upsert.py): rows duplicated under the same id carry equal
+    (similarity, id) rank keys, so each twin "ranks ahead" of the other
+    under the non-strict sweep and they veto each other — a fully
+    id-duplicated input keeps ZERO rows (observed when a benchdata
+    multiplier silently reused vec_ids; the generator, not this
+    operator, was at fault).
+
     Returns the KEPT rows as ``(id_col, cell)``.
 
     Scale: assignment is a scan-side Catalyst expression (codebook inlined

@@ -13,8 +13,12 @@ FK relationship is preserved bit-for-bit per copy:
 - events: event_id/user_id offset; timestamps unchanged (the day-grain
   queries then see Nx users per day, same day count — matching how a
   bigger deployment looks, not a longer history).
-- documents/embeddings: doc_id offset; text/vectors unchanged (near-dup
-  pairs replicate within copies, never across — oracle semantics hold).
+- documents/embeddings: doc_id / vec_id offset; text/vectors unchanged.
+  NOTE: text content replicates EXACTLY across copies, so all-pairs
+  near-dup contracts are output-bound on the result (every doc gains
+  N-1 exact twins: Theta(groups * N^2) qualifying pairs — see
+  operators/text.py minhash_lsh_pairs); dedup-shaped ops (curate's
+  exact-then-near cascade, SemDeDup) stay linear.
 
 Output is plain parquet per table (row groups sized for scan parallelism).
 The result is NOT committed (it is ~N x 170 MB of derived binary); rerun
@@ -43,7 +47,13 @@ OFFSETS = {
     "supplier": {"s_suppkey": "suppkey"},
     "events": {"event_id": "eventid", "user_id": "userid"},
     "documents": {"doc_id": "docid"},
-    "embeddings": {"doc_id": "docid"},
+    # NB: embeddings' id column is vec_id, NOT doc_id — the round-10 sf64
+    # run caught this mapped as doc_id, which silently never matched, so
+    # every copy kept the base vec_ids and 64 rows shared each id. The
+    # ANN/dedup operators assume the ingest layer's unique-PK contract
+    # (identical (sim, id) twins mutually veto in SemDeDup's sweep -> 0
+    # survivors), so duplicated ids invalidate any embeddings-side row.
+    "embeddings": {"vec_id": "vecid"},
 }
 KEYSPACE_SOURCE = {
     "orderkey": ("orders", "o_orderkey"),
@@ -53,6 +63,7 @@ KEYSPACE_SOURCE = {
     "eventid": ("events", "event_id"),
     "userid": ("events", "user_id"),
     "docid": ("documents", "doc_id"),
+    "vecid": ("embeddings", "vec_id"),
 }
 COPY_AS_IS = ("region", "nation")
 

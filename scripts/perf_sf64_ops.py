@@ -96,10 +96,10 @@ def main() -> int:
             eager=True
         )
         n_vecs = emb.count()
-        ops.pop("semantic_dedup_1280cells", None)
-        ops["semantic_dedup_1280cells"] = lambda: sim.semantic_dedup(
-            emb, cents, threshold=0.35
-        )
+        if "semantic_dedup_1280cells" in ops:
+            ops["semantic_dedup_1280cells"] = lambda: sim.semantic_dedup(
+                emb, cents, threshold=0.35
+            )
         if "incremental_semantic_dedup" in ops:
             # frozen-corpus store for the incremental probe (one-time cost,
             # reported separately like PERF_LLM_OPS does)
