@@ -749,8 +749,20 @@ def band_candidates(
     """Distinct (d1, d2) candidate pairs sharing at least one LSH band
     bucket — the shared candidate generator of the exact-verified
     (``minhash_lsh_pairs``) and signature-estimated
-    (``minhash_estimate_pairs``) paths."""
+    (``minhash_estimate_pairs``) paths.
+
+    The stack is explicitly repartitioned on the join keys before the
+    self-join: both aliases then hang off ONE shuffle of the narrow
+    (id, band, bucket) rows, so the signature computation underneath is
+    planned once and reused (ReusedExchange) instead of evaluated per
+    side — without this, a broadcast-eligible stack (no exchange of its
+    own) re-derives all num_hashes array_min/transform signature
+    expressions on each side of the join. The same shuffle pre-colocates
+    the equi-join, so no further exchange follows it.
+    """
     stacked = lsh_band_stack(sig, id_col, num_hashes, bands, hash_fn)
+    par = sig.sparkSession.sparkContext.defaultParallelism
+    stacked = stacked.repartition(par, "band", "bucket")
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (
