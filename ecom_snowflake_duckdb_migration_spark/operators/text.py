@@ -708,6 +708,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold_e6: int = 800_000,
     hash_fn: str = "xxhash64",
+    estimate_prefilter_e6: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash + LSH banding, verified with exact Jaccard.
 
@@ -716,9 +717,27 @@ def minhash_lsh_pairs(
     band's slice), so the join is bounded by bucket sizes, not n^2. The
     verification recomputes exact Jaccard only for candidate pairs.
 
+    ``estimate_prefilter_e6`` prunes candidates by signature agreement
+    BEFORE the exact intersect: probing the broadcast (id, num_hashes
+    ints) signature table per candidate is cheap next to the per-pair
+    O(|A|+|B|) intersect. Recall bound: a J>=0.8 pair fails a 0.5 cutoff
+    only if its binomial estimate undershoots — P[Binom(32, 0.8) < 16] ≈
+    5e-6. MEASURED HONESTLY, the pruning is weak at num_hashes=32: band
+    candidates are inherently biased toward medium similarity (collision
+    prob ~ bands·J^rows), so a recall-safe cutoff ~3σ below threshold
+    (σ = sqrt(J(1-J)/num_hashes) ≈ 0.07) keeps 79% of the bench corpus's
+    4.3M candidates and saves ~1 s of 12. The knob earns its keep at
+    num_hashes >= 128, where σ halves twice and the safe cutoff tightens
+    to ~0.7; at 32 hashes prefer ``minhash_estimate_pairs`` if the exact
+    verify is too expensive. Exactness is the default (``None``): q48's
+    oracle pins the unpruned contract; x132 pins this one (same cutoff in
+    engine and oracle, so the pruning is cross-engine-checked, not
+    assumed).
+
     ``hash_fn="md5"`` swaps every hash for md5 hex strings (wider shuffles,
     same asymptotics) so the whole pipeline has a DuckDB twin — the oracled
-    catalog entry (q48) runs that variant; this default stays xxhash64.
+    catalog entries (q48/x132) run that variant; this default stays
+    xxhash64.
 
     **The all-pairs contract is OUTPUT-bound, not algorithm-bound**: a
     corpus whose duplication factor grows with corpus size (e.g. a base
@@ -735,6 +754,15 @@ def minhash_lsh_pairs(
     # candidates: LSH band-bucket equi-join, then exact Jaccard for THOSE
     # pairs only — never the all-shared-shingle-pairs join.
     candidates = band_candidates(sig, id_col, num_hashes, bands, hash_fn)
+    if estimate_prefilter_e6 is not None:
+        candidates = (
+            _signature_agreement_e6(
+                candidates, sig, sig, "d1", "d2", id_col, num_hashes,
+                ("d1", "d2"),
+            )
+            .filter(F.col("jaccard_e6") >= estimate_prefilter_e6)
+            .select("d1", "d2")
+        )
     sh = char_shingle_sets(df, text_col, id_col, k)
     return jaccard_verify_pairs(candidates, sh, id_col, threshold_e6)
 

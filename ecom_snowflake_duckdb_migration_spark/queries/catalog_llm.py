@@ -295,8 +295,18 @@ def q47_cosine_neardup_pairs(spark, sf_dir):
 # --- production fast path, pinned against these in tests/test_operators.py.
 
 
-def _minhash_oracle(num_hashes: int, bands: int, threshold_e6: int) -> str:
-    """DuckDB twin of minhash_lsh_pairs(hash_fn='md5'), same parameters."""
+def _minhash_oracle(
+    num_hashes: int,
+    bands: int,
+    threshold_e6: int,
+    prefilter_e6: int | None = None,
+) -> str:
+    """DuckDB twin of minhash_lsh_pairs(hash_fn='md5'), same parameters.
+
+    ``prefilter_e6`` mirrors the operator's ``estimate_prefilter_e6``:
+    candidates whose signature-agreement estimate undershoots the cutoff
+    are dropped BEFORE the exact-Jaccard join, so the pruning itself is
+    cross-engine-checked (x132), not assumed equivalent."""
     rows = num_hashes // bands
     mins = ",\n               ".join(
         f"min(md5('{s}:' || shingle)) AS mh_{s}" for s in range(num_hashes)
@@ -308,6 +318,25 @@ def _minhash_oracle(num_hashes: int, bands: int, threshold_e6: int) -> str:
         )
         for b in range(bands)
     )
+    prefilter_ctes = ""
+    cand_src = "cand"
+    if prefilter_e6 is not None:
+        agree = " + ".join(
+            f"(CASE WHEN sa.mh_{s} = sb.mh_{s} THEN 1 ELSE 0 END)"
+            for s in range(num_hashes)
+        )
+        prefilter_ctes = f""",
+    est AS (
+        SELECT c.d1, c.d2, {agree} AS n_agree
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.d1
+        JOIN sig sb ON sb.doc_id = c.d2
+    ),
+    kept AS (
+        SELECT d1, d2 FROM est
+        WHERE CAST(n_agree AS BIGINT) * 1000000 // {num_hashes} >= {prefilter_e6}
+    )"""
+        cand_src = "kept"
     return f"""
     WITH sh AS (
         SELECT doc_id,
@@ -327,11 +356,11 @@ def _minhash_oracle(num_hashes: int, bands: int, threshold_e6: int) -> str:
         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
         FROM banded a
         JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-    ),
+    ){prefilter_ctes},
     sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (
         SELECT c.d1, c.d2, count(*) AS n_inter
-        FROM cand c
+        FROM {cand_src} c
         JOIN sh s1 ON s1.doc_id = c.d1
         JOIN sh s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
         GROUP BY c.d1, c.d2
@@ -360,6 +389,33 @@ def q48_minhash_lsh_pairs(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return tx.minhash_lsh_pairs(
         d, k=3, num_hashes=32, bands=8, threshold_e6=800_000, hash_fn="md5"
+    )
+
+
+@register(
+    "x132_minhash_prefiltered_pairs",
+    oracle=_minhash_oracle(
+        num_hashes=32, bands=8, threshold_e6=800_000, prefilter_e6=500_000
+    ),
+    doc="q48's pipeline with a signature-agreement prefilter between "
+    "candidate generation and exact verification "
+    "(minhash_lsh_pairs(estimate_prefilter_e6=500000)): candidates whose "
+    "binomial Jaccard estimate undershoots 0.5 are dropped unverified. "
+    "The entry exists to cross-engine-check the PRUNING semantics — the "
+    "same cutoff applied to the same md5 signatures in both engines — "
+    "not to claim speed: measured at sf0.1 the safe cutoff keeps 79% of "
+    "candidates (banding already biases candidates toward medium "
+    "similarity) and saves ~1 s of 12; the knob pays off only at "
+    "num_hashes >= 128 where the estimator's sigma tightens. Results "
+    "equal q48's here (the 5e-6 recall loss needs ~200k true pairs to "
+    "show); the equality itself is pinned in tests.",
+    tags=("LLM", "dedup", "lsh"),
+)
+def x132_minhash_prefiltered_pairs(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return tx.minhash_lsh_pairs(
+        d, k=3, num_hashes=32, bands=8, threshold_e6=800_000, hash_fn="md5",
+        estimate_prefilter_e6=500_000,
     )
 
 

@@ -37,6 +37,25 @@ def test_minhash_lsh_matches_exact_jaccard(spark, sf_dir):
         assert exact[pair] == j
 
 
+def test_minhash_prefiltered_equals_exact(spark, sf_dir):
+    # estimate_prefilter_e6=0.5 must not change results on the test
+    # corpus: a J>=0.8 pair undershoots a 0.5 agreement estimate with
+    # P[Binom(32, 0.8) < 16] ~ 5e-6 (x132 pins the md5 twin's pruning
+    # against DuckDB; this pins the production xxhash64 variant).
+    d = _docs(spark, sf_dir)
+    exact = {
+        (r.d1, r.d2): r.jaccard_e6
+        for r in tx.minhash_lsh_pairs(d, threshold_e6=800_000).collect()
+    }
+    fast = {
+        (r.d1, r.d2): r.jaccard_e6
+        for r in tx.minhash_lsh_pairs(
+            d, threshold_e6=800_000, estimate_prefilter_e6=500_000
+        ).collect()
+    }
+    assert exact and fast == exact
+
+
 def test_minhash_verify_scores_candidates_only(spark, sf_dir):
     """The LSH verify stage must never degenerate into the all-shared-shingle
     self-join (ngram_jaccard_pairs' shape): a join keyed on `shingle` with an
