@@ -1,7 +1,13 @@
 """Sources and sinks: readers (S1-S3), writers/materialization (S4-S7, S9-S10,
 S12), and incremental-load operators (S8, S11, A11)."""
 
-from .compaction import compact_cell_store, compact_parquet, parquet_file_stats
+from .compaction import (
+    compact_cell_store,
+    compact_parquet,
+    consolidate_batch_store,
+    parquet_file_stats,
+    read_consolidated_floor,
+)
 from .readers import (
     flatten_json_columns,
     read_csv,
@@ -41,6 +47,8 @@ __all__ = [
     "backfill_id_column",
     "compact_cell_store",
     "compact_parquet",
+    "consolidate_batch_store",
+    "read_consolidated_floor",
     "create_typed_table",
     "create_view",
     "dedup_keep_newest",

@@ -209,3 +209,160 @@ def compact_cell_store(
         out["files_after"] += stats["files_after"]
         out["rows"] += stats["rows"]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Batch-keyed store consolidation
+# ---------------------------------------------------------------------------
+
+CONSOLIDATED_MARKER = "_consolidated_upto"
+
+
+def read_consolidated_floor(spark: SparkSession, path: str) -> int | None:
+    """The store's consolidation floor: batches below this id were merged
+    into the ``batch_id=<floor>`` partition and their directories are
+    garbage (deleted, or pending deletion after a crash). ``None`` when
+    the store has never been consolidated. Readers must drop
+    ``batch_id < floor`` rows — streaming/store_io.read_batch_store does."""
+    fs, hpath, jvm = _fs(spark, path)
+    marker = jvm.org.apache.hadoop.fs.Path(
+        f"{str(hpath).rstrip('/')}/{CONSOLIDATED_MARKER}"
+    )
+    if not fs.exists(marker):
+        return None
+    stream = fs.open(marker)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return int(text.strip())
+
+
+def _write_consolidated_marker(fs, jvm, path: str, upto: int) -> None:
+    marker = jvm.org.apache.hadoop.fs.Path(
+        f"{path.rstrip('/')}/{CONSOLIDATED_MARKER}"
+    )
+    out = fs.create(marker, True)
+    try:
+        out.writeBytes(f"{upto}\n")
+    finally:
+        out.close()
+
+
+def consolidate_batch_store(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_batches: int = 2,
+) -> dict:
+    """Merge every committed ``batch_id=N`` partition of a batch-keyed
+    durable store (streaming/corpus_dedup, streaming/semantic_dedup docs
+    and band stores) into the HIGHEST committed id's directory — the
+    across-batch twin of :func:`compact_cell_store`'s per-leaf pass. A
+    long-running stream lands one directory per micro-batch; after ~10^3
+    batches every probe pays partition listing + per-file opens on a
+    sliver per batch, and this pass folds them into
+    ``ceil(bytes / target_file_bytes)`` files under one partition.
+
+    Replay safety: the streaming engine only ever replays the LAST
+    (uncommitted) batch, whose id exceeds every committed id, so merging
+    committed batches into the max committed id K can never collide with
+    a replay overwrite, and ``read_batch_store``'s current-batch
+    exclusion (!= N with N > K) never excludes consolidated rows.
+
+    Crash safety (crash-safe, not atomic — the module's standard
+    contract): the merged data is staged in a hidden ``.batch_id=K.tmp``
+    sibling, swapped in with the two checked renames, then a root-level
+    ``_consolidated_upto`` marker (= K) is written BEFORE the stale
+    ``batch_id<K`` directories are deleted. A crash between the swap and
+    the marker leaves duplicate rows visible for that window only; a
+    crash between the marker and the deletions leaves stale directories
+    that every reader already ignores (``read_batch_store`` filters
+    ``batch_id < floor``) and the next call garbage-collects. The
+    recovery preamble restores a ``.old`` orphan exactly like
+    :func:`compact_parquet`. The merge itself reads above the previous
+    floor, so stale pre-floor directories are never double-counted.
+
+    Returns ``{batches_before, batches_after, files_before, files_after,
+    rows, upto}``; a store with fewer than ``min_batches`` committed
+    batches only runs recovery + garbage collection.
+    """
+    from pyspark.sql import functions as F
+
+    fs, hpath, jvm = _fs(spark, path)
+    if not fs.exists(hpath):
+        raise FileNotFoundError(path)
+    root = str(hpath).rstrip("/")
+    P = jvm.org.apache.hadoop.fs.Path
+
+    # recovery preamble: a crash between the two swap renames leaves the
+    # only complete copy of the target partition at '.batch_id=K.old'
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if name.startswith(".batch_id=") and name.endswith(".old"):
+            visible = P(f"{root}/{name[1:-len('.old')]}")
+            if fs.exists(visible):
+                fs.delete(st.getPath(), True)  # crash after swap: scrap .old
+            elif not fs.rename(st.getPath(), visible):
+                raise OSError(f"recovery rename {name} failed")
+
+    floor = read_consolidated_floor(spark, path)
+    ids = sorted(
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in fs.listStatus(hpath)
+        if st.isDirectory()
+        and st.getPath().getName().startswith("batch_id=")
+    )
+    live = [i for i in ids if floor is None or i >= floor]
+    stale = [i for i in ids if floor is not None and i < floor]
+    out = {
+        "batches_before": len(live), "batches_after": len(live),
+        "files_before": 0, "files_after": 0, "rows": 0,
+        "upto": floor,
+    }
+    if len(live) >= min_batches:
+        upto = max(live)
+        files_before = sum(
+            parquet_file_stats(spark, f"{root}/batch_id={i}")[0] for i in live
+        )
+        total_bytes = sum(
+            parquet_file_stats(spark, f"{root}/batch_id={i}")[1] for i in live
+        )
+        n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+        merged = (
+            spark.read.parquet(path)
+            .where(F.col("batch_id").isin([int(i) for i in live]))
+            .drop("batch_id")
+            .repartition(n_out)
+        )
+        target = P(f"{root}/batch_id={upto}")
+        old = P(f"{root}/.batch_id={upto}.old")
+        tmp = P(f"{root}/.batch_id={upto}.tmp")
+        if fs.exists(tmp):
+            fs.delete(tmp, True)
+        merged.write.mode("overwrite").parquet(str(tmp))
+        rows = spark.read.parquet(str(tmp)).count()
+        if fs.exists(old):
+            fs.delete(old, True)
+        if not fs.rename(target, old):
+            raise OSError(f"swap aborted: rename batch_id={upto} -> .old failed")
+        if not fs.rename(tmp, target):
+            fs.rename(old, target)
+            raise OSError(
+                f"swap aborted: rename .tmp -> batch_id={upto} failed; restored"
+            )
+        _write_consolidated_marker(fs, jvm, root, upto)
+        fs.delete(old, True)
+        stale = sorted(set(stale) | {i for i in live if i < upto})
+        out.update(
+            batches_after=1,
+            files_before=files_before,
+            files_after=parquet_file_stats(spark, str(target))[0],
+            rows=rows,
+            upto=upto,
+        )
+    # garbage-collect directories below the floor (normal path AND the
+    # crash-recovery path where a previous call died before its deletes)
+    for i in stale:
+        fs.delete(P(f"{root}/batch_id={i}"), True)
+    return out

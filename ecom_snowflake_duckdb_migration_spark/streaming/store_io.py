@@ -73,6 +73,13 @@ def read_batch_store(
     :class:`LegacyStoreLayoutError` on a flat-append layout store, and
     propagates every other read failure — a damaged durable store must
     fail the batch, not masquerade as an empty corpus.
+
+    A consolidated store (sources/compaction.consolidate_batch_store)
+    carries a ``_consolidated_upto`` root marker: batches below the
+    marker were merged into the ``batch_id=<marker>`` partition and any
+    surviving pre-marker directory is garbage from a crash between the
+    marker write and the deletions — rows below the floor are filtered
+    out so that crash window never re-emits duplicate history.
     """
     names = _store_child_names(spark, path)
     if names is None:
@@ -91,4 +98,10 @@ def read_batch_store(
         return None
     full = spark.read.parquet(path)
     out = full.where(F.col("batch_id") != F.lit(batch_id))
+    if "_consolidated_upto" in names:
+        from ..sources.compaction import read_consolidated_floor
+
+        floor = read_consolidated_floor(spark, path)
+        if floor is not None:
+            out = out.where(F.col("batch_id") >= F.lit(floor))
     return out.drop("batch_id") if drop_batch_id else out

@@ -624,3 +624,108 @@ def test_compact_cell_store_ann_lifecycle(spark, tmp_path):
     finally:
         shutil.rmtree(f"{path}/.{name}.tmp")
         shutil.rmtree(f"{path}/.{name}.old")
+
+
+def _write_batch_store(spark, root, batches):
+    """Helper: batch-keyed store layout — {batch_id: [(doc_id, text), ...]}."""
+    for bid, rows in batches.items():
+        spark.createDataFrame(rows, "doc_id long, text string").repartition(
+            3
+        ).write.mode("overwrite").parquet(f"{root}/batch_id={bid}")
+
+
+def test_consolidate_batch_store_merges_and_reads_back(spark, tmp_path):
+    """N batch dirs -> 1 partition under the max id; read_batch_store sees
+    identical rows before and after, and dir/file counts shrink."""
+    from ecom_snowflake_duckdb_migration_spark.sources import (
+        consolidate_batch_store,
+        read_consolidated_floor,
+    )
+    from ecom_snowflake_duckdb_migration_spark.streaming.store_io import (
+        read_batch_store,
+    )
+
+    root = str(tmp_path / "store")
+    _write_batch_store(
+        spark, root, {b: [(b * 10 + i, f"t{b}-{i}") for i in range(4)] for b in range(5)}
+    )
+    before = {
+        (r.doc_id, r.text)
+        for r in read_batch_store(spark, root, batch_id=99).collect()
+    }
+    stats = consolidate_batch_store(spark, root)
+    assert stats["batches_before"] == 5 and stats["batches_after"] == 1
+    assert stats["rows"] == 20 and stats["upto"] == 4
+    assert read_consolidated_floor(spark, root) == 4
+    after = {
+        (r.doc_id, r.text)
+        for r in read_batch_store(spark, root, batch_id=99).collect()
+    }
+    assert after == before
+    import os
+
+    dirs = [d for d in os.listdir(root) if d.startswith("batch_id=")]
+    assert dirs == ["batch_id=4"]
+    # stream continues: a NEW batch appends after consolidation and both
+    # the consolidated history and the new batch are visible
+    _write_batch_store(spark, root, {7: [(700, "new")]})
+    again = {
+        (r.doc_id, r.text)
+        for r in read_batch_store(spark, root, batch_id=99).collect()
+    }
+    assert again == before | {(700, "new")}
+    # current-batch exclusion still applies to the new batch
+    excl = {
+        (r.doc_id, r.text)
+        for r in read_batch_store(spark, root, batch_id=7).collect()
+    }
+    assert excl == before
+
+
+def test_consolidate_batch_store_crash_windows(spark, tmp_path):
+    """Marker-before-GC crash: stale pre-floor dirs are invisible to
+    readers and garbage-collected by the next call; a second consolidate
+    over floor + new batches re-raises the floor."""
+    from ecom_snowflake_duckdb_migration_spark.sources import (
+        consolidate_batch_store,
+    )
+    from ecom_snowflake_duckdb_migration_spark.streaming.store_io import (
+        read_batch_store,
+    )
+
+    root = str(tmp_path / "store")
+    _write_batch_store(
+        spark, root, {b: [(b * 10 + i, f"t{b}-{i}") for i in range(3)] for b in range(3)}
+    )
+    expect = {
+        (r.doc_id, r.text)
+        for r in read_batch_store(spark, root, batch_id=99).collect()
+    }
+    consolidate_batch_store(spark, root)
+    # simulate the crash window AFTER the marker write but BEFORE the
+    # stale-dir deletions: resurrect a pre-floor directory with rows that
+    # are already inside the consolidated partition
+    _write_batch_store(spark, root, {0: [(0, "t0-0"), (1, "t0-1"), (2, "t0-2")]})
+    seen = {
+        (r.doc_id, r.text)
+        for r in read_batch_store(spark, root, batch_id=99).collect()
+    }
+    assert seen == expect  # no duplicate history re-emitted
+    # next maintenance call garbage-collects the stale dir (no new merge
+    # needed: only one live batch)
+    stats = consolidate_batch_store(spark, root)
+    assert stats["batches_before"] == 1 and stats["batches_after"] == 1
+    import os
+
+    assert sorted(d for d in os.listdir(root) if d.startswith("batch_id=")) == [
+        "batch_id=2"
+    ]
+    # floor rises on a later consolidation over new batches
+    _write_batch_store(spark, root, {5: [(50, "b5")], 6: [(60, "b6")]})
+    stats2 = consolidate_batch_store(spark, root)
+    assert stats2["upto"] == 6 and stats2["rows"] == len(expect) + 2
+    final = {
+        (r.doc_id, r.text)
+        for r in read_batch_store(spark, root, batch_id=99).collect()
+    }
+    assert final == expect | {(50, "b5"), (60, "b6")}
