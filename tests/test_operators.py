@@ -3071,3 +3071,44 @@ def test_cdc_dedup_insert_robust(spark):
     # determinism
     again = {r.doc_id: r.clean_text for r in tx.cdc_dedup(df, window=3).collect()}
     assert again == {k: v.clean_text for k, v in out.items()}
+
+
+def test_minhash_signatures_scan_side_equals_grouped_reference(spark):
+    """The scan-side array_min(transform(...)) signature path must be
+    bit-identical to the explode -> groupBy -> MIN reference shape it
+    replaced (round-10 rewrite), including the edge semantics: texts
+    shorter than k and NULL texts produce NO signature row (explode-drop),
+    and string mins (md5 variant) order identically in both shapes."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup
+        (3, "ab"),          # len < k -> no shingles -> no row
+        (4, ""),            # empty -> no row
+        (5, None),          # NULL -> no row
+        (6, "abc"),         # exactly k -> one shingle
+        (7, "naïve café — unicode ≠ ascii"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    for hash_fn in ("xxhash64", "md5"):
+        sh = tx.char_shingles(d)
+        aggs = [
+            F.min(tx._seeded_hash(F.col("shingle"), s, hash_fn)).alias(f"mh_{s}")
+            for s in range(8)
+        ]
+        ref = sh.groupBy("doc_id").agg(*aggs)
+        got = tx.minhash_signatures(d, num_hashes=8, hash_fn=hash_fn)
+        assert sorted(got.collect()) == sorted(ref.collect()), hash_fn
+        assert {r.doc_id for r in got.collect()} == {1, 2, 6, 7}
+    # char_shingle_sets mirrors the explode->hash->collect_set frame
+    ref_sets = {
+        r.doc_id: frozenset(r.ss)
+        for r in tx.char_shingles(d)
+        .select("doc_id", F.xxhash64("shingle").alias("h"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("ss"))
+        .collect()
+    }
+    got_sets = {
+        r.doc_id: frozenset(r.ss) for r in tx.char_shingle_sets(d).collect()
+    }
+    assert got_sets == ref_sets
