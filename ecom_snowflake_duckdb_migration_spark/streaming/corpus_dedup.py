@@ -81,6 +81,13 @@ def streaming_corpus_dedup(
     corpus, so it sees all of its docs as new (full reprocess, identical
     pairs overwrite) rather than a subset (which would permanently drop
     the already-appended docs' pairs from the rewritten pairs partition).
+
+    Maintenance: a long-running stream lands one ``batch_id=N`` directory
+    per micro-batch under the docs store; fold them periodically (stream
+    stopped or between batches) with
+    ``sources.compaction.consolidate_batch_store(spark, <docs path>)`` —
+    the read path above honors its ``_consolidated_upto`` floor marker,
+    so a consolidation crash never re-emits duplicate history.
     """
     params = dict(k=k, num_hashes=num_hashes, bands=bands, hash_fn=hash_fn)
     bands_path = os.path.join(store_dir, "bands")
