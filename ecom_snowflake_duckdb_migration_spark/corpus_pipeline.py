@@ -1,0 +1,150 @@
+"""End-to-end training-corpus pipeline runner — the LLM-data twin of
+``ecom.orchestrate.daily_run``: one call takes a raw document table to
+durable, reproducibly-ordered, context-window-packed training shards
+plus a machine-readable manifest.
+
+Stages (every one an already-oracled operator; this module is pure
+composition and the durable-write policy):
+
+1. **curate** — the cleaning cascade (quality -> language ->
+   [boilerplate] -> exact dedup -> near-dedup -> decontamination;
+   operators.text.curate, x79/x117/x124 oracles);
+2. **split + order** — deterministic hash split and reproducible global
+   shuffle order (operators.sampling.shuffle_split, x84): same rows,
+   same split, same order on any engine / run / partitioning;
+3. **chunk + pack** — sliding-window chunking (q37) and fixed-budget
+   context-window packing PER SPLIT (q38's pack_sequences called once
+   per split frame, so eval packs never mix into train; the
+   range-bucketed exact-cumsum path, NOT partition_col='split' — a
+   3-way partition_col window would funnel the 90% train split through
+   one window partition);
+4. **write** — one parquet directory per split
+   (``out_dir/split=<name>``), range-partitioned AND sorted on
+   (pack_id, pack_offset) so shards stream in training order with
+   zero read-side sorting, plus ``out_dir/_manifest.json``;
+5. **report** — corpus_report (x92) before/after rows embedded in the
+   manifest: the curation run's evidence, not a side effect.
+
+Scale: stages 1-3 inherit their operators' documented shapes (scan-side
+filters, hash dedup, banded near-dup, bucketed cumsums — no n^2, no
+global single-reducer window); the write is one range exchange per
+split. The manifest is a driver-side dict of per-split scalars.
+
+Reruns are idempotent: every split directory and the manifest are
+overwritten atomically per-directory (Spark overwrite mode), and every
+stage is a pure function of (input rows, seed, parameters).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import sampling as sp
+from .operators import text as tx
+
+DEFAULT_SPLITS_E6 = {"train": 900_000, "val": 50_000, "test": 50_000}
+
+
+def corpus_run(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    benchmark: DataFrame | None = None,
+    splits_e6: dict[str, int] | None = None,
+    chunk_size: int = 500,
+    overlap: int = 100,
+    seq_budget: int = 2048,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    near_dup: str = "exact",
+    quality: str = "basic",
+    boilerplate: str | None = None,
+) -> dict[str, Any]:
+    """Run the full corpus pipeline; returns (and writes) the manifest.
+
+    ``docs`` must carry (id_col, text_col, source). ``benchmark`` is the
+    decontamination target (curate's contract); when None, an empty
+    frame is used and the decontamination stage is a structural no-op.
+    ``near_dup``/``quality``/``boilerplate`` pass through to curate.
+    """
+    splits_e6 = dict(splits_e6 or DEFAULT_SPLITS_E6)
+    if benchmark is None:
+        benchmark = docs.limit(0)
+
+    report_before = [r.asDict() for r in tx.corpus_report(
+        docs, text_col, id_col
+    ).orderBy("source").collect()]
+
+    kept = tx.curate(
+        docs, benchmark, text_col=text_col, id_col=id_col,
+        near_dup=near_dup, quality=quality, boilerplate=boilerplate,
+    )
+    survivors = docs.join(kept.select(id_col), id_col, "left_semi")
+
+    assigned = sp.shuffle_split(survivors, splits_e6, id_col=id_col, seed=seed)
+    chunked = tx.chunk_documents(
+        assigned, chunk_size=chunk_size, overlap=overlap,
+        text_col=text_col, id_col=id_col,
+    ).join(assigned.select(id_col, "split", "shuffle_key"), id_col)
+
+    manifest: dict[str, Any] = {
+        "seed": seed,
+        "splits_e6": splits_e6,
+        "chunk_size": chunk_size,
+        "overlap": overlap,
+        "seq_budget": seq_budget,
+        "curate": {"near_dup": near_dup, "quality": quality,
+                   "boilerplate": boilerplate},
+        "report_before": report_before,
+        "splits": {},
+    }
+    n_out = max(2, spark.sparkContext.defaultParallelism)
+    for name in splits_e6:
+        # pack each split with the range-bucketed exact-cumsum path: the
+        # training order is (shuffle_key, chunk_id) — shuffled documents,
+        # sequential chunks within a document
+        part = tx.pack_sequences(
+            chunked.filter(F.col("split") == name).drop("split"),
+            seq_budget,
+            token_col="chunk_tokens",
+            order_cols=("shuffle_key", "chunk_id"),
+        )
+        path = os.path.join(out_dir, f"split={name}")
+        (
+            part.repartitionByRange(n_out, "pack_id", "pack_offset")
+            .sortWithinPartitions("pack_id", "pack_offset")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        back = spark.read.parquet(path)
+        stats = back.agg(
+            F.count(F.lit(1)).alias("chunks"),
+            F.countDistinct(id_col).alias("docs"),
+            F.countDistinct("pack_id").alias("packs"),
+            F.sum(F.col("chunk_tokens").cast("bigint")).alias("tokens"),
+        ).first()
+        manifest["splits"][name] = {
+            "path": path,
+            "docs": stats["docs"],
+            "chunks": stats["chunks"],
+            "packs": stats["packs"],
+            "tokens": stats["tokens"],
+        }
+
+    manifest["report_after"] = [r.asDict() for r in tx.corpus_report(
+        survivors, text_col, id_col
+    ).orderBy("source").collect()]
+
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, "._manifest.json.tmp")
+    final = os.path.join(out_dir, "_manifest.json")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, default=int)
+    os.replace(tmp, final)
+    return manifest
