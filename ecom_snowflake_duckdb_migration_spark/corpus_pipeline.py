@@ -141,10 +141,25 @@ def corpus_run(
         survivors, text_col, id_col
     ).orderBy("source").collect()]
 
-    os.makedirs(out_dir, exist_ok=True)
-    tmp = os.path.join(out_dir, "._manifest.json.tmp")
-    final = os.path.join(out_dir, "_manifest.json")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1, default=int)
-    os.replace(tmp, final)
+    # manifest through the Hadoop FileSystem API (same resolution as the
+    # shard writes above), staged + renamed so readers never see a torn
+    # file — works for file://, hdfs:// and s3a:// out_dirs alike
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    root = P(out_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.mkdirs(root)
+    tmp = P(f"{out_dir.rstrip('/')}/._manifest.json.tmp")
+    final = P(f"{out_dir.rstrip('/')}/_manifest.json")
+    stream = fs.create(tmp, True)
+    try:
+        stream.write(bytearray(
+            json.dumps(manifest, indent=1, default=int).encode("utf-8")
+        ))
+    finally:
+        stream.close()
+    if fs.exists(final):
+        fs.delete(final, False)
+    if not fs.rename(tmp, final):
+        raise OSError(f"manifest rename failed under {out_dir}")
     return manifest
