@@ -729,3 +729,37 @@ def test_consolidate_batch_store_crash_windows(spark, tmp_path):
         for r in read_batch_store(spark, root, batch_id=99).collect()
     }
     assert final == expect | {(50, "b5"), (60, "b6")}
+
+
+def test_consolidate_batch_store_restores_old_orphan(spark, tmp_path):
+    """Crash between the two swap renames leaves the only complete copy at
+    '.batch_id=K.old'; the next call's recovery preamble restores it
+    before doing anything else."""
+    import os
+    import shutil
+
+    from ecom_snowflake_duckdb_migration_spark.sources import (
+        consolidate_batch_store,
+    )
+    from ecom_snowflake_duckdb_migration_spark.streaming.store_io import (
+        read_batch_store,
+    )
+
+    root = str(tmp_path / "store")
+    _write_batch_store(
+        spark, root, {b: [(b * 10 + i, f"t{b}-{i}") for i in range(3)] for b in range(3)}
+    )
+    expect = {
+        (r.doc_id, r.text)
+        for r in read_batch_store(spark, root, batch_id=99).collect()
+    }
+    # simulate: rename the max-id partition to the hidden .old orphan
+    shutil.move(f"{root}/batch_id=2", f"{root}/.batch_id=2.old")
+    stats = consolidate_batch_store(spark, root)
+    assert stats["batches_after"] == 1 and stats["upto"] == 2
+    got = {
+        (r.doc_id, r.text)
+        for r in read_batch_store(spark, root, batch_id=99).collect()
+    }
+    assert got == expect
+    assert not os.path.exists(f"{root}/.batch_id=2.old")
