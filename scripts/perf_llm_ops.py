@@ -5,9 +5,11 @@ land in ONE parquet file, and timing a 32-core engine on 1 split measures
 the file layout, not the operator (at real scale the scan has many splits).
 
 Usage: python scripts/perf_llm_ops.py [out.json] [sf_dir] [n_reps] [mode]
-``mode``: "all" (default), "ops" (skip the sf1 crossover), or
+``mode``: "all" (default), "ops" (skip the sf1 crossover),
 "crossover" (only the incremental-SemDeDup crossover, merging into an
-existing out.json) — the split keeps each run inside a CI timeout.
+existing out.json), or "only=<name,name,...>" (re-time just the named
+ops in place, keeping every other entry and the crossover) — the split
+keeps each run inside a CI timeout.
 """
 
 from __future__ import annotations
