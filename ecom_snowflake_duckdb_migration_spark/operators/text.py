@@ -470,10 +470,15 @@ def char_shingle_sets(
     Documents with no shingles (length < k, NULL text) emit no row,
     matching the grouped form's explode-drop semantics.
     """
+    # the empty-set gate is the scan-cheap length predicate, NOT
+    # size(_shingles) > 0: pushing a size() filter below the projection
+    # would re-derive the whole array expression just to count it, while
+    # length(text) >= k is exactly equivalent (a text of length >= k
+    # always yields >= 1 distinct shingle; NULL text fails the compare)
     arr = _shingle_array(text_col, k)
     return (
-        df.select(F.col(id_col), arr.alias("_shingles"))
-        .filter(F.size("_shingles") > 0)
+        df.filter(F.length(text_col) >= k)
+        .select(F.col(id_col), arr.alias("_shingles"))
         .select(
             id_col,
             F.array_distinct(
@@ -585,9 +590,12 @@ def minhash_signatures(
         ).alias(f"mh_{seed}")
         for seed in range(num_hashes)
     ]
+    # length(text) >= k is the scan-cheap equivalent of size(shingles) > 0
+    # (see char_shingle_sets) — it keeps the array expression out of the
+    # filter entirely
     return (
-        df.select(F.col(id_col), arr.alias("_shingles"))
-        .filter(F.size("_shingles") > 0)
+        df.filter(F.length(text_col) >= k)
+        .select(F.col(id_col), arr.alias("_shingles"))
         .select(id_col, *mins)
     )
 
