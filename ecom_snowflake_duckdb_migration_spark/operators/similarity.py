@@ -33,6 +33,95 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# ---------------------------------------------------------------------------
+# SQL-text twins of the literal-codebook expression builders.
+#
+# Round-10 measurement (guide §7.3 "avoid generating gigantic expression
+# trees in loops"): constructing these folds through the Python Column API
+# costs hundreds of py4j round-trips PER HELPER CALL — norm(dim=64) 761 ms,
+# assign_cell over 8 centroids 1.15 s, the full semantic_cells projection
+# ~3 s of pure driver-side Python, dwarfing both planning (0.25 s) and
+# execution (0.7 s) at bench scale and re-paid on every operator invocation
+# at any scale. Building the IDENTICAL tree as one SQL string parsed by a
+# single F.expr call is ~1 ms. The parsed trees perform the same IEEE
+# operation sequence (same fold shape, same casts, literals round-tripped
+# through repr -> Double.parseDouble), so results are bit-identical —
+# pinned by an A/B collect in tests and by the unchanged DuckDB oracles.
+# String inputs name columns (or are themselves SQL fragments, e.g. a
+# slice(...) expression); Column inputs keep the legacy Column-API path.
+# ---------------------------------------------------------------------------
+
+
+def _dlit_sql(v: float) -> str:
+    """Exact double literal: repr round-trips through Double.parseDouble,
+    and the CAST of a constant folds to the identical Literal(double)."""
+    return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+
+def _arr_lit_sql(values: list[float]) -> str:
+    return "array(" + ", ".join(_dlit_sql(v) for v in values) + ")"
+
+
+def _dot_fold_sql(a: str, b: str) -> str:
+    """Lambda-fold dot, textually identical in shape to the Column form."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) *"
+        f" CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def dot_sql(a: str, b: str, dim: int | None = None) -> str:
+    """SQL text of :func:`dot` for string/fragment inputs."""
+    if dim is None:
+        return _dot_fold_sql(a, b)
+    terms = "0.0D"
+    for i in range(dim):
+        terms = (
+            f"({terms} + (CAST(get({a}, {i}) AS DOUBLE) *"
+            f" CAST(get({b}, {i}) AS DOUBLE)))"
+        )
+    return terms
+
+
+def dot_lit_sql(a: str, values: list[float]) -> str:
+    """SQL text of :func:`dot_lit` (lambda fold against a literal array)."""
+    return _dot_fold_sql(a, _arr_lit_sql(values))
+
+
+def norm_sql(a: str, dim: int | None = None) -> str:
+    """SQL text of :func:`norm`."""
+    if dim is None:
+        return (
+            f"SQRT(aggregate(transform({a}, x -> CAST(x AS DOUBLE) *"
+            f" CAST(x AS DOUBLE)), 0.0D, (acc, x) -> acc + x))"
+        )
+    terms = "0.0D"
+    for i in range(dim):
+        x = f"CAST(get({a}, {i}) AS DOUBLE)"
+        terms = f"({terms} + ({x} * {x}))"
+    return f"SQRT({terms})"
+
+
+def cosine_lit_sql(a: str, values: list[float], a_norm_sql: str) -> str:
+    """SQL text of :func:`cosine_lit` — pass the row norm's SQL once."""
+    return f"({dot_lit_sql(a, values)} / ({a_norm_sql} * {_dlit_sql(norm_lit(values))}))"
+
+
+def assign_cell_sql(a: str, centroids: list[list[float]]) -> str:
+    """SQL text of :func:`assign_cell` (same (sim, -cell) array_max device,
+    same NULL/zero-norm guard)."""
+    d = len(centroids[0])
+    nv = norm_sql(a, d)
+    structs = ", ".join(
+        f"named_struct('sim', {cosine_lit_sql(a, c, nv)}, 'negcell', {-i})"
+        for i, c in enumerate(centroids)
+    )
+    return (
+        f"CASE WHEN {nv} > 0 THEN 0 - array_max(array({structs})).negcell"
+        f" ELSE CAST(NULL AS INT) END"
+    )
+
+
 def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """Left-to-right double-precision fold of the elementwise product.
 
@@ -48,6 +137,9 @@ def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     ``dim`` element reads would carry its own copy of the array subtree
     (O(dim^2) nodes); use ``dot_lit``'s caller pattern instead.
     """
+    if isinstance(a, str) and isinstance(b, str):
+        # one-parse SQL twin: ~1 ms vs ~250 ms (dim=64) of py4j round-trips
+        return F.expr(dot_sql(a, b, dim))
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     if dim is not None:
@@ -69,6 +161,8 @@ def dot_lit(a: Column | str, values: list[float]) -> Column:
     form here measured 8 x ~380-node trees and ~4 s of frontend per query
     for zero execution win at 1M rows). IEEE sequence identical to
     :func:`dot` and DuckDB's ``list_sum(list_transform(...))``."""
+    if isinstance(a, str):
+        return F.expr(dot_lit_sql(a, values))
     lit = F.array(*[F.lit(float(v)) for v in values])
     return dot(a, lit)
 
@@ -98,6 +192,8 @@ def cosine_lit(a: Column | str, values: list[float], a_norm: Column) -> Column:
 def norm(a: Column | str, dim: int | None = None) -> Column:
     """sqrt of the left-to-right fold of squares; ``dim`` unrolls it into
     codegen-able arithmetic exactly like :func:`dot`."""
+    if isinstance(a, str):
+        return F.expr(norm_sql(a, dim))
     a = F.col(a) if isinstance(a, str) else a
     if dim is not None:
         acc = F.lit(0.0)
@@ -178,6 +274,16 @@ def hyperplane_signature(
     Hyperplanes are passed as literals (generated once, deterministic seed),
     so the signature is a pure Catalyst expression.
     """
+    if isinstance(vec_col, str):
+        terms = [
+            f"CASE WHEN {dot_lit_sql(vec_col, h)} >= 0 THEN"
+            f" SHIFTLEFT(CAST(1 AS BIGINT), {i}) ELSE CAST(0 AS BIGINT) END"
+            for i, h in enumerate(hyperplanes)
+        ]
+        sig_sql = terms[0]
+        for t in terms[1:]:
+            sig_sql = f"({sig_sql} | {t})"
+        return F.expr(sig_sql)
     bits = []
     for i, h in enumerate(hyperplanes):
         bit = F.when(
@@ -363,6 +469,8 @@ def assign_cell(vec_col: Column | str, centroids: list[list[float]]) -> Column:
     NULL vectors and zero-norm vectors both get a NULL cell — a zero
     vector has no defined cosine direction, and without the guard all
     sims are NaN so array_max would silently pick cell 0."""
+    if isinstance(vec_col, str):
+        return F.expr(assign_cell_sql(vec_col, centroids)).alias("cell")
     d = len(centroids[0])
     nv = norm(vec_col, d)
     sims = F.array(
@@ -470,21 +578,16 @@ def ann_topk_ivf_centroids(
     parameter table of many queries... with one row here for the top-k
     contract."""
     d = len(centroids[0])
-    qn = norm("qe", d)
-    sims = F.array(
-        *[
-            F.struct(
-                cosine_lit("qe", c, qn).alias("sim"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    qn = norm_sql("qe", d)
+    sims = ", ".join(
+        f"named_struct('sim', {cosine_lit_sql('qe', c, qn)}, 'cell', {i})"
+        for i, c in enumerate(centroids)
     )
-    probe_cells = F.slice(F.reverse(F.array_sort(sims)), 1, nprobe)
-    q = query.select(
-        F.col("qe"),
-        norm("qe", d).alias("_qn"),
-        F.transform(probe_cells, lambda s: s["cell"]).alias("cells"),
+    probe_cells = f"slice(reverse(array_sort(array({sims}))), 1, {nprobe})"
+    q = query.selectExpr(
+        "qe",
+        f"{qn} AS _qn",
+        f"transform({probe_cells}, s -> s.cell) AS cells",
     )
     celled = ivf_partition(df, centroids, vec_col)
     probed = celled.join(
@@ -666,22 +769,17 @@ def _query_probe_cells(
             F.explode("_cells").alias("cell"),
         )
     else:
-        qn = norm(query_vec_col, d)
-        sims = F.array(
-            *[
-                F.struct(
-                    cosine_lit(query_vec_col, c, qn).alias("sim"),
-                    F.lit(i).alias("cell"),
-                )
-                for i, c in enumerate(centroids)
-            ]
+        qn = norm_sql(query_vec_col, d)
+        sims = ", ".join(
+            f"named_struct('sim', {cosine_lit_sql(query_vec_col, c, qn)}, 'cell', {i})"
+            for i, c in enumerate(centroids)
         )
-        probe = F.slice(F.reverse(F.array_sort(sims)), 1, nprobe)
-        qcells = queries.select(
+        probe = f"slice(reverse(array_sort(array({sims}))), 1, {nprobe})"
+        qcells = queries.selectExpr(
             query_id_col,
             query_vec_col,
-            norm(query_vec_col, d).alias("_qn"),
-            F.explode(F.transform(probe, lambda s: s["cell"])).alias("cell"),
+            f"{qn} AS _qn",
+            f"explode(transform({probe}, s -> s.cell)) AS cell",
         )
     return qcells.filter(F.col("_qn") > 0)
 
@@ -928,14 +1026,16 @@ def semantic_cells(
     if method == "pandas":
         return _semantic_cells_pandas(df, centroids, vec_col, id_col)
     d = len(centroids[0])
-    _nv = norm(vec_col, d)
-    csim = F.greatest(*[cosine_lit(vec_col, c, _nv) for c in centroids])
-    return df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        norm(vec_col, d).alias("nrm"),
-        assign_cell(vec_col, centroids).alias("cell"),
-        csim.alias("csim"),
+    # whole projection as FOUR parsed SQL expressions (round-10): the
+    # Column-API build of the same trees measured ~3 s of py4j per call
+    _nv = norm_sql(vec_col, d)
+    cos = [cosine_lit_sql(vec_col, c, _nv) for c in centroids]
+    return df.selectExpr(
+        id_col,
+        vec_col,
+        f"{_nv} AS nrm",
+        f"{assign_cell_sql(vec_col, centroids)} AS cell",
+        f"greatest({', '.join(cos)}) AS csim",
     )
 
 
@@ -1520,10 +1620,30 @@ def train_residual_pq_codebooks(
     return _lloyd_pq(X, m, k, seed, iters)
 
 
-def pq_code_cols(v: Column, codebooks: list[list[list[float]]]) -> list[Column]:
+def pq_code_cols_sql(v: str, codebooks: list[list[list[float]]]) -> list[str]:
+    """SQL texts of :func:`pq_code_cols` — one parsed expression per
+    subspace instead of ~m*k*dsub py4j round-trips (round-10)."""
+    dsub = len(codebooks[0][0])
+    codes = []
+    for s, book in enumerate(codebooks):
+        sub = f"slice({v}, {s * dsub + 1}, {dsub})"
+        structs = ", ".join(
+            f"named_struct('score', ({dot_lit_sql(sub, c)} -"
+            f" {_dlit_sql(sq_norm_lit(c) / 2.0)}), 'negcode', {-j})"
+            for j, c in enumerate(book)
+        )
+        codes.append(f"(0 - array_max(array({structs})).negcode)")
+    return codes
+
+
+def pq_code_cols(
+    v: Column | str, codebooks: list[list[list[float]]]
+) -> list[Column]:
     """Per-subspace PQ code expressions (the expr encoder's core, shared
     with :func:`ivfadc_knn_join`'s item side): argmax of
     ``dot(v_s, c) - ||c||^2/2`` with (score, -code) array_max ties."""
+    if isinstance(v, str):
+        return [F.expr(s) for s in pq_code_cols_sql(v, codebooks)]
     dsub = len(codebooks[0][0])
     codes = []
     for s, book in enumerate(codebooks):
@@ -1568,7 +1688,14 @@ def pq_encode(
         method = "pandas" if m * k > 32 else "expr"
     if method == "pandas":
         return _pq_encode_pandas(df, codebooks, vec_col, id_col)
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    if isinstance(vec_col, str):
+        codes = pq_code_cols_sql(vec_col, codebooks)
+        return df.selectExpr(
+            id_col,
+            f"CASE WHEN {vec_col} IS NOT NULL THEN"
+            f" array({', '.join(codes)}) END AS codes",
+        )
+    v = vec_col
     codes = pq_code_cols(v, codebooks)
     return df.select(
         F.col(id_col),
@@ -1695,20 +1822,16 @@ def ann_topk_pq(
         raise ValueError("zero-norm query vector: ADC cosine is undefined")
     m = len(codebooks)
     codes = F.col(codes_col)
-    dot_acc = F.lit(0.0)
-    nrm_acc = F.lit(0.0)
+    dot_acc = "0.0D"
+    nrm_acc = "0.0D"
     for s in range(m):
-        code1 = F.element_at(codes, s + 1) + F.lit(1)
-        dot_acc = dot_acc + F.element_at(
-            F.array(*[F.lit(x) for x in dotT[s]]), code1
-        )
-        nrm_acc = nrm_acc + F.element_at(
-            F.array(*[F.lit(x) for x in nrm2T[s]]), code1
-        )
-    score = dot_acc / (F.lit(qn) * F.sqrt(nrm_acc))
+        code1 = f"(element_at({codes_col}, {s + 1}) + 1)"
+        dot_acc = f"({dot_acc} + element_at({_arr_lit_sql(dotT[s])}, {code1}))"
+        nrm_acc = f"({nrm_acc} + element_at({_arr_lit_sql(nrm2T[s])}, {code1}))"
+    score = f"({dot_acc} / ({_dlit_sql(qn)} * SQRT({nrm_acc})))"
     return (
         codes_df.filter(codes.isNotNull())
-        .select(F.col(id_col), score.alias("adc_cos"))
+        .selectExpr(id_col, f"{score} AS adc_cos")
         .orderBy(F.desc("adc_cos"), F.asc(id_col))
         .limit(k)
     )
@@ -1853,50 +1976,42 @@ def _ivfadc_item_side(
     m, kc = len(codebooks), len(codebooks[0])
     dsub = len(codebooks[0][0])
     adjT, crn2T = ivfadc_residual_tables(centroids, codebooks)
-    v = F.col(vec_col)
-    celled = items.select(
-        F.col(id_col),
-        v.alias(vec_col),
-        assign_cell(v, centroids).alias("cell"),
+    celled = items.selectExpr(
+        id_col,
+        vec_col,
+        f"{assign_cell_sql(vec_col, centroids)} AS cell",
     ).filter(F.col("cell").isNotNull())
-    code_cols = []
+    code_exprs = []
     for s, book in enumerate(codebooks):
-        sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
-        scored = F.array(
-            *[
-                F.struct(
-                    (
-                        dot_lit(sub, b)
-                        - F.element_at(
-                            F.array(
-                                *[F.lit(adjT[c][s][j]) for c in range(len(centroids))]
-                            ),
-                            F.col("cell") + 1,
-                        )
-                    ).alias("score"),
-                    F.lit(-j).alias("negcode"),
-                )
-                for j, b in enumerate(book)
-            ]
+        sub = f"slice({vec_col}, {s * dsub + 1}, {dsub})"
+        adj = [
+            _arr_lit_sql([adjT[c][s][j] for c in range(len(centroids))])
+            for j in range(kc)
+        ]
+        structs = ", ".join(
+            f"named_struct('score', ({dot_lit_sql(sub, b)} -"
+            f" element_at({adj[j]}, (cell + 1))), 'negcode', {-j})"
+            for j, b in enumerate(book)
         )
-        code_cols.append((F.lit(0) - F.array_max(scored)["negcode"]).alias(f"_c{s}"))
-    coded = celled.select(F.col(id_col), F.col("cell"), *code_cols)
-    rnorm2 = F.lit(0.0)
+        code_exprs.append(
+            f"(0 - array_max(array({structs})).negcode) AS _c{s}"
+        )
+    coded = celled.selectExpr(id_col, "cell", *code_exprs)
+    rnorm2 = "0.0D"
     for s in range(m):
-        tbl2d = F.array(
-            *[
-                F.array(*[F.lit(crn2T[c][s][j]) for j in range(kc)])
-                for c in range(len(centroids))
-            ]
+        tbl2d = "array(" + ", ".join(
+            _arr_lit_sql([crn2T[c][s][j] for j in range(kc)])
+            for c in range(len(centroids))
+        ) + ")"
+        rnorm2 = (
+            f"({rnorm2} + element_at(element_at({tbl2d}, (cell + 1)),"
+            f" (_c{s} + 1)))"
         )
-        rnorm2 = rnorm2 + F.element_at(
-            F.element_at(tbl2d, F.col("cell") + 1), F.col(f"_c{s}") + 1
-        )
-    return coded.select(
-        F.col(id_col),
-        F.col("cell"),
-        F.array(*[F.col(f"_c{s}") for s in range(m)]).alias("codes"),
-        rnorm2.alias("_rn2"),
+    return coded.selectExpr(
+        id_col,
+        "cell",
+        f"array({', '.join(f'_c{s}' for s in range(m))}) AS codes",
+        f"{rnorm2} AS _rn2",
     )
 
 
@@ -1922,44 +2037,34 @@ def _ivfadc_query_cells(
         )
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    qv = F.col(query_vec_col)
-    dott = F.array(
-        *[
-            dot_lit(F.slice(qv, s * dsub + 1, dsub), c)
-            for s, book in enumerate(codebooks)
-            for c in book
-        ]
-    )
-    qdots = F.array(*[dot_lit(qv, c) for c in centroids])
-    q_aug = queries.select(
-        F.col(query_id_col),
-        norm(query_vec_col, m * dsub).alias("_qn"),
-        dott.alias("_dott"),
-        qdots.alias("_qdots"),
+    dott = "array(" + ", ".join(
+        dot_lit_sql(f"slice({query_vec_col}, {s * dsub + 1}, {dsub})", c)
+        for s, book in enumerate(codebooks)
+        for c in book
+    ) + ")"
+    qdots = "array(" + ", ".join(
+        dot_lit_sql(query_vec_col, c) for c in centroids
+    ) + ")"
+    q_aug = queries.selectExpr(
+        query_id_col,
+        f"{norm_sql(query_vec_col, m * dsub)} AS _qn",
+        f"{dott} AS _dott",
+        f"{qdots} AS _qdots",
     )
     # centroid sims derived from the bound _qdots (dot / (|q| * |c|)) —
     # the IEEE sequence of cosine_lit without re-folding each dot
-    sims = F.array(
-        *[
-            F.struct(
-                (
-                    F.element_at(F.col("_qdots"), i + 1)
-                    / (F.col("_qn") * F.lit(norm_lit(c)))
-                ).alias("sim"),
-                F.lit(-i).alias("negcell"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    sims = ", ".join(
+        f"named_struct('sim', (element_at(_qdots, {i + 1}) /"
+        f" (_qn * {_dlit_sql(norm_lit(c))})), 'negcell', {-i})"
+        for i, c in enumerate(centroids)
     )
-    probe = F.slice(F.reverse(F.array_sort(sims)), 1, nprobe)
-    exploded = q_aug.select(
+    probe = f"slice(reverse(array_sort(array({sims}))), 1, {nprobe})"
+    exploded = q_aug.selectExpr(
         query_id_col,
         "_qn",
         "_dott",
         "_qdots",
-        F.explode(F.transform(probe, lambda s: F.lit(0) - s["negcell"])).alias(
-            "cell"
-        ),
+        f"explode(transform({probe}, s -> 0 - s.negcell)) AS cell",
     ).filter(F.col("_qn") > 0)
     return exploded.select(
         query_id_col,
