@@ -549,6 +549,13 @@ def _seeded_hash(col: Column, seed: int, hash_fn: str) -> Column:
     return F.xxhash64(col, F.lit(seed))
 
 
+def _seeded_hash_sql(col: str, seed: int, hash_fn: str) -> str:
+    """SQL text of :func:`_seeded_hash` — same tree, one parse."""
+    if hash_fn == "md5":
+        return f"md5(concat_ws(':', '{seed}', {col}))"
+    return f"xxhash64({col}, {seed})"
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -578,16 +585,13 @@ def minhash_signatures(
     """
     arr = _shingle_array(text_col, k)
 
-    # NB: a one-parameter lambda is required — F.transform binds a second
-    # parameter to the ARRAY INDEX, so `lambda s, _seed=seed` would hash
-    # with the element position instead of the seed.
-    def _hash_with(seed: int):
-        return lambda s: _seeded_hash(s, seed, hash_fn)
-
+    # per-seed mins as parsed SQL (round-10): the lambda-Column build of
+    # the same 32 array_min(transform(...)) trees measured 1.7 s of py4j
+    # per call; the parsed trees are node-identical (s is the element —
+    # the transform lambda never binds the index parameter)
     mins = [
-        F.array_min(
-            F.transform(F.col("_shingles"), _hash_with(seed))
-        ).alias(f"mh_{seed}")
+        f"array_min(transform(_shingles, s -> {_seeded_hash_sql('s', seed, hash_fn)}))"
+        f" AS mh_{seed}"
         for seed in range(num_hashes)
     ]
     # length(text) >= k is the scan-cheap equivalent of size(shingles) > 0
@@ -596,7 +600,7 @@ def minhash_signatures(
     return (
         df.filter(F.length(text_col) >= k)
         .select(F.col(id_col), arr.alias("_shingles"))
-        .select(id_col, *mins)
+        .selectExpr(id_col, *mins)
     )
 
 
@@ -615,22 +619,22 @@ def lsh_band_stack(
     equi-joins against it, so the corpus is never re-signed.
     """
     rows_per_band = num_hashes // bands
-    band_cols = []
+    band_exprs = []
     for band in range(bands):
-        cols = [F.col(f"mh_{seed}") for seed in range(band * rows_per_band, (band + 1) * rows_per_band)]
+        cols = ", ".join(
+            f"mh_{seed}"
+            for seed in range(band * rows_per_band, (band + 1) * rows_per_band)
+        )
         if hash_fn == "md5":
-            band_cols.append(F.md5(F.concat_ws("|", *cols)).alias(f"band_{band}"))
+            band_exprs.append(f"md5(concat_ws('|', {cols})) AS band_{band}")
         else:
-            band_cols.append(F.xxhash64(*cols, F.lit(10_000 + band)).alias(f"band_{band}"))
-    banded = sig.select(id_col, *band_cols)
-    return banded.select(
-        id_col,
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(i).alias("band"), F.col(f"band_{i}").alias("bucket"))
-                for i in range(bands)
-            ])
-        ).alias("bb"),
+            band_exprs.append(f"xxhash64({cols}, {10_000 + band}) AS band_{band}")
+    banded = sig.selectExpr(id_col, *band_exprs)
+    structs = ", ".join(
+        f"named_struct('band', {i}, 'bucket', band_{i})" for i in range(bands)
+    )
+    return banded.selectExpr(
+        id_col, f"explode(array({structs})) AS bb"
     ).select(id_col, "bb.band", "bb.bucket")
 
 
@@ -830,24 +834,25 @@ def _signature_agreement_e6(
     (cross-table, broadcast benchmark side): the agree fold, the
     AQE-coalesce repartition guard, and the integer-div e6 estimate live
     here so a fix lands everywhere."""
-    s1 = sig_a.select(
-        F.col(id_col).alias(a_col),
-        *[F.col(f"mh_{s}").alias(f"a_{s}") for s in range(num_hashes)],
+    s1 = sig_a.selectExpr(
+        f"{id_col} AS {a_col}",
+        *[f"mh_{s} AS a_{s}" for s in range(num_hashes)],
     )
-    s2 = sig_b.select(
-        F.col(id_col).alias(b_col),
-        *[F.col(f"mh_{s}").alias(f"b_{s}") for s in range(num_hashes)],
+    s2 = sig_b.selectExpr(
+        f"{id_col} AS {b_col}",
+        *[f"mh_{s} AS b_{s}" for s in range(num_hashes)],
     )
+    # agree fold as ONE parsed expression (round-10 py4j economics)
     agree = None
     for s in range(num_hashes):
-        term = F.when(F.col(f"a_{s}") == F.col(f"b_{s}"), 1).otherwise(0)
-        agree = term if agree is None else agree + term
+        term = f"CASE WHEN a_{s} = b_{s} THEN 1 ELSE 0 END"
+        agree = term if agree is None else f"({agree} + {term})"
     par = candidates.sparkSession.sparkContext.defaultParallelism
     return (
         candidates.repartition(par, *repartition_cols)  # AQE-coalesce guard
         .join(s1, a_col)
         .join(F.broadcast(s2) if broadcast_b else s2, b_col)
-        .select(a_col, b_col, agree.cast("bigint").alias("n_agree"))
+        .selectExpr(a_col, b_col, f"CAST({agree} AS BIGINT) AS n_agree")
         # integer div, not floating /: bit-exact in both engines for any
         # num_hashes, not just powers of two
         .withColumn("jaccard_e6", F.expr(f"n_agree * {SCALE} div {num_hashes}"))
