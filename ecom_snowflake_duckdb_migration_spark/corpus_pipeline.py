@@ -87,7 +87,17 @@ def corpus_run(
     )
     survivors = docs.join(kept.select(id_col), id_col, "left_semi")
 
-    assigned = sp.shuffle_split(survivors, splits_e6, id_col=id_col, seed=seed)
+    # Materialization barrier (round-10, guide §5): the curate cascade is
+    # by far the most expensive stage, and without a barrier it is
+    # RE-COMPUTED by every downstream action — each split's pack+write,
+    # and report_after: 4+ full cascade runs per corpus_run (measured
+    # 2.6x end-to-end at sf0.1: 66.6 -> 25.9 s best-of-3, identical
+    # split counts). localCheckpoint
+    # truncates the lineage once; a real deployment gets the same effect
+    # from the durable survivors write it would do anyway.
+    assigned = sp.shuffle_split(
+        survivors, splits_e6, id_col=id_col, seed=seed
+    ).localCheckpoint(eager=True)
     chunked = tx.chunk_documents(
         assigned, chunk_size=chunk_size, overlap=overlap,
         text_col=text_col, id_col=id_col,
@@ -137,8 +147,11 @@ def corpus_run(
             "tokens": stats["tokens"],
         }
 
+    # report over the checkpointed frame (same rows as survivors — the
+    # two extra split/shuffle_key columns are inert to the aggregates),
+    # so the after-report does not re-run the cascade either
     manifest["report_after"] = [r.asDict() for r in tx.corpus_report(
-        survivors, text_col, id_col
+        assigned, text_col, id_col
     ).orderBy("source").collect()]
 
     # manifest through the Hadoop FileSystem API (same resolution as the
