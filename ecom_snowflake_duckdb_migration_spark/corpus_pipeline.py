@@ -114,7 +114,6 @@ def corpus_run(
         "report_before": report_before,
         "splits": {},
     }
-    n_out = max(2, spark.sparkContext.defaultParallelism)
     for name in splits_e6:
         # pack each split with the range-bucketed exact-cumsum path: the
         # training order is (shuffle_key, chunk_id) — shuffled documents,
@@ -127,7 +126,14 @@ def corpus_run(
         )
         path = os.path.join(out_dir, f"split={name}")
         (
-            part.repartitionByRange(n_out, "pack_id", "pack_offset")
+            # no explicit partition count (round-10, guide §6): with N
+            # pinned to the core count the val/test splits wrote 32 tiny
+            # files at any scale and train's width never tracked data
+            # size; un-pinned, the range exchange starts at
+            # spark.sql.shuffle.partitions and AQE coalesces it to
+            # advisory-sized output files — scale-adaptive in both
+            # directions, ordering within files unchanged
+            part.repartitionByRange("pack_id", "pack_offset")
             .sortWithinPartitions("pack_id", "pack_offset")
             .write.mode("overwrite")
             .parquet(path)
