@@ -939,7 +939,16 @@ def semantic_dedup(
     """
     if method == "auto":
         method = "expr" if len(centroids) <= 16 else "pandas"
-    celled = semantic_cells(df, centroids, vec_col, id_col, method=method)
+    # materialization barrier (round-10, guide §5): the sweep references
+    # the celled frame THREE times (both self-join sides + the final
+    # anti-join), and cell assignment is scan-side with no exchange to
+    # reuse, so without a barrier the codebook expressions re-evaluate
+    # per reference (measured 3x the assignment cost at sf0.1). The
+    # persisted-store path (semantic_dedup_celled over a bucketed cell
+    # store) is the durable form of the same barrier.
+    celled = semantic_cells(
+        df, centroids, vec_col, id_col, method=method
+    ).localCheckpoint(eager=True)
     return semantic_dedup_celled(
         celled,
         threshold,
@@ -1262,7 +1271,9 @@ def semantic_dedup_incremental(
     # the probe's dominant cost at small batch sizes, and computing them
     # separately for the veto side and again inside the sweep's
     # semantic_cells doubled it (judge round-6 perf finding).
-    bc = semantic_cells(batch, centroids, vec_col, id_col, method=method)
+    bc = semantic_cells(
+        batch, centroids, vec_col, id_col, method=method
+    ).localCheckpoint(eager=True)
     b = bc.select(
         F.col(id_col).alias("b_id"),
         F.col(vec_col).alias("b_vec"),
@@ -1305,7 +1316,16 @@ def semantic_dedup_incremental(
             .select(F.col("b_id").alias("_veto"))
             .distinct()
         )
-    survivors_celled = bc.join(veto, bc[id_col] == veto["_veto"], "left_anti")
+    # second barrier (round-10): the within-batch sweep references the
+    # survivor frame three times (see semantic_dedup) — without it the
+    # veto join + anti-join pipeline re-executes per reference (the
+    # composed probe measured 26.8 s at sf0.1 vs 2.6 s for its stages
+    # run once each). The batch-cells barrier above plus this one bound
+    # the probe at one evaluation per stage; both materialize only the
+    # bounded NEW batch, never the corpus store.
+    survivors_celled = bc.join(
+        veto, bc[id_col] == veto["_veto"], "left_anti"
+    ).localCheckpoint(eager=True)
     return semantic_dedup_celled(
         survivors_celled, threshold, id_col, vec_col, dim=d, pair_method=resolved
     )

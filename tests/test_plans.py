@@ -420,6 +420,11 @@ LINT_ALLOW: dict[str, dict[str, str]] = {
         "FILTER_NOT_PUSHED": "cell-membership predicate on derived columns"},
     "x83_incremental_semantic_dedup": {
         "FILTER_NOT_PUSHED": "cosine-threshold predicate on derived columns"},
+    "x78_semantic_dedup": {
+        "FILTER_NOT_PUSHED": "cosine-threshold / cell predicates on derived "
+        "columns above the round-10 celled-frame barrier (a localCheckpoint "
+        "RDD scan has no pushdown surface; the predicates never could push "
+        "— same contract as x83)"},
     "x120_density_prune": {
         "FILTER_NOT_PUSHED": "NULL-cell guard on the derived cell column "
         "(degenerate vectors dropped rather than NULL-ordered)"},
