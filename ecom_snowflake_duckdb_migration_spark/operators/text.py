@@ -763,6 +763,12 @@ def minhash_lsh_pairs(
     before this operator for exactly that reason.
     """
     sig = minhash_signatures(df, text_col, id_col, k, num_hashes, hash_fn)
+    if estimate_prefilter_e6 is not None:
+        # with the prefilter the signatures feed the band stack AND both
+        # agreement sides — same 3x re-evaluation the estimate path
+        # barriers against (round-10); unfiltered, sig is read once and
+        # needs no barrier
+        sig = sig.localCheckpoint(eager=True)
     # candidates: LSH band-bucket equi-join, then exact Jaccard for THOSE
     # pairs only — never the all-shared-shingle-pairs join.
     candidates = band_candidates(sig, id_col, num_hashes, bands, hash_fn)
@@ -887,7 +893,15 @@ def minhash_estimate_pairs(
     prefilter stage for the exact path. Deterministic given the seeded
     hashes, so the md5 variant is DuckDB-oracle-checkable exactly (x85).
     """
-    sig = minhash_signatures(df, text_col, id_col, k, num_hashes, hash_fn)
+    # barrier (round-10, guide §5): the signature frame feeds the band
+    # stack AND both agreement sides — three scan-side evaluations of
+    # the 32 array_min folds with no exchange to reuse. One
+    # localCheckpoint of the narrow (id, 32 ints) frame bounds it at one
+    # evaluation; it is exactly the durable band-store artifact the
+    # incremental path persists anyway.
+    sig = minhash_signatures(
+        df, text_col, id_col, k, num_hashes, hash_fn
+    ).localCheckpoint(eager=True)
     candidates = band_candidates(sig, id_col, num_hashes, bands, hash_fn)
     est = _signature_agreement_e6(
         candidates, sig, sig, "d1", "d2", id_col, num_hashes, ("d1", "d2")
@@ -2220,8 +2234,14 @@ def decontaminate_fuzzy(
     signing. No corpus-vs-corpus pairing at all, so cost is linear in
     corpus size at any scale.
     """
-    sig_c = minhash_signatures(corpus, text_col, id_col, k, num_hashes, hash_fn)
-    sig_b = minhash_signatures(benchmark, text_col, id_col, k, num_hashes, hash_fn)
+    # same signature barrier as minhash_estimate_pairs (round-10): each
+    # side's signature frame feeds its band stack AND its agreement side
+    sig_c = minhash_signatures(
+        corpus, text_col, id_col, k, num_hashes, hash_fn
+    ).localCheckpoint(eager=True)
+    sig_b = minhash_signatures(
+        benchmark, text_col, id_col, k, num_hashes, hash_fn
+    ).localCheckpoint(eager=True)
     st_c = lsh_band_stack(sig_c, id_col, num_hashes, bands, hash_fn)
     st_b = lsh_band_stack(sig_b, id_col, num_hashes, bands, hash_fn)
     cand = (
