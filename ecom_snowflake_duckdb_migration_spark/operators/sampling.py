@@ -335,11 +335,15 @@ def token_budget_select(
     ]
     # width_bucket over DESCENDING score: bucket 0 = highest scores. Strict
     # '>' on the cut keeps equal scores together (cut-valued rows all fall
-    # in the lower bucket).
-    bucket = F.lit(0)
+    # in the lower bucket). Built as ONE parsed expression — the Column-API
+    # chain over 63 cuts measured ~0.4 s of py4j per call (round-10).
+    bucket_sql = "0"
     for c in sorted(set(cuts)):
-        bucket = bucket + F.when(F.col(score_col) > F.lit(c), 0).otherwise(1)
-    b = base.withColumn("_bkt", bucket)
+        bucket_sql = (
+            f"({bucket_sql} + CASE WHEN {score_col} >"
+            f" CAST('{c!r}' AS DOUBLE) THEN 0 ELSE 1 END)"
+        )
+    b = base.withColumn("_bkt", F.expr(bucket_sql))
     w = (
         Window.partitionBy("_bkt")
         .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
@@ -365,15 +369,11 @@ def token_budget_select(
     for k in sorted(per_bucket):
         offsets[k] = running
         running += per_bucket[k]
-    off = F.coalesce(
-        F.element_at(
-            F.create_map(
-                *[F.lit(v) for kv in offsets.items() for v in kv]
-            ),
-            F.col("_bkt"),
-        ),
-        F.lit(0),
-    ) if offsets else F.lit(0)
+    if offsets:
+        entries = ", ".join(f"{k}, {v}" for k, v in offsets.items())
+        off = F.expr(f"coalesce(element_at(map({entries}), _bkt), 0)")
+    else:
+        off = F.lit(0)
     cum = (off + F.col("_cum_in")).alias("cum_tokens")
     return (
         with_cum.select(id_col, score_col, tokens_col, cum)
