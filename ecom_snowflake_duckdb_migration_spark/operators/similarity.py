@@ -1405,9 +1405,11 @@ def ann_topk_quantized(
     )
     base = quantize_int8(df, vec_col=vec_col, id_col=id_col)
     if dim is not None:
-        dot_q = F.lit(0).cast("long")
+        # parsed-SQL unroll (round-10 py4j economics; same tree)
+        terms = "CAST(0 AS BIGINT)"
         for i in range(dim):
-            dot_q = dot_q + (F.get("q", i) * F.get("qq", i)).cast("long")
+            terms = f"({terms} + CAST((get(q, {i}) * get(qq, {i})) AS BIGINT))"
+        dot_q = F.expr(terms)
     else:
         dot_q = F.aggregate(
             F.zip_with("q", "qq", lambda a, b: (a * b).cast("long")),
@@ -1454,8 +1456,8 @@ def ann_topk_matryoshka(
     if qpn == 0.0 or qfn == 0.0:
         raise ValueError("zero-norm query (full or prefix): cosine undefined")
     v = F.col(vec_col)
-    pre = F.slice(v, 1, prefix_dim)
-    pnorm = norm(pre)
+    pre_sql = f"slice({vec_col}, 1, {prefix_dim})"
+    pnorm = F.expr(norm_sql(pre_sql))
     # explicit > 0 guard, not isNotNull: 0/0 is NaN in Spark (which sorts
     # FIRST under DESC), the assign_cell degenerate-vector lesson
     short = (
@@ -1464,7 +1466,7 @@ def ann_topk_matryoshka(
             F.col(id_col),
             v.alias(vec_col),
             pnorm.alias("_pn"),
-            dot(pre, F.array(*[F.lit(x) for x in qp])).alias("_pd"),
+            F.expr(dot_lit_sql(pre_sql, qp)).alias("_pd"),
         )
         .filter(F.col("_pn") > 0)
         .select(
@@ -1475,8 +1477,8 @@ def ann_topk_matryoshka(
         .orderBy(F.desc("prefix_cos"), F.asc(id_col))
         .limit(shortlist)
     )
-    full_cos = dot_lit(v, [float(x) for x in query_vec]) / (
-        norm(v) * F.lit(qfn)
+    full_cos = dot_lit(vec_col, [float(x) for x in query_vec]) / (
+        norm(vec_col) * F.lit(qfn)
     )
     return (
         short.select(

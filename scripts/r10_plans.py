@@ -18,9 +18,8 @@ import os
 import sys
 from contextlib import redirect_stdout
 
-sys.path.insert(0, "/root/repo")
-
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 
 def main() -> int:
@@ -55,7 +54,9 @@ def main() -> int:
 
     ensure_bucketed_facts(spark, sf_dir, buckets=16)
 
-    out_dir = os.path.join(REPO, "plans", "r10")
+    out_dir = os.environ.get(
+        "SPARK_GRAFT_PLANS_OUT", os.path.join(REPO, "plans", "r10")
+    )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = specs[name].fn(spark, sf_dir)
