@@ -113,7 +113,12 @@ def audio_near_pairs(
     """Near-duplicate audio pairs ``(d1, d2, hamming)`` with d1 < d2 —
     the pigeonhole band join over the band-energy fingerprints; decode
     failures are excluded (NULL hash)."""
-    fp = audio_hashes(df, id_col, payload_col, t_frames, n_bands).filter(
-        "audio_hash IS NOT NULL"
+    # same decode-once barrier as image_near_pairs (round-10, guide §8):
+    # both band-join sides otherwise re-run the Python audio decode
+    fp = (
+        audio_hashes(df, id_col, payload_col, t_frames, n_bands)
+        .filter("audio_hash IS NOT NULL")
+        .select(id_col, "audio_hash")
+        .localCheckpoint(eager=True)
     )
     return hamming_near_pairs(fp, "audio_hash", id_col, max_hamming, blocks)

@@ -148,7 +148,15 @@ def image_near_pairs(
     NULL; inspect ``image_hashes`` directly for the error census)."""
     if method not in ("ahash", "dhash"):
         raise ValueError(f"method must be ahash|dhash, got {method!r}")
-    fp = image_hashes(df, id_col, payload_col, grid).filter(
-        f"{method} IS NOT NULL"
+    # barrier (round-10, guide §8): the pigeonhole band join references
+    # the fingerprint frame on BOTH sides, and without it each side
+    # re-runs the full Python image decode (no exchange to reuse under
+    # the mapInPandas scan). Checkpoint the narrow (id, hash) frame so
+    # payloads are decoded exactly once.
+    fp = (
+        image_hashes(df, id_col, payload_col, grid)
+        .filter(f"{method} IS NOT NULL")
+        .select(id_col, method)
+        .localCheckpoint(eager=True)
     )
     return hamming_near_pairs(fp, method, id_col, max_hamming, blocks)
