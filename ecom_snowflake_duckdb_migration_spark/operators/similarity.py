@@ -339,6 +339,13 @@ def cosine_pairs_lsh(
             ])
         ).alias("ts"),
     ).select(id_col, vec_col, "nrm", "ts.tbl", "ts.sig")
+    # band_candidates' shared-exchange device (round-10): repartition on
+    # the join keys so both self-join sides hang off ONE shuffle of the
+    # stack and the scan-side signature expressions evaluate once
+    # (ReusedExchange) instead of per side; the same shuffle pre-colocates
+    # the equi-join.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    stacked = stacked.repartition(par, "tbl", "sig")
     a = stacked.alias("a")
     b = stacked.alias("b")
     candidates = (
