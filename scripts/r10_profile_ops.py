@@ -61,7 +61,6 @@ def main() -> int:
 
     if want("minhash_lsh_pairs"):
         print("== minhash_lsh_pairs (13.7s in PERF_LLM_OPS) ==")
-        sig = sim and tx.minhash_signatures(docs)
         timed(spark, "mh: signatures only", lambda: noop(tx.minhash_signatures(docs)))
         timed(
             spark,

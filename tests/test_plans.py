@@ -425,6 +425,18 @@ LINT_ALLOW: dict[str, dict[str, str]] = {
         "columns above the round-10 celled-frame barrier (a localCheckpoint "
         "RDD scan has no pushdown surface; the predicates never could push "
         "— same contract as x83)"},
+    "x132_minhash_prefiltered_pairs": {
+        "FILTER_NOT_PUSHED": "signature-agreement / Jaccard threshold "
+        "predicates on derived columns above the round-10 signature-frame "
+        "barrier — same contract as x78/x83"},
+    "x90_fuzzy_decontamination": {
+        "FILTER_NOT_PUSHED": "band/agreement predicates on derived columns "
+        "above the round-10 signature-frame barriers — same contract as "
+        "x78/x83"},
+    "x85_minhash_estimate_pairs": {
+        "FILTER_NOT_PUSHED": "signature-agreement threshold predicates on "
+        "derived columns above the round-10 signature-frame barrier — same "
+        "contract as x78/x83"},
     "x120_density_prune": {
         "FILTER_NOT_PUSHED": "NULL-cell guard on the derived cell column "
         "(degenerate vectors dropped rather than NULL-ordered)"},
