@@ -92,12 +92,21 @@ def corpus_run(
     # RE-COMPUTED by every downstream action — each split's pack+write,
     # and report_after: 4+ full cascade runs per corpus_run (measured
     # 2.6x end-to-end at sf0.1: 66.6 -> 25.9 s best-of-3, identical
-    # split counts). localCheckpoint
-    # truncates the lineage once; a real deployment gets the same effect
-    # from the durable survivors write it would do anyway.
-    assigned = sp.shuffle_split(
+    # split counts). Round-11: the barrier is the DURABLE survivors
+    # write a deployment does anyway (write parquet, re-read), not
+    # localCheckpoint — localCheckpoint pins the full surviving corpus
+    # (every document's text) in non-replicated executor-local storage,
+    # so at scale one executor loss (or dynamic-allocation release)
+    # after the barrier kills the run unrecoverably. The parquet
+    # intermediate is replicated by the filesystem, survives executor
+    # churn, and every downstream action (split pack+writes,
+    # report_after) reads a column-pruned compressed scan instead of
+    # re-running the cascade. Overwrite mode keeps reruns idempotent.
+    assigned_path = os.path.join(out_dir, "_assigned")
+    sp.shuffle_split(
         survivors, splits_e6, id_col=id_col, seed=seed
-    ).localCheckpoint(eager=True)
+    ).write.mode("overwrite").parquet(assigned_path)
+    assigned = spark.read.parquet(assigned_path)
     chunked = tx.chunk_documents(
         assigned, chunk_size=chunk_size, overlap=overlap,
         text_col=text_col, id_col=id_col,
@@ -125,16 +134,25 @@ def corpus_run(
             order_cols=("shuffle_key", "chunk_id"),
         )
         path = os.path.join(out_dir, f"split={name}")
+        # no explicit partition count (round-10, guide §6): with N
+        # pinned to the core count the val/test splits wrote 32 tiny
+        # files at any scale and train's width never tracked data
+        # size; un-pinned, the range exchange starts at
+        # spark.sql.shuffle.partitions and AQE coalesces it to
+        # advisory-sized output files — scale-adaptive in both
+        # directions, ordering within files unchanged. File sizing
+        # DEPENDS on AQE coalescing: under an AQE-off profile every
+        # split would write spark.sql.shuffle.partitions files no
+        # matter how small, so fall back to the pre-round-10 explicit
+        # width there (round-11, advisor finding).
+        if spark.conf.get("spark.sql.adaptive.enabled", "true").lower() == "true":
+            ranged = part.repartitionByRange("pack_id", "pack_offset")
+        else:
+            ranged = part.repartitionByRange(
+                spark.sparkContext.defaultParallelism, "pack_id", "pack_offset"
+            )
         (
-            # no explicit partition count (round-10, guide §6): with N
-            # pinned to the core count the val/test splits wrote 32 tiny
-            # files at any scale and train's width never tracked data
-            # size; un-pinned, the range exchange starts at
-            # spark.sql.shuffle.partitions and AQE coalesces it to
-            # advisory-sized output files — scale-adaptive in both
-            # directions, ordering within files unchanged
-            part.repartitionByRange("pack_id", "pack_offset")
-            .sortWithinPartitions("pack_id", "pack_offset")
+            ranged.sortWithinPartitions("pack_id", "pack_offset")
             .write.mode("overwrite")
             .parquet(path)
         )
@@ -153,9 +171,9 @@ def corpus_run(
             "tokens": stats["tokens"],
         }
 
-    # report over the checkpointed frame (same rows as survivors — the
-    # two extra split/shuffle_key columns are inert to the aggregates),
-    # so the after-report does not re-run the cascade either
+    # report over the durable assigned frame (same rows as survivors —
+    # the two extra split/shuffle_key columns are inert to the
+    # aggregates), so the after-report does not re-run the cascade either
     manifest["report_after"] = [r.asDict() for r in tx.corpus_report(
         assigned, text_col, id_col
     ).orderBy("source").collect()]

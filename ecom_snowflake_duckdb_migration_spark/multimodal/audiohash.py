@@ -119,6 +119,6 @@ def audio_near_pairs(
         audio_hashes(df, id_col, payload_col, t_frames, n_bands)
         .filter("audio_hash IS NOT NULL")
         .select(id_col, "audio_hash")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     return hamming_near_pairs(fp, "audio_hash", id_col, max_hamming, blocks)

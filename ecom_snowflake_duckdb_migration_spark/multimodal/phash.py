@@ -157,6 +157,6 @@ def image_near_pairs(
         image_hashes(df, id_col, payload_col, grid)
         .filter(f"{method} IS NOT NULL")
         .select(id_col, method)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     return hamming_near_pairs(fp, method, id_col, max_hamming, blocks)

@@ -343,9 +343,15 @@ def cosine_pairs_lsh(
     # the join keys so both self-join sides hang off ONE shuffle of the
     # stack and the scan-side signature expressions evaluate once
     # (ReusedExchange) instead of per side; the same shuffle pre-colocates
-    # the equi-join.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    stacked = stacked.repartition(par, "tbl", "sig")
+    # the equi-join. No explicit partition count (round-11): the stack
+    # rows carry the full vectors, so AQE's byte-based coalescing sizes
+    # the exchange correctly at any scale, and leaving the origin as
+    # REPARTITION_BY_COL keeps AQE skew-join splitting available for hot
+    # (tbl, sig) buckets on duplicate-dense corpora (a pinned count
+    # blocks both). Contrast band_candidates' narrow 3-column stack,
+    # where byte-based coalescing would serialize the join and the
+    # explicit count is the documented guard.
+    stacked = stacked.repartition("tbl", "sig")
     a = stacked.alias("a")
     b = stacked.alias("b")
     candidates = (
@@ -952,10 +958,16 @@ def semantic_dedup(
     # reuse, so without a barrier the codebook expressions re-evaluate
     # per reference (measured 3x the assignment cost at sf0.1). The
     # persisted-store path (semantic_dedup_celled over a bucketed cell
-    # store) is the durable form of the same barrier.
+    # store) is the durable form of the same barrier. Footprint note:
+    # localCheckpoint pins the celled frame (id, cell, vec, norm) in
+    # executor-local storage for the session — non-replicated and not
+    # recomputable on executor loss; production-scale corpora should use
+    # the persisted cell store, which is exactly this frame durable.
+    # eager=False (round-11): no job runs until the caller's first
+    # action, matching the barrier convention elsewhere in this module.
     celled = semantic_cells(
         df, centroids, vec_col, id_col, method=method
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     return semantic_dedup_celled(
         celled,
         threshold,
