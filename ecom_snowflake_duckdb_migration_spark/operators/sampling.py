@@ -338,9 +338,12 @@ def token_budget_select(
     # in the lower bucket). Built as ONE parsed expression — the Column-API
     # chain over 63 cuts measured ~0.4 s of py4j per call (round-10).
     bucket_sql = "0"
+    # backtick the interpolated name (round-11, advisor finding): a
+    # score column named like a reserved word would otherwise mis-parse
+    sc = "`" + score_col.replace("`", "``") + "`"
     for c in sorted(set(cuts)):
         bucket_sql = (
-            f"({bucket_sql} + CASE WHEN {score_col} >"
+            f"({bucket_sql} + CASE WHEN {sc} >"
             f" CAST('{c!r}' AS DOUBLE) THEN 0 ELSE 1 END)"
         )
     b = base.withColumn("_bkt", F.expr(bucket_sql))

@@ -52,6 +52,21 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 
+import re as _re
+
+_SAFE_IDENT = _re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+
+
+def _ident_sql(s: str) -> str:
+    """Backtick-quote ``s`` when it is a plain identifier — quoting a
+    valid identifier never changes the parse, and it protects column
+    names that collide with reserved words (round-11, advisor finding).
+    Non-identifier strings pass through untouched as SQL fragments (the
+    documented dual use of the string inputs); column names that need
+    quoting beyond this (hyphens, spaces) must be passed as Columns."""
+    return f"`{s}`" if _SAFE_IDENT.fullmatch(s) else s
+
+
 def _dlit_sql(v: float) -> str:
     """Exact double literal: repr round-trips through Double.parseDouble,
     and the CAST of a constant folds to the identical Literal(double)."""
@@ -139,7 +154,7 @@ def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """
     if isinstance(a, str) and isinstance(b, str):
         # one-parse SQL twin: ~1 ms vs ~250 ms (dim=64) of py4j round-trips
-        return F.expr(dot_sql(a, b, dim))
+        return F.expr(dot_sql(_ident_sql(a), _ident_sql(b), dim))
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     if dim is not None:
@@ -162,7 +177,7 @@ def dot_lit(a: Column | str, values: list[float]) -> Column:
     for zero execution win at 1M rows). IEEE sequence identical to
     :func:`dot` and DuckDB's ``list_sum(list_transform(...))``."""
     if isinstance(a, str):
-        return F.expr(dot_lit_sql(a, values))
+        return F.expr(dot_lit_sql(_ident_sql(a), values))
     lit = F.array(*[F.lit(float(v)) for v in values])
     return dot(a, lit)
 
@@ -193,7 +208,7 @@ def norm(a: Column | str, dim: int | None = None) -> Column:
     """sqrt of the left-to-right fold of squares; ``dim`` unrolls it into
     codegen-able arithmetic exactly like :func:`dot`."""
     if isinstance(a, str):
-        return F.expr(norm_sql(a, dim))
+        return F.expr(norm_sql(_ident_sql(a), dim))
     a = F.col(a) if isinstance(a, str) else a
     if dim is not None:
         acc = F.lit(0.0)
@@ -275,6 +290,7 @@ def hyperplane_signature(
     so the signature is a pure Catalyst expression.
     """
     if isinstance(vec_col, str):
+        vec_col = _ident_sql(vec_col)
         terms = [
             f"CASE WHEN {dot_lit_sql(vec_col, h)} >= 0 THEN"
             f" SHIFTLEFT(CAST(1 AS BIGINT), {i}) ELSE CAST(0 AS BIGINT) END"
@@ -483,7 +499,7 @@ def assign_cell(vec_col: Column | str, centroids: list[list[float]]) -> Column:
     vector has no defined cosine direction, and without the guard all
     sims are NaN so array_max would silently pick cell 0."""
     if isinstance(vec_col, str):
-        return F.expr(assign_cell_sql(vec_col, centroids)).alias("cell")
+        return F.expr(assign_cell_sql(_ident_sql(vec_col), centroids)).alias("cell")
     d = len(centroids[0])
     nv = norm(vec_col, d)
     sims = F.array(

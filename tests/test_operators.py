@@ -3112,3 +3112,40 @@ def test_minhash_signatures_scan_side_equals_grouped_reference(spark):
         r.doc_id: frozenset(r.ss) for r in tx.char_shingle_sets(d).collect()
     }
     assert got_sets == ref_sets
+
+
+def test_sql_twin_string_paths_quote_reserved_identifiers(spark):
+    """The parsed-SQL string paths (round-10 twins) must accept column
+    names that collide with SQL reserved words: plain identifiers are
+    backtick-quoted before interpolation (round-11, advisor finding).
+    Non-identifier strings still pass through as SQL fragments."""
+    import ecom_snowflake_duckdb_migration_spark.operators.similarity as sim
+
+    d = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [1.0, 0.0])],
+        "doc_id long, `order` array<double>",
+    )
+    # norm/dot string path over a reserved-word column name
+    got = d.select(
+        sim.norm("order", dim=2).alias("n"),
+        sim.dot("order", "order", dim=2).alias("s"),
+    ).collect()
+    assert sorted((r.n, r.s) for r in got) == [(1.0, 1.0), (5.0, 25.0)]
+    # fragment inputs keep working (the documented dual use)
+    frag = d.select(sim.norm("slice(`order`, 1, 2)", dim=2).alias("n")).collect()
+    assert sorted(r.n for r in frag) == [1.0, 5.0]
+    # gopher stats over a reserved-word text column (full _bt quoting)
+    g = spark.createDataFrame(
+        [(1, "the be to of and that have with " + "word " * 50)],
+        "doc_id long, `table` string",
+    )
+    row = tx.gopher_quality_stats(g, text_col="table").collect()[0]
+    assert row.n_required_stopwords == 8 and row.n_words == 58
+    # minhash signature/band path over a reserved-word id column
+    m = spark.createDataFrame(
+        [("k1", "the quick brown fox jumps over the lazy dog")],
+        "`select` string, text string",
+    )
+    sig = tx.minhash_signatures(m, id_col="select", num_hashes=8)
+    assert sig.count() == 1
+    assert tx.lsh_band_stack(sig, id_col="select", num_hashes=8, bands=4).count() == 4
