@@ -3149,3 +3149,34 @@ def test_sql_twin_string_paths_quote_reserved_identifiers(spark):
     sig = tx.minhash_signatures(m, id_col="select", num_hashes=8)
     assert sig.count() == 1
     assert tx.lsh_band_stack(sig, id_col="select", num_hashes=8, bands=4).count() == 4
+
+
+def test_semantic_dispatch_smallgeometry_stays_expr(spark):
+    """Round-11 dispatch decision, pinned: at oracle cell counts
+    (<= 16) method='auto' must resolve to the expr pair fold, NOT the
+    BLAS kernel. Measured: flipping to pandas saves ~0.6 s at sf0.1
+    (pairs+antijoin 0.997 -> 0.402 s) and the INTEGER outputs (kept
+    sets, cells, ranks) are identical on sf0.001/0.01/0.1 — but an
+    engineered near-tie fixture (a vector and its 1-ulp-scaled twin)
+    flips WHICH duplicate survives, because np.linalg.norm/matmul and
+    the left-to-right fold round differently and the keep order ranks
+    on csim. The DuckDB oracles compute the fold form, so the expr tier
+    stays the <=16-cell default; >16 cells (production sizing) already
+    dispatch to BLAS where no cross-engine oracle pins doubles."""
+    import numpy as np
+    import ecom_snowflake_duckdb_migration_spark.operators.similarity as sim
+
+    cents = sim.make_centroids(dim=64, n_centroids=8, seed=42)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # integer-output parity ON ORACLE DATA between the two kernels
+    a = sorted(map(tuple, sim.semantic_dedup(emb, cents, threshold=0.35, method="expr").collect()))
+    b = sorted(map(tuple, sim.semantic_dedup(emb, cents, threshold=0.35, method="pandas").collect()))
+    assert a == b
+    # the dispatch itself: auto == expr results at 8 cells, and the expr
+    # path's plan has no Python eval node (the auto plan must match)
+    auto_plan = sim.semantic_cells(emb, cents, method="auto")._jdf.queryExecution().analyzed().toString()
+    assert "mapInPandas" not in auto_plan and "MapInPandas" not in auto_plan
+    # >16 cells dispatches to the BLAS kernel
+    cents17 = sim.make_centroids(dim=64, n_centroids=17, seed=42)
+    big_plan = sim.semantic_cells(emb, cents17, method="auto")._jdf.queryExecution().analyzed().toString()
+    assert "mapinpandas" in big_plan.lower()
